@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+One place that owns every config knob so the engine behaves identically in
+tests, in the driver's harness, and in bench.py.  Defaults are chosen for
+the 100 TB posture (SURVEY.md §7.4.6): AQE on (runtime coalesce + skew-join
+splitting), Arrow for any Python exchange, UTC session time zone so
+timestamp semantics are engine-independent, and shuffle partitions sized to
+the local core count (on a real cluster this would be ~2-3x total cores;
+AQE coalesces the excess at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mapreducer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master=None`` leaves the master to the environment (the driver
+    harness supplies its own session; bench/tests pass ``local[N]``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+
+    conf: dict[str, str] = {
+        # Adaptive execution: runtime partition coalescing and skew-join
+        # splitting replace the reference's per-distinct-key round-robin
+        # balancing (SURVEY.md §4.3) with something that actually works
+        # under skew at scale.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # All Python<->JVM data movement is Arrow-batched.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Deterministic timestamp semantics for the DuckDB oracle.
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # Columnar parquet IO with pushdown (verified in tests/test_plans.py).
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,53 @@
+"""Parquet table sources (SURVEY.md §2.1 S4).
+
+The driver fixtures are one parquet file per table under an sf dir
+(TESTDATA.md).  At 100 TB each "table" would be a partitioned parquet
+dataset; ``spark.read.parquet`` handles both shapes identically, and
+Catalyst pushes filters/column pruning into the scan (verified in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 rows; part/supplier/customer scale with sf but
+# stay orders of magnitude below the fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default.  Read nanos as int64 and truncate to a microsecond
+        # timestamp with integer division (a double round-trip would lose
+        # precision at ~1.7e18 ns).  DuckDB's TIMESTAMP_NS -> python
+        # datetime conversion truncates identically, so oracle comparisons
+        # stay exact.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate (SURVEY.md §5.2).
+
+Runs a registered query's Spark DataFrame and its DuckDB oracle SQL on the
+same sf dir, normalizes both to (sorted column names, canonicalized cell
+values), and asserts the row multisets match EXACTLY — mirroring the
+driver's order-insensitive value hash, which tolerates no float fuzz.
+Queries must therefore bake determinism in (decimal-based sums, explicit
+rounding), not rely on the comparator to forgive.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return out
+
+
+def run_spark(df) -> tuple[list[str], list[tuple]]:
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def run_duck(con, sql: str) -> tuple[list[str], list[tuple]]:
+    rel = con.sql(sql)
+    return list(rel.columns), rel.fetchall()
+
+
+def assert_matches_oracle(spark, query, sf_dir: str, max_report: int = 5) -> None:
+    """query: a registry.Query with fn + oracle."""
+    assert query.oracle is not None, f"{query.name}: no oracle SQL declared"
+    scols, srows = run_spark(query.fn(spark, sf_dir))
+    con = duck_connection(sf_dir)
+    try:
+        dcols, drows = run_duck(con, query.oracle)
+    finally:
+        con.close()
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{query.name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{query.name}: row count mismatch spark={len(srows)} duck={len(drows)}"
+    )
+    s_norm = _normalize(scols, srows)
+    d_norm = _normalize(dcols, drows)
+    if s_norm != d_norm:
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+        ][:max_report]
+        raise AssertionError(
+            f"{query.name}: value mismatch on {len([1 for a, b in zip(s_norm, d_norm) if a != b])}"
+            f" rows; first diffs (row_idx, spark, duck): {diffs}"
+        )
