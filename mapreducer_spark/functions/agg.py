@@ -1,0 +1,39 @@
+"""Deterministic aggregate expressions.
+
+Double summation is order-dependent, and the driver's oracle gate hashes
+values exactly (SURVEY.md §7.4.3).  Strategy: cast to DECIMAL before
+SUM (exact, order-independent arithmetic), cast the final result back to
+DOUBLE.  Both Spark and DuckDB produce bit-identical doubles for the same
+decimal value, so partial aggregation / AQE / partition count can't change
+results.  The oracle SQL must mirror the same casts — see the module
+docstrings of each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(col: Column | str, scale: int = 2) -> Column:
+    """SUM(CAST(x AS DECIMAL(18,scale))) :: DOUBLE — order-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dec_avg(col: Column | str, scale: int = 2) -> Column:
+    """Decimal-exact sum divided by count, as DOUBLE.
+
+    Oracle mirror: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(*)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+
+
+# Oracle-side templates (DuckDB SQL) for the same expressions.
+def oracle_dec_sum(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def oracle_dec_avg(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT(*)"

@@ -1,0 +1,399 @@
+"""Relational surface (SURVEY.md §2.3 A3-A5, §2.5 O2-O5).
+
+The reference has only group-by-sum (reference src/reducer.c:23-38); the
+full relational surface is EXT, expressed 100% with built-in DataFrame
+operators so Catalyst handles pushdown/pruning/join-selection.
+
+Scale notes (local[32] tests, 1000-executor design):
+- Dimension joins (`nation`, `region`, `customer` at any realistic sf)
+  use `broadcast()` hints -> BroadcastHashJoin, no shuffle of the fact
+  table (asserted in tests/test_plans.py).
+- Fact-fact joins (orders x lineitem) shuffle on the join key once; AQE
+  coalesces/splits at runtime.
+- All double sums go through DECIMAL (functions/agg.py) so results are
+  partition-count-invariant — a correctness requirement under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducer_spark.functions.agg import dec_avg, dec_sum
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# A1/A2/A3 — the TPC-H Q1 shape: wide multi-aggregate group-by over the
+# biggest fact table.  One shuffle, partial aggregation map-side.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)          AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)     AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                                                                  AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+                                                                  AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 analogue: wide aggregate over lineitem (map-side partial agg, one shuffle).",
+    tags=("agg",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price, 4).alias("sum_disc_price"),
+            dec_sum(charge, 6).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(*)                                              AS n_orders,
+  MIN(o_totalprice)                                     AS min_price,
+  MAX(o_totalprice)                                     AS max_price,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(DISTINCT o_custkey)                             AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="count/sum/min/max/avg + count-distinct per group (SURVEY.md §2.3 A3/A4).",
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dec_sum("o_totalprice").alias("sum_price"),
+        dec_avg("o_totalprice").alias("avg_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grp_level,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP with GROUPING disambiguation (SURVEY.md §2.3 A5).",
+    tags=("agg", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")
+            ).alias("grp_level"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grp_level",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+SELECT
+  COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grp_level,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over two dims (SURVEY.md §2.3 A5).",
+    tags=("agg", "cube"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+            ).alias("grp_level"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "grp_level",
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O3 — joins.  Dim side broadcast, fact-fact shuffled once.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 analogue: 3-way join + agg + top-k "
+    "(customer broadcast, orders/lineitem shuffled on the join key).",
+    tags=("join", "agg", "limit"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    oracle="""
+SELECT
+  n_name,
+  r_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+    doc="TPC-H Q5-ish star join: fact tables shuffled once, all dims broadcast.",
+    tags=("join", "agg"),
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "customers_with_1997_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+""",
+    doc="LEFT SEMI join (EXISTS) — SURVEY.md §2.5 O3.",
+    tags=("join", "semi"),
+)
+def customers_with_1997_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="LEFT ANTI join (NOT EXISTS) — SURVEY.md §2.5 O3.",
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "customer_order_counts",
+    oracle="""
+SELECT
+  c_custkey,
+  COUNT(o_orderkey) AS n_orders,
+  CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    doc="LEFT OUTER join + agg; customers with zero orders kept (O3/O4).",
+    tags=("join", "outer", "agg"),
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum(F.coalesce("o_totalprice", F.lit(0))).alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# O5 — set operations (SQL semantics: INTERSECT/EXCEPT deduplicate).
+# --------------------------------------------------------------------------
+
+
+def _custkeys_in_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.year("o_orderdate") == year).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+@register(
+    "custkeys_1996_and_1997",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
+    doc="INTERSECT (distinct semantics) — SURVEY.md §2.5 O5.",
+    tags=("setop",),
+)
+def custkeys_1996_and_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_in_year(spark, sf_dir, 1996).intersect(
+        _custkeys_in_year(spark, sf_dir, 1997)
+    )
+
+
+@register(
+    "custkeys_1996_not_1997",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
+    doc="EXCEPT (distinct semantics) — SURVEY.md §2.5 O5.",
+    tags=("setop",),
+)
+def custkeys_1996_not_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame.subtract == SQL EXCEPT (distinct semantics).
+    return _custkeys_in_year(spark, sf_dir, 1996).subtract(
+        _custkeys_in_year(spark, sf_dir, 1997)
+    )
+
+
+@register(
+    "union_all_keys",
+    oracle="""
+SELECT custkey, COUNT(*) AS n
+FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+  UNION ALL
+  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+GROUP BY custkey
+""",
+    doc="UNION ALL (bag semantics — the reference's merged mapper streams, "
+    "reference src/worker_manager.c:187-196) + re-aggregation.",
+    tags=("setop", "agg"),
+)
+def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _custkeys_in_year(spark, sf_dir, 1996).unionAll(
+        _custkeys_in_year(spark, sf_dir, 1997)
+    )
+    return u.groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,7 @@
+from mapreducer_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+)
+
+__all__ = ["formatted_plan", "has_broadcast_hash_join", "pushed_filters"]

@@ -38,20 +38,29 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
+    """Canonical, TYPE-TAGGED cell value.
+
+    Stricter than Python equality on purpose: the driver hashes
+    stringified values, where 1036 (BIGINT) != 1036.0 (DOUBLE), so a
+    Spark/DuckDB type drift must fail here too.
+    """
     if v is None:
         return None
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("d", str(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
+        return ("f", "NaN" if math.isnan(v) else repr(v))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        return (
+            "t",
+            v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"),
+        )
     if isinstance(v, dt.date):
-        return v.isoformat()
+        return ("D", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     return v
