@@ -2,9 +2,13 @@
 
 from mapreducer_spark.operators import (  # noqa: F401
     asof,
+    dedup,
     events_time,
+    multimodal,
     relational,
     scalars,
+    similarity,
+    textstats,
     windows,
     wordcount,
 )

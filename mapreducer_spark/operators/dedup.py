@@ -1,0 +1,383 @@
+"""Deduplication operators (SURVEY.md §2.10 L1/L2) — the training-data
+pipeline's bread and butter.
+
+The fixture corpus is duplicate-free, so each query synthesizes
+duplicates DETERMINISTICALLY (self-union with shifted ids and controlled
+perturbations) — the same construction appears in the DuckDB oracle, so
+the dedup logic itself is what's hash-checked.
+
+Scale design:
+- exact dedup: hash-groupBy on the content key — one shuffle whose
+  volume is bounded by distinct contents (map-side partial agg combines
+  copies early).  At 100 TB, group on sha2(text) instead of text to keep
+  shuffle rows narrow.
+- near-dup MinHash+LSH: the classic shingle -> minhash -> band -> bucket
+  join.  Cost is O(docs x k) for signatures, then pair generation only
+  WITHIN buckets — never a global cross join.  Verification (true
+  Jaccard) runs only on bucket-collision candidates.
+- near-dup blocked Jaccard: oracle-checkable variant where blocking is a
+  cheap deterministic key (first token) and the exact Jaccard runs per
+  block.  Same shape as LSH (block -> pair -> verify), SQL-expressible.
+- SimHash: 16-bit oracle-checkable fingerprint via the cross-engine
+  md5_int64 hash; the production path would widen to 64 bits on
+  xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
+from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Synthesized duplicates — identical construction in Spark and oracle SQL.
+# --------------------------------------------------------------------------
+
+_ORACLE_DOCS_WITH_EXACT_DUPS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_ORACLE_DOCS_WITH_CASE_DUPS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_ORACLE_DOCS_WITH_NEAR_DUPS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         regexp_replace(text, ' [a-z0-9]+$', '') AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def docs_with_case_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+def docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicates: copy with the last token dropped (high Jaccard)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.regexp_replace("text", " [a-z0-9]+$", "").alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+# --------------------------------------------------------------------------
+# L1 — exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_EXACT_DUPS})
+SELECT
+  {oracle_md5_int64("text")} AS content_hash,
+  MIN(doc_id) AS keeper_doc_id,
+  COUNT(*)    AS n_copies
+FROM corpus
+GROUP BY 1
+""",
+    doc="Exact dedup by content hash: keep min doc_id per content "
+    "(SURVEY.md §2.10 L1). Shuffle carries (hash, id) only.",
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = docs_with_exact_dups(spark, sf_dir)
+    # Group on the 60-bit content hash, not the text itself: at 100 TB the
+    # shuffle rows are (8B hash, 8B id) instead of whole documents.
+    return (
+        corpus.select(md5_int64(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_normalized",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_CASE_DUPS})
+SELECT
+  {oracle_md5_int64("trim(lower(regexp_replace(text, '[ ]+', ' ', 'g')))")} AS norm_hash,
+  MIN(doc_id) AS keeper_doc_id,
+  COUNT(*)    AS n_copies
+FROM corpus
+GROUP BY 1
+HAVING COUNT(*) > 1
+""",
+    doc="Normalization-aware dedup (case folding + whitespace collapse) — "
+    "catches duplicates exact hashing misses (L1 variant).",
+    tags=("llm", "dedup"),
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = docs_with_case_dups(spark, sf_dir)
+    norm = F.trim(F.lower(F.regexp_replace("text", "[ ]+", " ")))
+    return (
+        corpus.select(md5_int64(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 — near-duplicate detection
+# --------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.6
+
+
+def _token_sets(corpus: DataFrame) -> DataFrame:
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    return corpus.select("doc_id", "text", toks.alias("tok_set"))
+
+
+@register(
+    "neardup_jaccard_blocked",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+toksets AS (
+  SELECT
+    doc_id,
+    regexp_extract(text, '^[a-z0-9]+') AS block,
+    list_distinct(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0
+    )) AS tok_set
+  FROM corpus
+)
+SELECT
+  a.doc_id AS id_a,
+  b.doc_id AS id_b,
+  round(
+    CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.tok_set, b.tok_set))), 6
+  ) AS jaccard
+FROM toksets a JOIN toksets b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.tok_set, b.tok_set)))
+      >= {_JACCARD_THRESHOLD}
+""",
+    doc="Near-dup detection: block on first token, exact token-set Jaccard "
+    "per block (L2, oracle-checkable twin of the MinHash-LSH path).",
+    tags=("llm", "dedup", "neardup"),
+)
+def neardup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = _token_sets(docs_with_near_dups(spark, sf_dir)).select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "^[a-z0-9]+", 0).alias("block"),
+        "tok_set",
+    )
+    a = ts.alias("a")
+    b = ts.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
+    union = F.size(F.array_union(F.col("a.tok_set"), F.col("b.tok_set")))
+    jacc = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jacc >= _JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+    )
+
+
+# MinHash-LSH: the 100 TB path.  xxhash64 (JVM, no Python) -> k affine
+# permutations -> banded buckets -> candidate pairs -> exact-Jaccard
+# verification on candidates only.  Not SQL-expressible (xxhash64) ->
+# rows-only check; the blocked-Jaccard twin above hash-checks the same
+# verification math.
+_MINHASH_K = 16
+_MINHASH_BANDS = 4  # 4 bands x 4 rows
+# Mersenne prime 2^31-1: xxhash64 is first reduced mod P so the affine
+# permutation (a*h + b) stays far below int64 overflow — Spark 4 runs
+# ANSI mode, where a silent long overflow is a hard error.
+_MINHASH_P = (1 << 31) - 1
+# Fixed odd multipliers / offsets (any fixed constants work; these are
+# the first 16 odd primes-ish offsets, pinned for determinism).
+_MINHASH_A = [2 * i + 1 for i in range(1, _MINHASH_K + 1)]
+_MINHASH_B = [7919 * (i + 1) for i in range(_MINHASH_K)]
+
+
+def minhash_signatures(corpus: DataFrame, shingle_width: int = 3) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) MinHash signature over token shingles."""
+    toks = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
+    )
+    shingled = corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_width - 1), F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, F.least(i + off, F.size(toks)))
+                        for off in range(shingle_width)
+                    ],
+                ),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_P))
+    aggs = [
+        F.min(F.pmod(h * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_P))).alias(
+            f"mh{i}"
+        )
+        for i in range(_MINHASH_K)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 has no DuckDB twin -> rows-only check
+    doc="MinHash+LSH near-dup pairs (L2 scale path): shingle -> 16-perm "
+    "minhash -> 4 banded buckets -> candidate pairs -> exact-Jaccard "
+    "verify on candidates only. Deterministic (fixed hash constants).",
+    tags=("llm", "dedup", "neardup", "rows-only"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = docs_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus)
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(
+                *[f"mh{j * rows_per_band + r}" for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for j in range(_MINHASH_BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+    ts = _token_sets(corpus).select("doc_id", "tok_set")
+    with_sets = candidates.join(
+        ts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("tok_set", "set_a"),
+        "id_a",
+    ).join(
+        ts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("tok_set", "set_b"),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    jacc = inter.cast("double") / union
+    return (
+        with_sets.where(jacc >= _JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (L2 family)
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+tok AS (
+  SELECT doc_id, tok, COUNT(*) AS w,
+         {oracle_md5_int64("tok")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM corpus
+  )
+  WHERE length(tok) > 0
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  {" + ".join(f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))}
+  AS simhash
+FROM tok
+GROUP BY doc_id
+""",
+    doc=f"{_SIMHASH_BITS}-bit SimHash document fingerprint over weighted "
+    "token hashes (L2; cross-engine md5_int64 hash; production would "
+    "widen to 64 bits on xxhash64).",
+    tags=("llm", "dedup", "fingerprint"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = docs_with_near_dups(spark, sf_dir)
+    tok = (
+        corpus.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("doc_id", "w", md5_int64(F.col("tok")).alias("h"))
+    )
+    bit_terms = []
+    for j in range(_SIMHASH_BITS):
+        bit_on = F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1
+        contrib = F.sum(F.when(bit_on, F.col("w")).otherwise(-F.col("w")))
+        bit_terms.append(F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash + t
+    return tok.groupBy("doc_id").agg(simhash.alias("simhash"))

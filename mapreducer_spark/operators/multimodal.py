@@ -1,0 +1,129 @@
+"""Multimodal columns (SURVEY.md §2.10 L5).
+
+Media assets are opaque ``binary`` payloads + typed metadata structs —
+the standard 100 TB layout (bytes inline in parquet or pointers to object
+storage; metadata columns for pruning).  The container has no image/audio
+libraries, so the DECODE step is stubbed (deterministic fake, clearly
+marked); everything Spark-side — schema, batching, Arrow exchange,
+partition behavior — is real and tested.
+
+``multimodal_metadata`` is the oracle-checked query: payload synthesis
+(UTF-8 bytes of text as a stand-in asset), byte length, sha256 digest,
+and a metadata struct — exercising binary columns end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("content_type", StringType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+
+def assets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset table synthesized from documents (payload = UTF-8
+    bytes standing in for image data)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("image/fake").alias("content_type"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+    )
+
+
+def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decoder: Arrow-batched, one pandas frame per parquet
+    row-group-ish batch — the real shape of a 100 TB media decode stage.
+
+    The actual decode is STUBBED: no imaging libs in this container.
+    ``_decode_real`` raises NotImplementedError; ``_decode_fake`` derives
+    deterministic dimensions from the payload bytes so the pipeline is
+    testable end-to-end.
+    """
+    for pdf in batches:
+        lens = pdf["payload"].map(len)
+        # Deterministic fake "decode": dimensions derived from content.
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": (lens % 640 + 16).astype("int32"),
+                "height": (lens % 480 + 16).astype("int32"),
+                "n_frames": pd.Series([1] * len(pdf), dtype="int32"),
+                "byte_len": lens.astype("int64"),
+            }
+        )
+
+
+def _decode_real(payload: bytes) -> tuple[int, int]:
+    raise NotImplementedError(
+        "real image decode requires PIL/ffmpeg — not available in this "
+        "container; decode_image_batch uses the deterministic fake instead"
+    )
+
+
+def decoded_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal pipeline: binary scan -> Arrow-batched decode."""
+    return assets_df(spark, sf_dir).mapInPandas(
+        decode_image_batch, schema=DECODED_SCHEMA
+    )
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+SELECT
+  doc_id,
+  octet_length(encode(text))          AS byte_len,
+  sha256(text)                        AS digest,
+  'image/fake'                        AS content_type,
+  (octet_length(encode(text)) > 256)  AS is_large
+FROM documents
+""",
+    doc="Binary payload plumbing: synthesize asset bytes, compute length + "
+    "sha256 digest + metadata (L5). Decode stage itself is the "
+    "mapInPandas pipeline in decoded_assets() (tested, not oracled).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = assets_df(spark, sf_dir)
+    return a.select(
+        "doc_id",
+        "byte_len",
+        F.sha2("payload", 256).alias("digest"),
+        "content_type",
+        (F.col("byte_len") > 256).alias("is_large"),
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over embeddings (SURVEY.md §2.10 L3).
+
+- ``similarity_topk``: exact brute-force cosine top-k — the baseline.
+  Query side is tiny and BROADCAST; candidates stream by, so the plan is
+  a map-side nested loop + per-query top-k (TakeOrdered-like via window),
+  no shuffle of the candidate table.  At 100 TB of vectors this is the
+  "scan everything once" exact path.
+- ``ann_ivf_topk``: IVF-style approximate path — assign every vector to
+  its nearest coarse centroid (broadcast centroids), then search only
+  the ``nprobe`` closest clusters per query.  Scan cost drops by
+  ~n_clusters/nprobe; recall traded accordingly.  Centroid "training"
+  here is a deterministic stand-in (first 16 vectors); production would
+  k-means a sample.
+- ``embedding_neardup``: near-duplicate vectors via sign-bit LSH
+  blocking + exact cosine within buckets (no global cross join).
+
+All vector math is JVM higher-order functions (functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducer_spark.functions.vectors import cosine, oracle_sign_bucket, sign_bucket
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+scored AS (
+  SELECT
+    q.q_id,
+    c.vec_id,
+    round(list_cosine_similarity(q.qv, c.cv), 6) AS sim
+  FROM q CROSS JOIN c
+  WHERE q.q_id <> c.vec_id
+)
+SELECT q_id, vec_id, sim, rnk FROM (
+  SELECT q_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+""",
+    doc="Exact brute-force cosine top-k: broadcast queries x scan "
+    "candidates (L3 baseline).",
+    tags=("llm", "similarity"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = em.select("vec_id", F.col("embedding").alias("cv"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOP_K)
+    )
+
+
+_N_CENTROIDS = 16
+_N_PROBE = 2
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # deterministic, but the cluster-routing logic is not
+    # reasonably SQL-expressible -> rows-only; similarity_topk
+    # hash-checks the same cosine math exactly.
+    doc="IVF-style ANN: broadcast coarse centroids, cluster-assign all "
+    "vectors, probe only the 2 nearest clusters per query (L3 scale "
+    "path). Deterministic stand-in centroids.",
+    tags=("llm", "similarity", "rows-only"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    centroids = em.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_v")
+    )
+
+    # Assign every vector to its nearest centroid: broadcast NL join +
+    # per-vector argmax — one pass over the big table, no shuffle of it.
+    sim_to_cent = cosine(F.col("embedding"), F.col("cent_v"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        em.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(sim_to_cent, 9).alias("csim"),
+        )
+        .withColumn("crank", F.row_number().over(w_assign))
+        .where(F.col("crank") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
+    )
+
+    # Route each query to its nprobe nearest clusters.
+    q = em.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("qsim").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "qv",
+            "cent_id",
+            F.round(cosine(F.col("qv"), F.col("cent_v")), 9).alias("qsim"),
+        )
+        .withColumn("prank", F.row_number().over(w_probe))
+        .where(F.col("prank") <= _N_PROBE)
+        .select("q_id", "qv", F.col("cent_id").alias("cluster"))
+    )
+
+    # Search only the probed clusters.
+    sim = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    w_k = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cluster")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w_k))
+        .where(F.col("rnk") <= _TOP_K)
+    )
+
+
+_NEARDUP_COS = 0.999
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+bucketed AS (
+  SELECT vec_id, v, {oracle_sign_bucket("v")} AS bucket FROM base
+)
+SELECT
+  a.vec_id AS id_a,
+  b.vec_id AS id_b,
+  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {_NEARDUP_COS}
+""",
+    doc="Embedding-cosine near-dup pairs with sign-bit LSH blocking "
+    "(L2/L3): synthesized scaled copies must be found; no cross join.",
+    tags=("llm", "dedup", "similarity"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = em.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("v"),
+    )
+    bucketed = base.unionByName(scaled).withColumn("bucket", sign_bucket(F.col("v")))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= _NEARDUP_COS)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

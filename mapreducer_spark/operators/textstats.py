@@ -1,0 +1,230 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.10 L4).
+
+Language ID (stopword-density heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), document fingerprinting (min-hash
+of character shingles — the cross-engine md5_int64 hash keeps it
+oracle-checkable).  Everything is built-in expressions: one parquet scan,
+no Python, no shuffle except the final per-lang aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
+from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+# Shared stopword list — pinned here, mirrored literally in oracle SQL.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_STOP_RATIO_MIN = 0.05
+
+
+def _tokens_col():
+    return F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
+    )
+
+
+@register(
+    "lang_stats",
+    oracle="""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_chars,
+  CAST(SUM(CAST(len(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0
+      )) AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+    doc="Per-language corpus stats: doc counts, avg chars/tokens, distinct "
+    "sources (L4).",
+    tags=("llm", "text"),
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens_col())
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_chars"),
+        (
+            F.sum(n_tokens.cast("decimal(18,0)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+SELECT
+  doc_id,
+  n_tokens,
+  round(CAST(n_chars AS DOUBLE) / n_tokens, 6)   AS chars_per_token,
+  round(CAST(n_stop AS DOUBLE) / n_tokens, 6)    AS stopword_ratio,
+  round(CAST(n_alnum AS DOUBLE) / n_chars_txt, 6) AS alnum_ratio,
+  (CASE
+     WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= {_STOP_RATIO_MIN}
+       THEN 'high'
+     WHEN n_tokens >= 10 THEN 'medium'
+     ELSE 'low'
+   END) AS quality_bucket
+FROM (
+  SELECT
+    doc_id,
+    n_chars,
+    length(text) AS n_chars_txt,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> length(x) > 0)) AS n_tokens,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+    length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum
+  FROM documents
+)
+""",
+    doc="Per-document quality scoring: token stats, stopword ratio, "
+    "alphanumeric ratio, bucketed verdict (L4).",
+    tags=("llm", "text"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_alnum = F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").alias("n_chars_txt"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        n_alnum.alias("n_alnum"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round("stop_ratio", 6).alias("stopword_ratio"),
+        F.round(F.col("n_alnum").cast("double") / F.col("n_chars_txt"), 6).alias(
+            "alnum_ratio"
+        ),
+        F.when(
+            (F.col("n_tokens") >= 20) & (F.col("stop_ratio") >= _STOP_RATIO_MIN),
+            F.lit("high"),
+        )
+        .when(F.col("n_tokens") >= 10, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("quality_bucket"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+SELECT
+  doc_id,
+  lang AS labeled_lang,
+  round(stop_ratio, 6) AS en_stop_ratio,
+  (CASE WHEN stop_ratio > {_STOP_RATIO_MIN} THEN 'en' ELSE 'unknown' END) AS pred_lang
+FROM (
+  SELECT
+    doc_id, lang,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+      / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> length(x) > 0)) AS stop_ratio
+  FROM documents
+)
+""",
+    doc="Language-ID heuristic: English stopword density (L4). A real "
+    "n-gram model would broadcast per-language profile tables; the plan "
+    "shape (scan + map, no shuffle) is identical.",
+    tags=("llm", "text"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.round(stop_ratio, 6).alias("en_stop_ratio"),
+        F.when(stop_ratio > _STOP_RATIO_MIN, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("pred_lang"),
+    )
+
+
+@register(
+    "token_counts",
+    oracle="""
+SELECT
+  doc_id,
+  len(string_split_regex(trim(text), '[ ]+'))                     AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+  length(text)                                                     AS n_chars_txt
+FROM documents
+""",
+    doc="Token counting two ways: whitespace and BPE-ish regex "
+    "(letters-run | digits-run | single symbol) (L4).",
+    tags=("llm", "text"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "[ ]+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars_txt"),
+    )
+
+
+_SHINGLE_CHARS = 8
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+SELECT
+  doc_id,
+  list_min(list_transform(
+    generate_series(1, greatest(length(text) - {_SHINGLE_CHARS - 1}, 1)),
+    i -> CAST('0x' || substr(md5(substr(text, i, {_SHINGLE_CHARS})), 1, 15) AS BIGINT)
+  )) AS fingerprint
+FROM documents
+""",
+    doc="Document fingerprint: min md5_int64 over sliding 8-char shingles "
+    "(winnowing-style, L4/L1). Cross-engine hash keeps it oracle-checked.",
+    tags=("llm", "text", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingle_hashes = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length("text") - (_SHINGLE_CHARS - 1), F.lit(1))
+        ),
+        lambda i: md5_int64(F.col("text").substr(i, F.lit(_SHINGLE_CHARS))),
+    )
+    return d.select(
+        "doc_id", F.array_min(shingle_hashes).alias("fingerprint")
+    )

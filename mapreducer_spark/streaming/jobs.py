@@ -1,0 +1,141 @@
+"""Structured Streaming wrappers (SURVEY.md §2.9).
+
+The reference is batch-only; these are the EXT streaming twins of the
+batch event-time queries in operators/events_time.py — same expressions,
+``readStream`` source + watermark + ``writeStream`` sink.  Batch mode is
+the oracle-checked surface; tests run these with ``Trigger.AvailableNow``
+against the parquet fixtures and compare to the batch results.
+
+At scale: file/Kafka source -> watermarked windowed state (RocksDB state
+store) -> sink.  Watermarks bound state: 1-hour delay x per-window
+cardinality, independent of stream length.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Raw schema of events.parquet with ts as int64 nanos (see
+# sources/tables.py for why nanos must be read as long).
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (one file; real
+    deployments would watch a directory or a Kafka topic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    )
+
+
+def windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day counts with a 1-hour watermark — streaming twin of
+    the batch `events_tumbling_daily` query."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame) -> DataFrame:
+    """Session windows (30-min gap) per user — streaming twin of
+    `events_session_windows`."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+_STATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY.md
+    §2.9): running per-user event count + value total across batches —
+    the general escape hatch when built-in windows can't express the
+    state machine."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_STATE_OUTPUT_SCHEMA,
+        stateStructType="n_events LONG, total_value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> tuple[str, object]:
+    """Run a streaming DataFrame to a memory sink with AvailableNow (drain
+    everything, then stop).  Returns (table_name, query)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name, q

@@ -1,0 +1,99 @@
+"""Semantic tests for the LLM-pipeline operators: the synthesized
+duplicates MUST be found, ANN must agree with exact search on most of
+top-k, multimodal decode must round-trip the Arrow batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducer_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    neardup_jaccard_blocked,
+)
+from mapreducer_spark.operators.multimodal import decoded_assets
+from mapreducer_spark.operators.similarity import (
+    ann_ivf_topk,
+    embedding_neardup,
+    similarity_topk,
+)
+
+
+def test_dedup_exact_finds_all_synthesized(spark, sf_dir):
+    res = dedup_exact(spark, sf_dir)
+    dup_groups = res.where(F.col("n_copies") > 1)
+    # Every doc_id % 10 == 0 was duplicated once; keeper must be the
+    # original (min id), copies exactly 2.
+    rows = dup_groups.collect()
+    assert len(rows) == 50  # 500 docs / 10
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.keeper_doc_id < 1000000 for r in rows)
+
+
+def test_minhash_lsh_finds_synthesized_neardups(spark, sf_dir):
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # doc_id % 5 == 0 got a variant at id+3000000 with the last token
+    # dropped -> Jaccard ~1. MinHash with 4 bands of 4 rows catches
+    # near-identical sets with probability ~1; require >= 95% recall.
+    expected = {(i, i + 3000000) for i in range(0, 500, 5)}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.95, f"LSH recall too low: {recall}"
+
+
+def test_blocked_jaccard_finds_synthesized_neardups(spark, sf_dir):
+    pairs = neardup_jaccard_blocked(spark, sf_dir).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(i, i + 3000000) for i in range(0, 500, 5)}
+    # Blocking on the first token never separates a doc from its variant
+    # (the variant only drops the LAST token) -> 100% recall here.
+    assert expected <= found
+
+
+def test_embedding_neardup_finds_scaled_copies(spark, sf_dir):
+    pairs = embedding_neardup(spark, sf_dir).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(i, i + 1000000) for i in range(0, 500, 20)}
+    assert expected <= found
+    # scaled copies have cosine exactly 1 after rounding
+    exact_ones = [r for r in pairs if (r.id_a, r.id_b) in expected]
+    assert all(abs(r.cos_sim - 1.0) < 1e-6 for r in exact_ones)
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    exact = similarity_topk(spark, sf_dir).collect()
+    approx = ann_ivf_topk(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    # IVF with 16 clusters / probe 2 on random vectors: recall is modest
+    # by design; just require it finds SOME of the true top-10 and never
+    # returns junk ranks.
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.2
+    assert all(len(v) <= 10 for v in approx_sets.values())
+
+
+def test_multimodal_decode_roundtrip(spark, sf_dir):
+    decoded = decoded_assets(spark, sf_dir)
+    rows = decoded.collect()
+    assert len(rows) == 500
+    # Deterministic fake decode: dims derived from payload length.
+    for r in rows[:20]:
+        assert r.width == r.byte_len % 640 + 16
+        assert r.height == r.byte_len % 480 + 16
+        assert r.n_frames == 1
+
+
+def test_multimodal_decode_real_is_stubbed():
+    from mapreducer_spark.operators.multimodal import _decode_real
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x89PNG")
