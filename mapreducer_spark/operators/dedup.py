@@ -154,7 +154,11 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2 — near-duplicate detection
 # --------------------------------------------------------------------------
 
-_JACCARD_THRESHOLD = 0.6
+# 0.8 is the conventional near-dup bar; it also keeps candidate-pair
+# output volume sane on dense corpora (0.6 matched 343k random pairs at
+# sf0.1 — output size, not compute, was the cost).  Synthesized variants
+# sit at Jaccard ~(n-1)/n >= 0.9, so recall stays 100%.
+_JACCARD_THRESHOLD = 0.8
 
 
 def _token_sets(corpus: DataFrame) -> DataFrame:
@@ -165,6 +169,24 @@ def _token_sets(corpus: DataFrame) -> DataFrame:
         )
     )
     return corpus.select("doc_id", "text", toks.alias("tok_set"))
+
+
+def _token_hash_sets(corpus: DataFrame) -> DataFrame:
+    """Distinct token sets as int64 xxhash64 arrays.
+
+    Jaccard over hashed tokens equals Jaccard over the tokens themselves
+    (64-bit collisions are negligible at document scale), and integer
+    array_intersect is far cheaper than string comparisons — this is what
+    makes the pairwise verify stage viable at scale.
+    """
+    ts = _token_sets(corpus)
+    return ts.select(
+        "doc_id",
+        "text",
+        F.array_distinct(
+            F.transform("tok_set", lambda x: F.xxhash64(x))
+        ).alias("tok_set"),
+    )
 
 
 @register(
@@ -198,7 +220,7 @@ WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
     tags=("llm", "dedup", "neardup"),
 )
 def neardup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ts = _token_sets(docs_with_near_dups(spark, sf_dir)).select(
+    ts = _token_hash_sets(docs_with_near_dups(spark, sf_dir)).select(
         "doc_id",
         F.regexp_extract(F.col("text"), "^[a-z0-9]+", 0).alias("block"),
         "tok_set",
@@ -241,33 +263,52 @@ _MINHASH_B = [7919 * (i + 1) for i in range(_MINHASH_K)]
 
 
 def minhash_signatures(corpus: DataFrame, shingle_width: int = 3) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) MinHash signature over token shingles."""
+    """(doc_id, mh0..mh{k-1}) MinHash signature over token shingles.
+
+    Fully map-side: shingle -> xxhash64 array -> k x array_min of affine
+    permutations, all inside whole-stage codegen.  NO shuffle at all —
+    the naive explode/groupBy formulation shuffles |docs| x |shingles|
+    rows; min() is insensitive to duplicate shingles and commutes with
+    per-document computation, so nothing needs to leave the row.
+
+    Each intermediate array is MATERIALIZED as a column before reuse:
+    referencing an expression inside a lambda makes Catalyst recompute it
+    per element (re-tokenizing once per shingle turned this into
+    O(tokens^2) per doc — 28s vs 2s at sf0.1).
+    """
     toks = F.filter(
         F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
     )
-    shingled = corpus.select(
+    with_toks = corpus.select("doc_id", toks.alias("toks"))
+    t = F.col("toks")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_width - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            *[
+                F.element_at(t, F.least(i + off, F.size(t)))
+                for off in range(shingle_width)
+            ],
+        ),
+    )
+    hashed = with_toks.select(
         "doc_id",
-        F.explode(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))).alias(
+            "hs"
+        ),
+    )
+    mins = [
+        F.array_min(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle_width - 1), F.lit(1))),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(toks, F.least(i + off, F.size(toks)))
-                        for off in range(shingle_width)
-                    ],
+                "hs",
+                lambda h: F.pmod(
+                    h * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_P)
                 ),
             )
-        ).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_P))
-    aggs = [
-        F.min(F.pmod(h * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]), F.lit(_MINHASH_P))).alias(
-            f"mh{i}"
-        )
+        ).alias(f"mh{i}")
         for i in range(_MINHASH_K)
     ]
-    return shingled.groupBy("doc_id").agg(*aggs)
+    return hashed.select("doc_id", *mins)
 
 
 @register(
@@ -295,22 +336,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # Pair generation WITHOUT a self-join: group each bucket's members
+    # into a sorted array and expand i<j pairs in-array.  A self-join
+    # would evaluate the (map-side but nontrivial) signature pipeline
+    # twice — once per branch — and shuffle both; this computes it once
+    # and shuffles only (band, bucket, ids).  LSH keeps buckets small by
+    # construction; a pathological mega-bucket (skew) would need a cap or
+    # salting guard before the quadratic expansion.
+    ids = F.col("ids")
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
-    ts = _token_sets(corpus).select("doc_id", "tok_set")
+    ts = _token_hash_sets(corpus).select("doc_id", "tok_set")
     with_sets = candidates.join(
         ts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("tok_set", "set_a"),
         "id_a",
