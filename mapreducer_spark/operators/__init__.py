@@ -5,7 +5,9 @@ from mapreducer_spark.operators import (  # noqa: F401
     dedup,
     events_time,
     multimodal,
+    python_udfs,
     relational,
+    reshape,
     scalars,
     similarity,
     textstats,

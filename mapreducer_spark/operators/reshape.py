@@ -1,0 +1,138 @@
+"""Pivot, deterministic sampling, percentiles, range join — the
+remaining wide-but-shallow relational families (SURVEY.md §2 EXT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducer_spark.functions.agg import dec_sum
+from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "pivot_status_revenue",
+    oracle=f"""
+SELECT
+  o_orderpriority,
+  {", ".join(
+    f"CAST(SUM(CAST(CASE WHEN o_orderstatus = '{s}' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS rev_{s}"
+    for s in _STATUSES
+  )}
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Pivot: order revenue by priority x status (groupBy().pivot() with "
+    "explicit value list — never let pivot scan for distinct values at "
+    "scale).",
+    tags=("agg", "pivot"),
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(dec_sum("o_totalprice"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.col(s).alias(f"rev_{s}") for s in _STATUSES],
+    )
+
+
+@register(
+    "hash_sampled_orders",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE {oracle_md5_int64("CAST(o_orderkey AS VARCHAR)")} % 100 < 10
+""",
+    doc="Deterministic 10% hash sampling — reproducible across engines "
+    "and runs, unlike TABLESAMPLE (which is engine-specific RNG). At "
+    "scale this is also pushdown-friendly: pure row-local predicate.",
+    tags=("sampling",),
+)
+def hash_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.pmod(md5_int64(F.col("o_orderkey").cast("string")), F.lit(100)) < 10
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "price_quantiles",
+    oracle="""
+SELECT
+  o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+  quantile_disc(o_totalprice, 0.25)          AS p25_disc,
+  MIN(o_totalprice)                          AS min_price,
+  MAX(o_totalprice)                          AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Exact percentiles (interpolated + discrete) per group. At 100 TB "
+    "prefer approx_percentile (t-digest sketch, one pass, mergeable); "
+    "exact percentile is the oracle-comparable form.",
+    tags=("agg", "quantile"),
+)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p25_disc"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "rapid_event_pairs",
+    oracle="""
+SELECT
+  a.user_id,
+  a.event_id AS first_id,
+  b.event_id AS second_id,
+  datediff('second', a.ts, b.ts) AS gap_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL '5 minutes'
+ AND a.event_id <> b.event_id
+""",
+    doc="Range join (equi on user + time-band theta): pairs of events by "
+    "the same user within 5 minutes. The equi key makes this a hash "
+    "join + residual range filter — scalable; a pure time-range join "
+    "would first bucket time to coarse grains and join on the bucket.",
+    tags=("join", "range", "events"),
+)
+def rapid_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("first_id"),
+            F.col("b.event_id").alias("second_id"),
+            (
+                F.unix_timestamp(F.col("b.ts")) - F.unix_timestamp(F.col("a.ts"))
+            ).cast("long").alias("gap_sec"),
+        )
+    )

@@ -1,7 +1,13 @@
 from mapreducer_spark.plans.inspect import (
+    executed_plan,
     formatted_plan,
     has_broadcast_hash_join,
     pushed_filters,
 )
 
-__all__ = ["formatted_plan", "has_broadcast_hash_join", "pushed_filters"]
+__all__ = [
+    "executed_plan",
+    "formatted_plan",
+    "has_broadcast_hash_join",
+    "pushed_filters",
+]

@@ -33,3 +33,13 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan — runs the query.  Under AQE the
+    pre-execution plan is just 'AdaptiveSparkPlan isFinalPlan=false';
+    codegen spans and runtime join choices only exist after execution."""
+    # Execute through the Dataset's own QueryExecution (a write would
+    # create a separate one and leave this plan un-finalized).
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]

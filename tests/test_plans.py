@@ -1,0 +1,68 @@
+"""Plan-shape guards (SURVEY.md §7.4.6): the 100 TB posture is asserted,
+not assumed.  If a filter stops reaching the parquet scan or a dim join
+stops broadcasting, these fail before any perf regression ships."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducer_spark.operators.relational import (
+    nation_revenue,
+    pricing_summary,
+    top_revenue_orders,
+)
+from mapreducer_spark.operators.wordcount import word_count_df
+from mapreducer_spark.plans import (
+    formatted_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+)
+from mapreducer_spark.sources import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = pricing_summary(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = word_count_df(spark, sf_dir)
+    plan = formatted_plan(df)
+    # The documents scan must read ONLY the text column.
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema
+    assert "doc_id" not in read_schema and "lang" not in read_schema, read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert has_broadcast_hash_join(nation_revenue(spark, sf_dir))
+    assert has_broadcast_hash_join(top_revenue_orders(spark, sf_dir))
+
+
+def test_wholestage_codegen_covers_agg(spark, sf_dir):
+    from mapreducer_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(word_count_df(spark, sf_dir))
+    # '*(n)' prefixes mark whole-stage-codegen spans in the simple plan
+    # string; both the scan->partial-agg stage and the final-agg stage
+    # must be codegen'd.
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan and "*(2)" in plan, plan
+
+
+def test_partition_filter_predicate_stays_rowlocal(spark, sf_dir):
+    # hash sampling must be a plain Filter over the scan (no shuffle).
+    from mapreducer_spark.operators.reshape import hash_sampled_orders
+
+    plan = formatted_plan(hash_sampled_orders(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from mapreducer_spark.operators.wordcount import word_count_topk
+
+    plan = formatted_plan(word_count_topk(spark, sf_dir))
+    # orderBy+limit must compile to TakeOrderedAndProject, not a global Sort.
+    assert "TakeOrderedAndProject" in plan, plan
