@@ -4,6 +4,7 @@ from mapreducer_spark.operators import (  # noqa: F401
     asof,
     dedup,
     events_time,
+    mllib_lsh,
     multimodal,
     python_udfs,
     relational,

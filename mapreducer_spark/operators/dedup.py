@@ -262,6 +262,19 @@ _MINHASH_A = [2 * i + 1 for i in range(1, _MINHASH_K + 1)]
 _MINHASH_B = [7919 * (i + 1) for i in range(_MINHASH_K)]
 
 
+def shingle_col(t, width: int = 3):
+    """Array of width-token shingles from a MATERIALIZED token-array
+    column ``t`` (must be a column reference, not an expression — see
+    minhash_signatures docstring on Catalyst lambda recomputation)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (width - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(t, F.least(i + off, F.size(t))) for off in range(width)],
+        ),
+    )
+
+
 def minhash_signatures(corpus: DataFrame, shingle_width: int = 3) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) MinHash signature over token shingles.
 
@@ -280,17 +293,7 @@ def minhash_signatures(corpus: DataFrame, shingle_width: int = 3) -> DataFrame:
         F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
     )
     with_toks = corpus.select("doc_id", toks.alias("toks"))
-    t = F.col("toks")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_width - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ",
-            *[
-                F.element_at(t, F.least(i + off, F.size(t)))
-                for off in range(shingle_width)
-            ],
-        ),
-    )
+    shingles = shingle_col(F.col("toks"), shingle_width)
     hashed = with_toks.select(
         "doc_id",
         F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))).alias(

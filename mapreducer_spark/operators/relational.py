@@ -288,20 +288,106 @@ def customers_with_1997_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "customers_without_orders",
+    "customers_without_recent_orders",
     oracle="""
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+)
 """,
-    doc="LEFT ANTI join (NOT EXISTS) — SURVEY.md §2.5 O3.",
+    doc="LEFT ANTI join (NOT EXISTS) — SURVEY.md §2.5 O3. Scoped to 2001 "
+    "orders so the result is non-trivial (every customer has SOME order "
+    "in the fixtures).",
     tags=("join", "anti"),
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01"))
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "user_customer_full_outer",
+    oracle="""
+SELECT
+  COALESCE(u.user_id, c.c_custkey) AS id,
+  COALESCE(u.n_events, 0)          AS n_events,
+  (u.user_id IS NOT NULL)          AS has_events,
+  (c.c_custkey IS NOT NULL)        AS is_customer
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) u
+FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
+""",
+    doc="FULL OUTER join — SURVEY.md §2.5 O3 (event users vs customers; "
+    "customers with no events survive on the right side).",
+    tags=("join", "outer"),
+)
+def user_customer_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return u.join(c, u.user_id == c.c_custkey, "full_outer").select(
+        F.coalesce("user_id", "c_custkey").alias("id"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("user_id").isNotNull().alias("has_events"),
+        F.col("c_custkey").isNotNull().alias("is_customer"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grp_level,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    doc="Explicit GROUPING SETS (not derivable from rollup/cube) — "
+    "SURVEY.md §2.3 A5.",
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    view = "li_gsets_tmp"
+    li.createOrReplaceTempView(view)
+    return li.sparkSession.sql(
+        f"""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grp_level,
+  COUNT(*) AS n_items
+FROM {view}
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ across engines -> rows-only; the
+    # test suite bounds the estimate against the exact count.
+    doc="approx_count_distinct (HyperLogLog++) per event_type — SURVEY.md "
+    "§2.3 A4. The sketch is mergeable: one pass, no distinct shuffle, "
+    "the right tool at 100 TB.",
+    tags=("agg", "approx", "rows-only"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 
