@@ -1,0 +1,108 @@
+"""CLI — the migration path for a reference user.
+
+The reference is operated as four binaries (Mapper, Reducer,
+WorkerManager, MasterManager — reference CMakeLists.txt:6-18) whose only
+job is word count over ./data.  Here the whole topology is one command:
+
+    python -m mapreducer_spark wordcount --data ./data --out ./out
+    python -m mapreducer_spark query word_count --sf-dir /root/testdata/sf0.01
+    python -m mapreducer_spark list-queries
+
+Cluster execution is Spark-native: the same commands run under
+spark-submit against a real cluster master; there is no master/worker
+machinery to operate (SURVEY.md §3's entire distributed lifecycle is
+Spark's scheduler).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _get_spark(args: argparse.Namespace):
+    from mapreducer_spark.session import get_spark
+
+    return get_spark(
+        app_name="mapreducer-spark-cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_wordcount(args: argparse.Namespace) -> int:
+    """The reference's job, end to end: text dir in, `word : count` out."""
+    from mapreducer_spark.sources.text_corpus import (
+        word_count_text_dir,
+        write_kv_lines,
+    )
+
+    spark = _get_spark(args)
+    wc = word_count_text_dir(spark, args.data)
+    if args.out:
+        write_kv_lines(wc, args.out)
+        print(f"wrote sorted 'word : count' lines to {args.out}")
+    else:
+        for r in wc.collect():
+            print(f"{r.word} : {r.cnt}")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from mapreducer_spark.registry import all_queries
+
+    queries = all_queries()
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; run list-queries", file=sys.stderr)
+        return 2
+    spark = _get_spark(args)
+    df = queries[args.name].fn(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_list_queries(args: argparse.Namespace) -> int:
+    from mapreducer_spark.registry import all_queries
+
+    for name, q in sorted(all_queries().items()):
+        kind = "oracle" if q.oracle else "rows-only"
+        if args.json:
+            print(json.dumps({"name": name, "check": kind, "doc": q.doc.strip()}))
+        else:
+            print(f"{name:35s} [{kind}] {q.doc.strip().splitlines()[0]}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mapreducer_spark")
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    wc = sub.add_parser("wordcount", help="word count over a text directory")
+    wc.add_argument("--data", required=True, help="input text directory")
+    wc.add_argument("--out", help="output dir for 'word : count' lines")
+    wc.set_defaults(fn=cmd_wordcount)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", help="write result parquet here instead of showing")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    lq = sub.add_parser("list-queries", help="list registered queries")
+    lq.add_argument("--json", action="store_true")
+    lq.set_defaults(fn=cmd_list_queries)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,3 +37,38 @@ def oracle_dec_sum(expr: str, scale: int = 2) -> str:
 
 def oracle_dec_avg(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT(*)"
+
+
+def salted_group_sum(
+    df,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = 16,
+    scale: int = 2,
+    out_name: str = "total",
+):
+    """Two-stage salted aggregation for skewed keys (SURVEY.md §4.3).
+
+    Stage 1 groups on (key, salt) — a hot key's rows spread across
+    ``n_salts`` reducers; stage 2 merges the per-salt partials.  With
+    decimal-exact sums the result is identical to a direct groupBy (the
+    invariance the reference's per-distinct-key round-robin partitioner
+    was trying to buy, reference src/master_manager.c:37-45).
+
+    Note: Spark's built-in partial aggregation + AQE skew handling makes
+    this unnecessary for plain sums; it's the pattern for algebraic
+    aggregates whose per-key state is large (collect-style, sketches) or
+    for engines/joins where one key dominates a partition.
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.xxhash64(*key_cols, F.spark_partition_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.sum(F.col(value_col).cast(f"decimal(18,{scale})")).alias("__partial"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sum("__partial").cast("double").alias(out_name))
+    )

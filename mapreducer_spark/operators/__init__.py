@@ -10,6 +10,7 @@ from mapreducer_spark.operators import (  # noqa: F401
     relational,
     reshape,
     scalars,
+    sessions,
     similarity,
     textstats,
     windows,

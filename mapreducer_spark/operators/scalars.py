@@ -29,7 +29,8 @@ SELECT
   concat_ws('|', p_brand, p_type)                 AS brand_type,
   (p_type LIKE '%a%')                             AS type_has_a,
   replace(p_type, ' ', '_')                       AS type_snake,
-  trim(concat(' ', p_name, ' '))                  AS name_trimmed
+  trim(concat(' ', p_name, ' '))                  AS name_trimmed,
+  levenshtein(p_brand, 'Brand#10')                AS brand_edit_dist
 FROM part
 """,
     doc="substring/trim/regexp_extract/concat/like/replace (§2.7 string).",
@@ -51,6 +52,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
             "name_trimmed"
         ),
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("brand_edit_dist"),
     )
 
 

@@ -1,0 +1,159 @@
+"""Sessionization and time-series composites (SURVEY.md §2.9 / §2.6).
+
+``event_sessions`` re-expresses session windows with lag + cumulative
+sum — the classic gaps-and-islands formulation.  Unlike
+``session_window()`` (rows-only check), this form IS SQL-expressible, so
+sessionization semantics get hash-checked against the oracle:
+
+    new_session = (ts - lag(ts) > gap)            per user
+    session_id  = running sum of new_session      per user
+
+Cost: one shuffle on user_id + per-partition sort — identical to the
+built-in session_window plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducer_spark.functions.agg import dec_sum
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+_GAP_MIN = 30
+
+
+@register(
+    "event_sessions",
+    oracle=f"""
+WITH flagged AS (
+  SELECT
+    user_id, event_id, ts, "value",
+    CASE WHEN ts - LAG(ts) OVER w > INTERVAL '{_GAP_MIN} minutes'
+         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  session_id,
+  COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+    doc="Sessionization via gaps-and-islands (lag + running sum) — the "
+    "oracle-checkable twin of session_window (30-min gap).",
+    tags=("events", "window", "session"),
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.expr(f"INTERVAL {_GAP_MIN} MINUTES")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # Two steps: window functions can't nest (lag inside sum-over).
+    flagged = e.select(
+        "user_id", "event_id", "ts", "value", new_session.alias("new_session")
+    )
+    sessioned = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        dec_sum("value").alias("total_value"),
+    )
+
+
+@register(
+    "monthly_revenue_mom",
+    oracle="""
+WITH monthly AS (
+  SELECT
+    strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT
+  month,
+  revenue,
+  round(revenue - LAG(revenue) OVER (ORDER BY month), 2)       AS mom_delta,
+  round(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+        / LAG(revenue) OVER (ORDER BY month), 6)               AS mom_pct
+FROM monthly
+""",
+    doc="Time-series composite: monthly rollup + month-over-month delta "
+    "and percent change (agg -> window over the aggregate).",
+    tags=("agg", "window", "timeseries"),
+)
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(dec_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 6).alias(
+            "mom_pct"
+        ),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    doc="Changelog compaction / keep-latest-per-key (upsert semantics): "
+    "row_number over (key, time desc) = 1.",
+    tags=("events", "window", "compaction"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )

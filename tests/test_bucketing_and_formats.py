@@ -1,0 +1,95 @@
+"""Bucketed co-located joins (the 100 TB fact-fact join strategy) and
+additional source formats (CSV/JSON round-trips)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducer_spark.plans import formatted_plan
+from mapreducer_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    """Write orders + lineitem bucketed by the join key; both sides then
+    join WITHOUT any Exchange — pre-shuffled at rest.  At 100 TB this is
+    the difference between re-shuffling the fact tables per query and
+    paying the shuffle once at ingest."""
+    wh = tmp_path_factory.mktemp("warehouse")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(wh / "orders_bucketed"))
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(wh / "lineitem_bucketed"))
+        .saveAsTable("lineitem_bucketed")
+    )
+    yield spark.table("orders_bucketed"), spark.table("lineitem_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed_tables):
+    ob, lb = bucketed_tables
+    # Force the shuffle-join path (at test scale the planner would just
+    # broadcast; at 100 TB neither side broadcasts and bucketing is what
+    # removes the Exchange).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = formatted_plan(joined)
+        # The join must not introduce Exchange on either side — only the
+        # final small aggregation may shuffle.
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
+    ob, lb = bucketed_tables
+    bucketed = {
+        r.o_orderpriority: r.n
+        for r in lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.o_orderpriority: r.n
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert bucketed == plain
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in n.collect()}
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "region_json")
+    r = load_table(spark, sf_dir, "region")
+    r.write.mode("overwrite").json(out)
+    back = spark.read.json(out).select("r_regionkey", "r_name")
+    assert {tuple(x) for x in back.collect()} == {tuple(x) for x in r.collect()}

@@ -1,0 +1,116 @@
+"""CLI surface + salted-aggregation invariance + hypothesis-based
+tokenizer parity with the reference's semantics."""
+
+from __future__ import annotations
+
+import io
+import re
+import subprocess
+import sys
+from contextlib import redirect_stdout
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mapreducer_spark.__main__ import main as cli_main
+from mapreducer_spark.functions.agg import salted_group_sum
+from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+from mapreducer_spark.sources import load_table
+
+
+def test_cli_list_queries():
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["list-queries"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "word_count" in out and "[oracle]" in out
+
+
+def test_cli_unknown_query():
+    rc = cli_main(["query", "no_such_query"])
+    assert rc == 2
+
+
+def test_cli_wordcount_subprocess(tmp_path):
+    """The real user entry point: python -m mapreducer_spark wordcount."""
+    out = tmp_path / "wc_out"
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mapreducer_spark",
+            "--master",
+            "local[2]",
+            "--shuffle-partitions",
+            "2",
+            "wordcount",
+            "--data",
+            "fixtures/text",
+            "--out",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=180,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = []
+    for f in sorted(out.glob("part*")):
+        lines += f.read_text().splitlines()
+    assert "the : 7" in lines and "42 : 2" in lines
+
+
+def test_salted_sum_equals_direct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    salted = {
+        (r.o_orderpriority): r.total
+        for r in salted_group_sum(
+            o, ["o_orderpriority"], "o_totalprice", n_salts=8
+        ).collect()
+    }
+    direct = {
+        (r.o_orderpriority): r.total
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
+        .collect()
+    }
+    assert salted == direct
+
+
+# Pure-python restatement of the reference tokenizer
+# (reference src/mapper.c:14-42: maximal [a-z0-9] runs after towlower,
+# ASCII corpus) — the spec our Spark expression must match.
+def _reference_tokenize(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tokenizer_matches_reference_semantics(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = (
+        df.select(
+            F.explode(F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    got_counts = {(r.w, r["count"]) for r in got}
+    want: dict[str, int] = {}
+    for t in texts:
+        for tok in _reference_tokenize(t):
+            want[tok] = want.get(tok, 0) + 1
+    assert got_counts == set(want.items())

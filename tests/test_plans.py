@@ -60,6 +60,18 @@ def test_partition_filter_predicate_stays_rowlocal(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+window as-of join must shuffle exactly once (on the key)
+    — its whole advantage over a range join (SURVEY.md §2.5 O3)."""
+    from mapreducer_spark.operators.asof import events_asof_latest_order
+
+    plan = formatted_plan(events_asof_latest_order(spark, sf_dir))
+    # one Exchange for the window partitionBy; the orders-side
+    # pre-dedup groupBy reuses the same hash partitioning where possible
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     from mapreducer_spark.operators.wordcount import word_count_topk
 
