@@ -423,6 +423,91 @@ def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@register(
+    "brand_supplier_revenue",
+    oracle="""
+SELECT
+  p_brand,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(DISTINCT s_suppkey) AS n_suppliers,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+""",
+    doc="Star join through part + supplier (both broadcast): revenue and "
+    "supplier fan-out per brand (covers the remaining dim tables).",
+    tags=("join", "agg"),
+)
+def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+SELECT
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+    AS avg_yearly
+FROM lineitem l
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    -- decimal-exact average: the threshold must be bit-identical across
+    -- engines or boundary rows flip (plain AVG is order-dependent)
+    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(l_quantity))
+    FROM lineitem WHERE l_partkey = l.l_partkey
+  )
+""",
+    doc="TPC-H Q17 analogue: correlated scalar subquery (per-part average "
+    "threshold), decorrelated in Spark as an aggregate-then-join — the "
+    "plan Catalyst itself produces for the SQL form.",
+    tags=("join", "subquery", "agg"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    # Decorrelation: the correlated scalar subquery becomes a per-key
+    # aggregate joined back on the correlation key.
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
 def _custkeys_in_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.where(F.year("o_orderdate") == year).select(

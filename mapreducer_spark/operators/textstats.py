@@ -200,6 +200,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE_CHARS = 8
+_SHINGLE_STRIDE = 4  # winnowing-style stride: 4x fewer hashes, same
+# deterministic fingerprint contract on both engines
 
 
 @register(
@@ -208,12 +210,12 @@ _SHINGLE_CHARS = 8
 SELECT
   doc_id,
   list_min(list_transform(
-    generate_series(1, greatest(length(text) - {_SHINGLE_CHARS - 1}, 1)),
+    generate_series(1, greatest(length(text) - {_SHINGLE_CHARS - 1}, 1), {_SHINGLE_STRIDE}),
     i -> CAST('0x' || substr(md5(substr(text, i, {_SHINGLE_CHARS})), 1, 15) AS BIGINT)
   )) AS fingerprint
 FROM documents
 """,
-    doc="Document fingerprint: min md5_int64 over sliding 8-char shingles "
+    doc="Document fingerprint: min md5_int64 over strided 8-char shingles "
     "(winnowing-style, L4/L1). Cross-engine hash keeps it oracle-checked.",
     tags=("llm", "text", "fingerprint"),
 )
@@ -221,7 +223,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     shingle_hashes = F.transform(
         F.sequence(
-            F.lit(1), F.greatest(F.length("text") - (_SHINGLE_CHARS - 1), F.lit(1))
+            F.lit(1),
+            F.greatest(F.length("text") - (_SHINGLE_CHARS - 1), F.lit(1)),
+            F.lit(_SHINGLE_STRIDE),
         ),
         lambda i: md5_int64(F.col("text").substr(i, F.lit(_SHINGLE_CHARS))),
     )
