@@ -4,8 +4,10 @@ from mapreducer_spark.operators import (  # noqa: F401
     asof,
     dedup,
     events_time,
+    frames_maps,
     mllib_lsh,
     multimodal,
+    profiling,
     python_udfs,
     relational,
     reshape,

@@ -1,0 +1,105 @@
+"""Range-frame windows, map-typed columns, and the Unicode-faithful
+tokenizer variant (SURVEY.md §2.6 / §2.7 map / §7.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+_7D_SEC = 7 * 24 * 3600
+
+
+@register(
+    "trailing_week_revenue",
+    oracle=f"""
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+    RANGE BETWEEN {_7D_SEC} PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_7d
+FROM orders
+""",
+    doc="RANGE frame window: per-customer trailing-7-day revenue — a "
+    "value-range frame (all rows within 7 days), not a row-count frame. "
+    "Ordered on epoch seconds so Spark rangeBetween and SQL RANGE "
+    "BETWEEN agree exactly.",
+    tags=("window", "range-frame"),
+)
+def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-_7D_SEC, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d"),
+    )
+
+
+@register(
+    "props_map_functions",
+    oracle="""
+SELECT
+  event_id,
+  json_keys(props)[1]                                 AS first_key,
+  len(json_keys(props))                               AS n_keys,
+  CAST(json_extract_string(props, '$.k') AS BIGINT)   AS k_val
+FROM events
+WHERE event_id % 20 = 0
+""",
+    doc="Map-typed columns (§2.7 map): parse events.props into "
+    "map<string,bigint>, use map_keys / size / element access.",
+    tags=("scalar", "map", "events"),
+)
+def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@register(
+    "word_count_unicode",
+    oracle=r"""
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS word
+  FROM documents
+)
+WHERE length(word) > 0
+GROUP BY word
+""",
+    doc="Unicode-faithful tokenizer variant: \\p{L}\\p{N} character "
+    "classes — the deterministic analogue of the reference's "
+    "locale-sensitive iswalnum (reference src/mapper.c:23-29, "
+    "SURVEY.md §7.4.1). Same regex class in Java regex and RE2.",
+    tags=("ref", "agg", "unicode"),
+)
+def word_count_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+")
+            ).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,116 @@
+"""Data-quality / table profiling operators (ANALYZE-style statistics).
+
+A 100 TB ingest pipeline's first query against any new table: per-column
+null counts, distinct counts, extrema — one pass, all map-side partials.
+Plus constraint validation (the assertions a training-data pipeline runs
+before accepting a drop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+
+@register(
+    "orders_column_profile",
+    oracle="""
+SELECT * FROM (
+  SELECT
+    'o_orderkey' AS col_name,
+    COUNT(*) AS n_rows,
+    COUNT(o_orderkey) AS n_nonnull,
+    COUNT(DISTINCT o_orderkey) AS ndv,
+    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+""",
+    doc="ANALYZE-style column profile (rows, non-null, NDV, min/max as "
+    "strings) — one aggregation pass per profiled column set.",
+    tags=("profiling", "agg"),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def profile(col: str, numeric: bool) -> DataFrame:
+        min_s = F.min(col).cast("string") if numeric else F.min(col)
+        max_s = F.max(col).cast("string") if numeric else F.max(col)
+        return o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("ndv"),
+            min_s.alias("min_s"),
+            max_s.alias("max_s"),
+        ).select(
+            F.lit(col).alias("col_name"),
+            "n_rows",
+            "n_nonnull",
+            "ndv",
+            "min_s",
+            "max_s",
+        )
+
+    parts = [
+        profile("o_orderkey", True),
+        profile("o_custkey", True),
+        profile("o_orderstatus", False),
+        profile("o_orderpriority", False),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "lineitem_constraint_checks",
+    oracle="""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(*) FILTER (WHERE l_quantity <= 0)                    AS bad_quantity,
+  COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)   AS bad_discount,
+  COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '1990-01-01') AS bad_shipdate,
+  COUNT(*) FILTER (WHERE l_orderkey IS NULL)                 AS null_orderkey,
+  (COUNT(*) FILTER (WHERE l_quantity <= 0) = 0
+   AND COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) = 0
+   AND COUNT(*) FILTER (WHERE l_orderkey IS NULL) = 0)       AS all_valid
+FROM lineitem
+""",
+    doc="Constraint validation pass: domain checks + null checks + an "
+    "overall verdict, one scan (the accept/reject gate of an ingest job).",
+    tags=("profiling", "agg"),
+)
+def lineitem_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bad(cond):
+        return F.count(F.when(cond, 1))
+
+    bad_q = bad(F.col("l_quantity") <= 0)
+    bad_d = bad((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+    bad_s = bad(F.col("l_shipdate") < F.to_timestamp(F.lit("1990-01-01")))
+    null_k = bad(F.col("l_orderkey").isNull())
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        bad_q.alias("bad_quantity"),
+        bad_d.alias("bad_discount"),
+        bad_s.alias("bad_shipdate"),
+        null_k.alias("null_orderkey"),
+        ((bad_q == 0) & (bad_d == 0) & (null_k == 0)).alias("all_valid"),
+    )

@@ -1,14 +1,20 @@
 from mapreducer_spark.streaming.jobs import (
+    deduped_stream,
     read_events_stream,
+    run_foreach_batch_upsert,
     run_stream_to_memory,
+    run_windowed_to_parquet,
     sessionized_stream,
     stateful_user_counts,
     windowed_counts_stream,
 )
 
 __all__ = [
+    "deduped_stream",
     "read_events_stream",
+    "run_foreach_batch_upsert",
     "run_stream_to_memory",
+    "run_windowed_to_parquet",
     "sessionized_stream",
     "stateful_user_counts",
     "windowed_counts_stream",

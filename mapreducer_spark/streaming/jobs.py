@@ -124,6 +124,78 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def deduped_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps only event_ids seen within the
+    watermark horizon — state size is rate x horizon, not stream length
+    (the streaming twin of dedup_exact)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_windowed_to_parquet(
+    events: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Windowed counts -> parquet file sink with a checkpoint — the
+    production shape: exactly-once via checkpointed offsets + idempotent
+    file commits; a restart with the same checkpoint resumes, not
+    recomputes (exercised in tests)."""
+    q = (
+        windowed_counts_stream(events)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_upsert(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch merge-upsert: keep the latest event per user in a
+    parquet 'state table' — the merge-into emulation for plain parquet
+    (real deployments would use a transactional table format)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(state_dir)
+        except Exception:
+            existing = None
+        merged = (
+            batch_df.select("user_id", "event_id", "ts")
+            if existing is None
+            else batch_df.select("user_id", "event_id", "ts").unionByName(existing)
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # Materialize before overwrite (reading and overwriting the same
+        # path in one plan is undefined).
+        latest.cache().count()
+        latest.write.mode("overwrite").parquet(state_dir)
+        latest.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> tuple[str, object]:

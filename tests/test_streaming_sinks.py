@@ -1,0 +1,85 @@
+"""Streaming production shapes: checkpointed file sink + restart,
+foreachBatch merge-upsert, watermarked dedup."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapreducer_spark.operators.events_time import events_tumbling_daily
+from mapreducer_spark.operators.sessions import latest_event_per_user
+from mapreducer_spark.streaming import (
+    deduped_stream,
+    read_events_stream,
+    run_foreach_batch_upsert,
+    run_stream_to_memory,
+    run_windowed_to_parquet,
+)
+
+
+def test_parquet_sink_with_checkpoint_and_restart(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "ckpt")
+    run_windowed_to_parquet(read_events_stream(spark, sf_dir), out, ckpt)
+    got = {
+        (r.w_start, r.event_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    # Append-mode file sinks emit only windows the watermark has CLOSED:
+    # the final day's window never finalizes when the stream ends. The
+    # output must exactly equal the batch result restricted to closed
+    # windows.
+    import datetime as dt
+
+    from mapreducer_spark.sources import load_table
+
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=1)
+    want = {
+        (r.w_start, r.event_type): r.n_events
+        for r in events_tumbling_daily(spark, sf_dir)
+        .select("w_start", "event_type", "n_events")
+        .collect()
+        if dt.datetime.strptime(r.w_start, "%Y-%m-%d %H:%M:%S")
+        + dt.timedelta(days=1)
+        <= horizon
+    }
+    assert got == want
+    # Restart with the same checkpoint: no new input -> no new output,
+    # no duplicate recomputation.
+    run_windowed_to_parquet(read_events_stream(spark, sf_dir), out, ckpt)
+    again = {
+        (r.w_start, r.event_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)
+
+
+def test_foreach_batch_upsert_matches_batch(spark, sf_dir, tmp_path):
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt_upsert")
+    run_foreach_batch_upsert(read_events_stream(spark, sf_dir), state, ckpt)
+    got = {
+        r.user_id: r.event_id for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.user_id: r.event_id
+        for r in latest_event_per_user(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_watermarked_dedup_stream(spark, sf_dir):
+    name, _ = run_stream_to_memory(
+        deduped_stream(read_events_stream(spark, sf_dir)), output_mode="append"
+    )
+    n = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+    distinct_ids = spark.sql(
+        f"SELECT count(DISTINCT event_id) c FROM {name}"
+    ).collect()[0].c
+    from mapreducer_spark.sources import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    assert n == distinct_ids == total  # fixture ids are unique already
