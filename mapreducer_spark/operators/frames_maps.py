@@ -75,6 +75,39 @@ def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "first_order_struct",
+    oracle="""
+SELECT
+  o_custkey,
+  COUNT(*) AS n_orders,
+  (list(struct_pack(d := o_orderdate, k := o_orderkey)
+        ORDER BY o_orderdate, o_orderkey))[1].k AS first_orderkey,
+  strftime((list(struct_pack(d := o_orderdate, k := o_orderkey)
+        ORDER BY o_orderdate, o_orderkey))[1].d, '%Y-%m-%d') AS first_orderdate
+FROM orders
+GROUP BY o_custkey
+""",
+    doc="Nested types end-to-end (§2.7): collect structs per key, sort the "
+    "struct array (field-order comparison is identical in both engines), "
+    "take the earliest. collect_list alone is partition-order-dependent; "
+    "sort_array is what makes it deterministic.",
+    tags=("agg", "nested"),
+)
+def first_order_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pairs = F.sort_array(
+        F.collect_list(F.struct(F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k")))
+    )
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.element_at(pairs, 1).getField("k").alias("first_orderkey"),
+        F.date_format(F.element_at(pairs, 1).getField("d"), "yyyy-MM-dd").alias(
+            "first_orderdate"
+        ),
+    )
+
+
+@register(
     "word_count_unicode",
     oracle=r"""
 SELECT word, COUNT(*) AS cnt

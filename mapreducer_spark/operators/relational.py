@@ -424,6 +424,35 @@ def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL '90 days'
+)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 analogue: orders having at least one lineitem shipped "
+    ">90 days after the order date (EXISTS semi join + agg).",
+    tags=("join", "semi", "agg"),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
     "brand_supplier_revenue",
     oracle="""
 SELECT

@@ -72,6 +72,20 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert n_exchanges <= 2, plan
 
 
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """The engine exposes Spark's full join-strategy control: hints must
+    change the physical join (broadcast vs shuffle-merge vs shuffle-hash)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = o.o_custkey == c.c_custkey
+
+    assert "BroadcastHashJoin" in formatted_plan(o.join(c.hint("broadcast"), cond))
+    assert "SortMergeJoin" in formatted_plan(o.join(c.hint("merge"), cond))
+    assert "ShuffledHashJoin" in formatted_plan(
+        o.join(c.hint("shuffle_hash"), cond)
+    )
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     from mapreducer_spark.operators.wordcount import word_count_topk
 
