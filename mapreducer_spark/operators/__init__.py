@@ -2,6 +2,7 @@
 
 from mapreducer_spark.operators import (  # noqa: F401
     asof,
+    clustering,
     dedup,
     events_time,
     frames_maps,

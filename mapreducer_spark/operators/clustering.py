@@ -1,0 +1,158 @@
+"""Near-duplicate clustering: connected components over the pair graph
+(SURVEY.md §2.10 L2 — the step after pair detection: pick one canonical
+doc per duplicate CLUSTER, not per pair).
+
+Spark implementation: iterative min-label propagation — labels start as
+doc_id, each round every vertex takes the min label over itself and its
+neighbors, until a fixpoint.  Rounds are O(graph diameter); each round is
+one join + one aggregation (all DataFrame ops, no driver-side data except
+the scalar convergence check, which is how iterative algorithms
+legitimately terminate).  DuckDB oracle: transitive closure via
+WITH RECURSIVE, component = min reachable id — the declarative twin.
+
+At 100 TB scale the same loop runs with checkpointing every few rounds
+(to truncate lineage); duplicate-cluster graphs have tiny diameters in
+practice (near-dup relations are nearly transitive), so 5-10 rounds
+suffice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducer_spark.operators.dedup import neardup_jaccard_blocked
+from mapreducer_spark.registry import register
+
+_MAX_ROUNDS = 15
+
+
+def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(vertex, component) with component = min vertex id reachable.
+
+    ``edges`` is an undirected pair list (one row per edge, either
+    orientation).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Materialize the edge list ONCE: every round joins against it, and
+    # without this the full upstream pair-detection pipeline re-executes
+    # per round (measured 87s -> ~8s at sf0.1).
+    sym = sym.localCheckpoint(eager=True)
+    vertices = sym.select(F.col("a").alias("v")).distinct()
+    labels = vertices.select("v", F.col("v").alias("comp"))
+
+    for _round in range(_MAX_ROUNDS):
+        # neighbor labels: for each vertex, the min label among neighbors
+        neigh = (
+            sym.join(labels, sym.b == labels.v)
+            .groupBy(F.col("a").alias("v2"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.v == neigh.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # Pointer jumping: follow comp -> comp-of-comp (path halving).
+        # Neighbor-min alone needs O(diameter) rounds; with shortcutting
+        # convergence is O(log diameter).
+        jump = new_labels.select(
+            F.col("v").alias("jv"), F.col("comp").alias("jcomp")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels.comp == jump.jv, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce("jcomp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # Convergence: did any label shrink?  (scalar to the driver only)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.comp") < F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        # Materialize to keep the loop's lineage bounded.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "neardup_clusters",
+    oracle="""
+WITH RECURSIVE
+pairs AS (
+  SELECT id_a, id_b FROM (
+    -- same pair query as neardup_jaccard_blocked
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             regexp_replace(text, ' [a-z0-9]+$', '') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    toksets AS (
+      SELECT
+        doc_id,
+        regexp_extract(text, '^[a-z0-9]+') AS block,
+        list_distinct(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0
+        )) AS tok_set
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM toksets a JOIN toksets b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.8
+  )
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT v, comp, n_members FROM (
+  SELECT
+    v,
+    comp,
+    COUNT(*) OVER (PARTITION BY comp) AS n_members
+  FROM (
+    SELECT a AS v, LEAST(a, MIN(b)) AS comp
+    FROM reach GROUP BY a
+  )
+)
+""",
+    doc="Connected components over the near-dup pair graph: Spark = "
+    "iterative min-label propagation (bounded-lineage loop); oracle = "
+    "recursive-CTE transitive closure. Output: (doc, cluster id = min "
+    "member, cluster size).",
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs, "id_a", "id_b")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comp")
+    return labels.select(
+        "v", "comp", F.count(F.lit(1)).over(w).alias("n_members")
+    )
