@@ -578,6 +578,40 @@ def custkeys_1996_not_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "custkeys_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
+    doc="INTERSECT ALL (bag semantics: multiplicity = min of the two "
+    "sides) — SURVEY.md §2.5 O5.",
+    tags=("setop",),
+)
+def custkeys_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_in_year(spark, sf_dir, 1996).intersectAll(
+        _custkeys_in_year(spark, sf_dir, 1997)
+    )
+
+
+@register(
+    "custkeys_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
+    doc="EXCEPT ALL (bag semantics: multiplicity = left minus right, "
+    "floored at 0) — SURVEY.md §2.5 O5.",
+    tags=("setop",),
+)
+def custkeys_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _custkeys_in_year(spark, sf_dir, 1996).exceptAll(
+        _custkeys_in_year(spark, sf_dir, 1997)
+    )
+
+
+@register(
     "union_all_keys",
     oracle="""
 SELECT custkey, COUNT(*) AS n
