@@ -66,6 +66,19 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    from mapreducer_spark.sql_api import sql
+
+    spark = _get_spark(args)
+    df = sql(spark, args.sf_dir, args.query)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_list_queries(args: argparse.Namespace) -> int:
     from mapreducer_spark.registry import all_queries
 
@@ -99,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
     lq = sub.add_parser("list-queries", help="list registered queries")
     lq.add_argument("--json", action="store_true")
     lq.set_defaults(fn=cmd_list_queries)
+
+    sq = sub.add_parser("sql", help="run SQL over the fixture tables")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--out", help="write result parquet here instead of showing")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

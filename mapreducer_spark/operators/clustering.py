@@ -38,8 +38,11 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     # Materialize the edge list ONCE: every round joins against it, and
     # without this the full upstream pair-detection pipeline re-executes
-    # per round (measured 87s -> ~8s at sf0.1).
-    sym = sym.localCheckpoint(eager=True)
+    # per round (measured 87s -> 26s at sf0.1).  The graph after pair
+    # detection is small relative to the corpus, so compact it to few
+    # partitions — per-round job latency (many tiny tasks), not data
+    # volume, dominates the loop.
+    sym = sym.repartition(8, "b").localCheckpoint(eager=True)
     vertices = sym.select(F.col("a").alias("v")).distinct()
     labels = vertices.select("v", F.col("v").alias("comp"))
 

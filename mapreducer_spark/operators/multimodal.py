@@ -102,6 +102,51 @@ def decoded_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames_batch(
+    batches: Iterator[pd.DataFrame], every_n: int = 4
+) -> Iterator[pd.DataFrame]:
+    """Video-modality stub: sample every Nth 'frame' from each payload.
+
+    Real frame extraction needs ffmpeg (absent here); the deterministic
+    stand-in treats the payload as fixed 16-byte frames and keeps every
+    ``every_n``-th — the Spark-side shape (1 row in -> K frame rows out,
+    Arrow-batched, frame bytes as binary) is exactly the production one.
+    """
+    for pdf in batches:
+        out_ids, out_idx, out_bytes = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = [
+                payload[i : i + 16] for i in range(0, len(payload), 16)
+            ]
+            for j in range(0, len(frames), every_n):
+                out_ids.append(doc_id)
+                out_idx.append(j)
+                out_bytes.append(bytes(frames[j]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_bytes": out_bytes,
+            }
+        )
+
+
+def sampled_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary scan -> Arrow-batched 1->K frame expansion (video stub)."""
+    return assets_df(spark, sf_dir).mapInPandas(
+        sample_frames_batch, schema=FRAME_SCHEMA
+    )
+
+
 @register(
     "multimodal_metadata",
     oracle="""

@@ -97,23 +97,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Assign every vector to its nearest centroid: broadcast NL join +
-    # per-vector argmax — one pass over the big table, no shuffle of it.
+    # per-vector argmax.  max_by over a (sim, -cent_id) struct instead of
+    # a row_number window: one partial-aggregating shuffle of tiny rows
+    # rather than a full sort per vec_id partition.
     sim_to_cent = cosine(F.col("embedding"), F.col("cent_v"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cent_id")
+    scored = em.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cent_id",
+        F.round(sim_to_cent, 9).alias("csim"),
     )
-    assigned = (
-        em.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            F.round(sim_to_cent, 9).alias("csim"),
-        )
-        .withColumn("crank", F.row_number().over(w_assign))
-        .where(F.col("crank") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cluster")
     )
+    assigned = em.join(best, "vec_id").select("vec_id", "embedding", "cluster")
 
     # Route each query to its nprobe nearest clusters.
     q = em.where(F.col("vec_id") < _N_QUERIES).select(
