@@ -79,6 +79,64 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_histogram",
+    oracle="""
+SELECT
+  CAST(floor(o_totalprice / 25000) AS INT) AS bucket,
+  COUNT(*) AS n_orders,
+  MIN(o_totalprice) AS bucket_min,
+  MAX(o_totalprice) AS bucket_max
+FROM orders
+GROUP BY 1
+""",
+    doc="Histogram / binning: fixed-width buckets via floor division "
+    "(identical IEEE arithmetic both engines; width_bucket has no "
+    "DuckDB twin).",
+    tags=("profiling", "agg"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6)   AS qty_price_corr,
+  round(stddev_samp(l_quantity), 6)             AS qty_stddev,
+  round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Statistical moments (corr / stddev / covariance) per group, "
+    "rounded to absorb accumulation-order noise (~1e-12 relative).",
+    tags=("profiling", "agg", "stats"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
     "lineitem_constraint_checks",
     oracle="""
 SELECT
