@@ -66,6 +66,16 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from mapreducer_spark.sources.ingest import ingest_warehouse
+
+    spark = _get_spark(args)
+    paths = ingest_warehouse(spark, args.sf_dir, args.warehouse)
+    for name, p in sorted(paths.items()):
+        print(f"{name}: {p}")
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from mapreducer_spark.sql_api import sql
 
@@ -112,6 +122,13 @@ def main(argv: list[str] | None = None) -> int:
     lq = sub.add_parser("list-queries", help="list registered queries")
     lq.add_argument("--json", action="store_true")
     lq.set_defaults(fn=cmd_list_queries)
+
+    ing = sub.add_parser(
+        "ingest", help="write tables into the partitioned warehouse layout"
+    )
+    ing.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ing.add_argument("--warehouse", required=True)
+    ing.set_defaults(fn=cmd_ingest)
 
     sq = sub.add_parser("sql", help="run SQL over the fixture tables")
     sq.add_argument("query")

@@ -1,0 +1,61 @@
+"""Runtime metrics extraction + warehouse ingest layout tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducer_spark.plans.metrics import node_metrics, observe_counts, scan_output_rows
+from mapreducer_spark.sources import load_table
+from mapreducer_spark.sources.ingest import ingest_warehouse, read_warehouse_table
+
+
+def test_observe_counts(spark, sf_dir):
+    df, obs = observe_counts(load_table(spark, sf_dir, "orders"))
+    n = df.count()
+    assert obs.get["n_rows"] == n == 1500
+
+
+def test_node_metrics_contains_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    ms = node_metrics(df)
+    assert any("Scan" in m["node"] for m in ms)
+    assert any(m["metric"] == "numOutputRows" for m in ms)
+
+
+def test_filter_metric_shows_selectivity(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    ms = node_metrics(df)
+    filter_rows = [
+        m["value"]
+        for m in ms
+        if m["node"] == "Filter" and m["metric"] == "numOutputRows"
+    ]
+    scan_rows = scan_output_rows(df)
+    assert filter_rows and filter_rows[0] == 100
+    assert filter_rows[0] < scan_rows  # filter evaluated after this scan
+
+
+def test_ingest_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "wh")
+    paths = ingest_warehouse(spark, sf_dir, wh)
+    assert set(paths) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    # Row parity after layout conversion.
+    for name in ("orders", "lineitem", "events", "documents"):
+        orig = load_table(spark, sf_dir, name).count()
+        back = read_warehouse_table(spark, wh, name).count()
+        assert back == orig, name
+    # Partition pruning: a year filter on the partitioned orders layout
+    # must hit PartitionFilters (directory selection, not data reading).
+    from mapreducer_spark.plans import formatted_plan
+
+    df = spark.read.parquet(f"{wh}/orders").where(F.col("o_year") == 1997)
+    plan = formatted_plan(df)
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "o_year" in pf_line, pf_line
+    # And the pruned scan reads strictly fewer rows than the full table.
+    pruned = scan_output_rows(df)
+    total = load_table(spark, sf_dir, "orders").count()
+    assert 0 < pruned < total
