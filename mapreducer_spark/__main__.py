@@ -89,6 +89,19 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    from mapreducer_spark.plans import formatted_plan
+    from mapreducer_spark.registry import all_queries
+
+    queries = all_queries()
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; run list-queries", file=sys.stderr)
+        return 2
+    spark = _get_spark(args)
+    print(formatted_plan(queries[args.name].fn(spark, args.sf_dir)))
+    return 0
+
+
 def cmd_list_queries(args: argparse.Namespace) -> int:
     from mapreducer_spark.registry import all_queries
 
@@ -118,6 +131,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", help="write result parquet here instead of showing")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser("explain", help="print a registered query's plan")
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.set_defaults(fn=cmd_explain)
 
     lq = sub.add_parser("list-queries", help="list registered queries")
     lq.add_argument("--json", action="store_true")

@@ -424,6 +424,77 @@ def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "large_order_customers",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+) big ON big.l_orderkey = o_orderkey
+""",
+    doc="TPC-H Q18 shape: HAVING over a grouped fact, joined back to the "
+    "order/customer chain (IN-subquery written as its decorrelated join "
+    "form in both engines).",
+    tags=("join", "agg", "having"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  FROM customer
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+)
+""",
+    doc="TPC-H Q22 shape: scalar subquery threshold (decimal-exact global "
+    "average, broadcast back) + NOT EXISTS anti join.",
+    tags=("join", "anti", "subquery"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01"))
+    )
+    avg_bal = c.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
     "forecast_revenue",
     oracle="""
 SELECT
