@@ -199,6 +199,62 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+freq AS (
+  SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+),
+total AS (SELECT COUNT(*) AS n FROM tok)
+SELECT
+  doc_id,
+  COUNT(*) AS n_tokens,
+  round(CAST(SUM(CAST(round(log2(CAST(cnt AS DOUBLE) / n), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / COUNT(*), 4) AS avg_log2_prob
+FROM tok JOIN freq USING (tok) CROSS JOIN total
+GROUP BY doc_id
+""",
+    doc="Corpus-statistics quality score (L4): per-document average "
+    "unigram log2-probability under the corpus's own distribution — the "
+    "classic LM-based filter for surprising/degenerate documents. "
+    "Two passes: build token frequencies (broadcastable), join back, "
+    "aggregate. Per-token logprobs are rounded then summed as DECIMAL so "
+    "the result is partition-order-independent.",
+    tags=("llm", "text", "quality"),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.count()  # scalar corpus size (one job; acceptable metadata)
+    logp = F.round(F.log2(F.col("cnt").cast("double") / F.lit(float(total))), 6)
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(logp.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_log2_prob"),
+        )
+    )
+
+
 _SHINGLE_CHARS = 8
 _SHINGLE_STRIDE = 4  # winnowing-style stride: 4x fewer hashes, same
 # deterministic fingerprint contract on both engines

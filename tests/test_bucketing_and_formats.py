@@ -79,6 +79,19 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
     assert bucketed == plain
 
 
+def test_parquet_zstd_codec(spark, sf_dir, tmp_path):
+    """Column compression choice (the at-rest cost knob at 100 TB)."""
+    out = str(tmp_path / "li_zstd")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert files and all(".zstd." in f for f in files), files
+
+
 def test_csv_roundtrip(spark, sf_dir, tmp_path):
     out = str(tmp_path / "nation_csv")
     n = load_table(spark, sf_dir, "nation")
