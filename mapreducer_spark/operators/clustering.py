@@ -42,25 +42,22 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # detection is small relative to the corpus, so compact it to few
     # partitions — per-round job latency (many tiny tasks), not data
     # volume, dominates the loop.
-    sym = sym.repartition(8, "b").localCheckpoint(eager=True)
     vertices = sym.select(F.col("a").alias("v")).distinct()
+    # Self-loops fold "min over self and neighbors" into ONE join+agg per
+    # round (no separate left join to merge the vertex's own label).
+    sym = (
+        sym.unionByName(vertices.select(F.col("v").alias("a"), F.col("v").alias("b")))
+        .repartition(8, "b")
+        .localCheckpoint(eager=True)
+    )
     labels = vertices.select("v", F.col("v").alias("comp"))
+    prev_sum = None
 
     for _round in range(_MAX_ROUNDS):
-        # neighbor labels: for each vertex, the min label among neighbors
-        neigh = (
-            sym.join(labels, sym.b == labels.v)
-            .groupBy(F.col("a").alias("v2"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
         new_labels = (
-            labels.join(neigh, labels.v == neigh.v2, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
-                ).alias("comp"),
-            )
+            sym.join(labels, sym.b == labels.v)
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.min("comp").alias("comp"))
         )
         # Pointer jumping: follow comp -> comp-of-comp (path halving).
         # Neighbor-min alone needs O(diameter) rounds; with shortcutting
@@ -77,19 +74,15 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
                 ).alias("comp"),
             )
         )
-        # Convergence: did any label shrink?  (scalar to the driver only)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .where(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        # Materialize to keep the loop's lineage bounded.
+        # Materialize to keep the loop's lineage bounded; convergence =
+        # the label sum stops shrinking (labels only ever decrease, so
+        # the sum is a faithful fixpoint detector and costs one agg).
         new_labels = new_labels.localCheckpoint(eager=True)
+        cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
