@@ -65,17 +65,46 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
+
+    # The driver captures only the TAIL of stdout (~2 KB) and parses the
+    # last line: round 1's full per-query dict (~2.5 KB for 73 queries)
+    # overflowed the window and the line arrived truncated -> unparseable.
+    # Emit a line guaranteed to fit (full dict if it fits, else the
+    # slowest queries — the perf-relevant ones) and write the complete
+    # timings to bench_full.json alongside this script.
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    line = json.dumps(full, separators=(",", ":"))
+    budget = 1600
+    if len(line) > budget:
+        payload = dict(full)
+        payload["queries_note"] = (
+            f"slowest NNN/{len(timings)}; full set in bench_full.json"
         )
-    )
+        shown: dict[str, float] = {}
+        for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+            trial = dict(payload, queries=dict(shown, **{name: sec}))
+            if len(json.dumps(trial, separators=(",", ":"))) > budget:
+                break
+            shown[name] = sec
+        payload["queries"] = shown
+        payload["queries_note"] = (
+            f"slowest {len(shown)}/{len(timings)}; full set in bench_full.json"
+        )
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -32,8 +32,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; mirrors DuckDB list_cosine_similarity on DOUBLE[]."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; mirrors DuckDB list_cosine_similarity on DOUBLE[].
+
+    A zero-norm vector has no direction: try_divide yields NULL instead of
+    the DIVIDE_BY_ZERO error ANSI mode would raise (one degenerate row
+    must not abort a 100 TB similarity job).  NULL similarity then drops
+    out of >=threshold filters and top-k orderings naturally.
+    """
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def sign_bucket(a: Column, n_bits: int = 8) -> Column:

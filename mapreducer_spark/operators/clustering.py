@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducer_spark.functions.text import ORACLE_TOKEN_LIST_SNIPPET
 from mapreducer_spark.operators.dedup import neardup_jaccard_blocked
 from mapreducer_spark.registry import register
 
@@ -52,6 +53,7 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
     labels = vertices.select("v", F.col("v").alias("comp"))
     prev_sum = None
+    converged = False
 
     for _round in range(_MAX_ROUNDS):
         new_labels = (
@@ -81,14 +83,25 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Unconverged labels are silently WRONG cluster ids downstream —
+        # fail loudly rather than emit them.  With pointer jumping the
+        # round budget covers component diameters up to ~2^15; hitting
+        # this means the graph is pathological (or _MAX_ROUNDS was cut).
+        raise RuntimeError(
+            f"connected_components did not converge within {_MAX_ROUNDS} "
+            "rounds (label sum still shrinking); raise _MAX_ROUNDS or "
+            "check the edge list for pathological structure"
+        )
     return labels
 
 
 @register(
     "neardup_clusters",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE
 pairs AS (
   SELECT id_a, id_b FROM (
@@ -104,9 +117,7 @@ pairs AS (
       SELECT
         doc_id,
         regexp_extract(text, '^[a-z0-9]+') AS block,
-        list_distinct(list_filter(
-          string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0
-        )) AS tok_set
+        list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
       FROM corpus
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
-from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+from mapreducer_spark.functions.text import (
+    ORACLE_TOKEN_LIST_SNIPPET,
+    ORACLE_TOKENS_SNIPPET,
+    SPARK_TOKEN_SPLIT_RE,
+)
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
@@ -197,9 +201,7 @@ toksets AS (
   SELECT
     doc_id,
     regexp_extract(text, '^[a-z0-9]+') AS block,
-    list_distinct(list_filter(
-      string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0
-    )) AS tok_set
+    list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
   FROM corpus
 )
 SELECT
@@ -305,7 +307,15 @@ def minhash_signatures(corpus: DataFrame, shingle_width: int = 3) -> DataFrame:
     toks = F.filter(
         F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
     )
-    with_toks = corpus.select("doc_id", toks.alias("toks"))
+    # Zero-token docs (symbol-only text) must be dropped BEFORE shingling:
+    # shingle_col's element_at(toks, least(1, 0)) would raise
+    # INVALID_INDEX_OF_ZERO under ANSI mode and abort the whole job on one
+    # degenerate row.  A doc with no tokens has no signature and can never
+    # be a near-duplicate, so excluding it is the correct semantics (the
+    # MLlib twin applies the same size(toks) > 0 guard).
+    with_toks = corpus.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") > 0
+    )
     shingles = shingle_col(F.col("toks"), shingle_width)
     hashed = with_toks.select(
         "doc_id",
@@ -413,7 +423,7 @@ tok AS (
          {oracle_md5_int64("tok")} AS h
   FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           {ORACLE_TOKENS_SNIPPET} AS tok
     FROM corpus
   )
   WHERE length(tok) > 0

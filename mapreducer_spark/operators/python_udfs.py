@@ -24,14 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+from mapreducer_spark.functions.text import (
+    ORACLE_TOKEN_LIST_SNIPPET,
+    ORACLE_TOKENS_SNIPPET,
+    PY_TOKEN_SPLIT_RE,
+    SPARK_TOKEN_SPLIT_RE,
+)
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
-_ORACLE_WORD_COUNT = """
+_ORACLE_WORD_COUNT = f"""
 SELECT word, COUNT(*) AS cnt
 FROM (
-  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+  SELECT {ORACLE_TOKENS_SNIPPET} AS word
   FROM documents
 )
 WHERE length(word) > 0
@@ -74,22 +79,23 @@ def word_count_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_count_pandas_udf",
-    oracle="""
+    oracle=f"""
 SELECT
   doc_id,
-  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                       x -> length(x) > 0)) AS BIGINT) AS n_tokens
+  CAST(len({ORACLE_TOKEN_LIST_SNIPPET}) AS BIGINT) AS n_tokens
 FROM documents
 """,
     doc="U3: vectorized scalar pandas_udf (Arrow-batched) computing token "
-    "counts — same oracle as the built-in expression would produce.",
+    "counts — same oracle as the built-in expression would produce. "
+    "Python re lacks \\p{L}, so the UDF uses the [\\W_]+ twin "
+    "(functions/text.py PY_TOKEN_SPLIT_RE).",
     tags=("python", "text"),
 )
 def token_count_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
 
     # Compiled once per executor; applied per Arrow batch.
-    token_re = re.compile(r"[^a-z0-9]+")
+    token_re = re.compile(PY_TOKEN_SPLIT_RE)
 
     @F.pandas_udf(LongType())
     def n_tokens(texts: pd.Series) -> pd.Series:

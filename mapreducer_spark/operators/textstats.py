@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
-from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+from mapreducer_spark.functions.text import (
+    ORACLE_TOKEN_LIST_SNIPPET,
+    ORACLE_TOKENS_SNIPPET,
+    SPARK_TOKEN_SPLIT_RE,
+)
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
@@ -31,14 +35,13 @@ def _tokens_col():
 
 @register(
     "lang_stats",
-    oracle="""
+    oracle=f"""
 SELECT
   lang,
   COUNT(*) AS n_docs,
   CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_chars,
-  CAST(SUM(CAST(len(list_filter(
-        string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0
-      )) AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  CAST(SUM(CAST(len({ORACLE_TOKEN_LIST_SNIPPET}) AS DECIMAL(18,0)))
+       AS DOUBLE) / COUNT(*) AS avg_tokens,
   COUNT(DISTINCT source) AS n_sources
 FROM documents
 GROUP BY lang
@@ -69,11 +72,12 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   doc_id,
   n_tokens,
-  round(CAST(n_chars AS DOUBLE) / n_tokens, 6)   AS chars_per_token,
-  round(CAST(n_stop AS DOUBLE) / n_tokens, 6)    AS stopword_ratio,
-  round(CAST(n_alnum AS DOUBLE) / n_chars_txt, 6) AS alnum_ratio,
+  round(CAST(n_chars AS DOUBLE) / NULLIF(n_tokens, 0), 6)    AS chars_per_token,
+  round(CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0), 6)     AS stopword_ratio,
+  round(CAST(n_alnum AS DOUBLE) / NULLIF(n_chars_txt, 0), 6) AS alnum_ratio,
   (CASE
-     WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= {_STOP_RATIO_MIN}
+     WHEN n_tokens >= 20
+          AND CAST(n_stop AS DOUBLE) / NULLIF(n_tokens, 0) >= {_STOP_RATIO_MIN}
        THEN 'high'
      WHEN n_tokens >= 10 THEN 'medium'
      ELSE 'low'
@@ -83,16 +87,17 @@ FROM (
     doc_id,
     n_chars,
     length(text) AS n_chars_txt,
-    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                    x -> length(x) > 0)) AS n_tokens,
-    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    len({ORACLE_TOKEN_LIST_SNIPPET}) AS n_tokens,
+    len(list_filter({ORACLE_TOKEN_LIST_SNIPPET},
                     x -> list_contains({_STOP_SQL}, x))) AS n_stop,
     length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum
   FROM documents
 )
 """,
     doc="Per-document quality scoring: token stats, stopword ratio, "
-    "alphanumeric ratio, bucketed verdict (L4).",
+    "alphanumeric ratio, bucketed verdict (L4). Ratios for empty-token / "
+    "empty-text docs are NULL (try_divide / NULLIF in lockstep) — ANSI "
+    "mode would otherwise abort the whole job on one degenerate row.",
     tags=("llm", "text"),
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +106,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     n_alnum = F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))
-    stop_ratio = n_stop.cast("double") / n_tokens
+    stop_ratio = F.try_divide(n_stop.cast("double"), n_tokens)
     base = d.select(
         "doc_id",
         "n_chars",
@@ -114,13 +119,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
-            "chars_per_token"
-        ),
+        F.round(
+            F.try_divide(F.col("n_chars").cast("double"), F.col("n_tokens")), 6
+        ).alias("chars_per_token"),
         F.round("stop_ratio", 6).alias("stopword_ratio"),
-        F.round(F.col("n_alnum").cast("double") / F.col("n_chars_txt"), 6).alias(
-            "alnum_ratio"
-        ),
+        F.round(
+            F.try_divide(F.col("n_alnum").cast("double"), F.col("n_chars_txt")), 6
+        ).alias("alnum_ratio"),
         F.when(
             (F.col("n_tokens") >= 20) & (F.col("stop_ratio") >= _STOP_RATIO_MIN),
             F.lit("high"),
@@ -142,24 +147,24 @@ SELECT
 FROM (
   SELECT
     doc_id, lang,
-    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    CAST(len(list_filter({ORACLE_TOKEN_LIST_SNIPPET},
                          x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-      / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                        x -> length(x) > 0)) AS stop_ratio
+      / NULLIF(len({ORACLE_TOKEN_LIST_SNIPPET}), 0) AS stop_ratio
   FROM documents
 )
 """,
     doc="Language-ID heuristic: English stopword density (L4). A real "
     "n-gram model would broadcast per-language profile tables; the plan "
-    "shape (scan + map, no shuffle) is identical.",
+    "shape (scan + map, no shuffle) is identical. Zero-token docs get "
+    "NULL ratio -> 'unknown' (try_divide / NULLIF in lockstep).",
     tags=("llm", "text"),
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens_col()
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
-        / F.size(toks)
+    stop_ratio = F.try_divide(
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double"),
+        F.size(toks),
     )
     return d.select(
         "doc_id",
@@ -201,11 +206,11 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_unigram_logprob",
-    oracle="""
+    oracle=f"""
 WITH tok AS (
   SELECT doc_id, tok FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           {ORACLE_TOKENS_SNIPPET} AS tok
     FROM documents
   ) WHERE length(tok) > 0
 ),

@@ -19,24 +19,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+from mapreducer_spark.functions.text import (
+    ORACLE_TOKENS_SNIPPET,
+    SPARK_TOKEN_SPLIT_RE,
+)
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
-_ORACLE_WORD_COUNT = """
+_ORACLE_WORD_COUNT = f"""
 SELECT word, COUNT(*) AS cnt
 FROM (
-  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+  SELECT {ORACLE_TOKENS_SNIPPET} AS word
   FROM documents
 )
 WHERE length(word) > 0
 GROUP BY word
 """
 
-_ORACLE_WORD_COUNT_TOPK = """
+_ORACLE_WORD_COUNT_TOPK = f"""
 SELECT word, COUNT(*) AS cnt
 FROM (
-  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+  SELECT {ORACLE_TOKENS_SNIPPET} AS word
   FROM documents
 )
 WHERE length(word) > 0

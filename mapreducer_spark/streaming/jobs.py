@@ -13,6 +13,7 @@ cardinality, independent of stream length.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pandas as pd
@@ -158,7 +159,18 @@ def run_foreach_batch_upsert(
 ) -> None:
     """foreachBatch merge-upsert: keep the latest event per user in a
     parquet 'state table' — the merge-into emulation for plain parquet
-    (real deployments would use a transactional table format)."""
+    (real deployments would use a transactional table format).
+
+    The new state is WRITTEN TO A SIDE DIRECTORY and swapped in via
+    rename, never written over the directory it is still reading from:
+    cache() is not a durability barrier (an evicted partition or executor
+    loss mid-write would recompute from the half-deleted source and
+    corrupt the state).  The swap keeps the previous generation until the
+    new one is fully committed.
+    """
+    import shutil
+    import uuid as _uuid
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -181,11 +193,18 @@ def run_foreach_batch_upsert(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        # Materialize before overwrite (reading and overwriting the same
-        # path in one plan is undefined).
-        latest.cache().count()
-        latest.write.mode("overwrite").parquet(state_dir)
-        latest.unpersist()
+        # Full write completes while state_dir is still intact — any task
+        # retry/recompute during the write re-reads valid source data.
+        tmp_dir = f"{state_dir}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
+        latest.write.mode("overwrite").parquet(tmp_dir)
+        # Swap: retire the old generation, promote the new one.  (On a
+        # real object store this is the table-format commit step — e.g.
+        # an Iceberg/Delta metadata swap; local FS rename is its twin.)
+        old_dir = f"{state_dir}.old-{batch_id}"
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old_dir)
+        os.rename(tmp_dir, state_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     q = (
         events.writeStream.foreachBatch(upsert)

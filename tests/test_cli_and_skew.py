@@ -80,19 +80,28 @@ def test_salted_sum_equals_direct(spark, sf_dir):
 
 
 # Pure-python restatement of the reference tokenizer
-# (reference src/mapper.c:14-42: maximal [a-z0-9] runs after towlower,
-# ASCII corpus) — the spec our Spark expression must match.
+# (reference src/mapper.c:14-42: maximal alnum runs after towlower, with
+# iswalnum Unicode-aware under setlocale) — the spec our Spark expression
+# must match.  Python re has no \p{L}; [\W_]+ is the exact twin
+# (functions/text.py PY_TOKEN_SPLIT_RE).
 def _reference_tokenize(text: str) -> list[str]:
-    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    return [t for t in re.split(r"[\W_]+", text.lower()) if t]
+
+
+# ASCII + Cyrillic + a CJK slice: exercises the Unicode classes while
+# avoiding the few codepoints where Java and Python LOWERCASING (not
+# tokenization) disagree (e.g. U+0130 Turkish dotted I).
+_TOKEN_ALPHABET = st.characters(
+    min_codepoint=32, max_codepoint=126
+) | st.characters(min_codepoint=0x400, max_codepoint=0x45F) | st.characters(
+    min_codepoint=0x4E00, max_codepoint=0x4E2F
+)
 
 
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(
-        st.text(
-            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
-            max_size=60,
-        ),
+        st.text(alphabet=_TOKEN_ALPHABET, max_size=60),
         min_size=1,
         max_size=8,
     )
