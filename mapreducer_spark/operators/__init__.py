@@ -16,6 +16,7 @@ from mapreducer_spark.operators import (  # noqa: F401
     sessions,
     similarity,
     textstats,
+    tpch_more,
     windows,
     wordcount,
 )

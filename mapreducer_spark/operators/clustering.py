@@ -34,9 +34,16 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ``edges`` is an undirected pair list (one row per edge, either
     orientation).
     """
-    sym = edges.select(
+    # Materialize the directed edge list FIRST: the symmetric union below
+    # is two plan branches over `edges`, which would execute the whole
+    # upstream pair-detection pipeline twice (column-swapped branches are
+    # not ReusedExchange candidates).
+    base = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    ).localCheckpoint(eager=True)
+    sym = base.unionByName(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     # Materialize the edge list ONCE: every round joins against it, and
     # without this the full upstream pair-detection pipeline re-executes
     # per round (measured 87s -> 26s at sf0.1).  The graph after pair
@@ -51,8 +58,14 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .repartition(8, "b")
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select("v", F.col("v").alias("comp"))
-    prev_sum = None
+    # Round 0 fused: with identity labels the join against `labels` is a
+    # no-op (sym ⋈ id = sym), so the first "min over self+neighbors" is
+    # just an aggregation over the self-looped edge list — one shuffle
+    # saved every run.
+    labels = (
+        sym.groupBy(F.col("a").alias("v")).agg(F.min("b").alias("comp"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     converged = False
 
     for _round in range(_MAX_ROUNDS):

@@ -193,6 +193,22 @@ def _token_hash_sets(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _pair_structs(ids):
+    """All i<j pairs from a sorted id array, as structs (id_a, id_b) —
+    join-free pair generation shared by the blocked-Jaccard and LSH
+    paths (see dedup_minhash_lsh docstring for why this beats a
+    self-join)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 @register(
     "neardup_jaccard_blocked",
     oracle=f"""
@@ -228,10 +244,22 @@ def neardup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token arrays through the block self-join and intersecting per pair
     # (6.8s vs 13.8s at sf0.1), and it's the formulation that scales —
     # shuffle rows are (block, hash, id), never whole documents.
-    ts = _token_hash_sets(docs_with_near_dups(spark, sf_dir)).select(
-        "doc_id",
-        F.regexp_extract(F.col("text"), "^[a-z0-9]+", 0).alias("block"),
-        "tok_set",
+    # (A collect_set + in-array i<j expansion — the LSH trick below — was
+    # measured SLOWER here, 7.9s vs 4.8s: unlike LSH buckets, common
+    # (block, token) groups are large, and materializing m^2 pair structs
+    # per group row beats streaming them through a join only when m is
+    # tiny.)
+    ts = (
+        _token_hash_sets(docs_with_near_dups(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.regexp_extract(F.col("text"), "^[a-z0-9]+", 0).alias("block"),
+            "tok_set",
+        )
+        # Materialize once: `sizes` and the two join branches would
+        # otherwise each re-scan and re-tokenize the corpus (4.8s vs
+        # 6.4s at sf0.1).
+        .localCheckpoint(eager=True)
     )
     sizes = ts.select("doc_id", F.size("tok_set").alias("sz"))
     tok_rows = ts.select("doc_id", "block", F.explode("tok_set").alias("h"))
@@ -369,28 +397,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and shuffles only (band, bucket, ids).  LSH keeps buckets small by
     # construction; a pathological mega-bucket (skew) would need a cap or
     # salting guard before the quadratic expansion.
-    ids = F.col("ids")
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     candidates = (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(_pair_structs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
 
-    ts = _token_hash_sets(corpus).select("doc_id", "tok_set")
+    # Materialized once: joined twice below (id_a and id_b branches would
+    # otherwise each re-tokenize the corpus).
+    ts = (
+        _token_hash_sets(corpus)
+        .select("doc_id", "tok_set")
+        .localCheckpoint(eager=True)
+    )
     with_sets = candidates.join(
         ts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("tok_set", "set_a"),
         "id_a",

@@ -172,3 +172,85 @@ def lineitem_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_k.alias("null_orderkey"),
         ((bad_q == 0) & (bad_d == 0) & (null_k == 0)).alias("all_valid"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: referential-integrity audit across the star schema
+# --------------------------------------------------------------------------
+
+
+@register(
+    "referential_integrity_checks",
+    oracle="""
+SELECT 'lineitem_orphan_orderkey' AS check_name, COUNT(*) AS n_violations
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem_orphan_partkey', COUNT(*)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem_orphan_suppkey', COUNT(*)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders_orphan_custkey', COUNT(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'orders_duplicate_pk', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'lineitem_duplicate_pk',
+       COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber) FROM lineitem
+""",
+    doc="Referential-integrity audit (data-quality gate): orphan foreign "
+    "keys via LEFT ANTI joins + primary-key uniqueness, one row per rule. "
+    "Anti joins broadcast the smaller key set; each check is a single "
+    "pass over its fact table — the pattern for pre-training-data "
+    "contract enforcement at 100 TB.",
+    tags=("quality", "join", "anti"),
+)
+def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def violation_count(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    orphans = [
+        violation_count(
+            "lineitem_orphan_orderkey",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        violation_count(
+            "lineitem_orphan_partkey",
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti"),
+        ),
+        violation_count(
+            "lineitem_orphan_suppkey",
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_anti"),
+        ),
+        violation_count(
+            "orders_orphan_custkey",
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+    ]
+    dup_orders = o.agg(
+        F.lit("orders_duplicate_pk").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    )
+    dup_lineitem = li.agg(
+        F.lit("lineitem_duplicate_pk").alias("check_name"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.col("l_orderkey") * 100 + F.col("l_linenumber")
+            )
+        ).alias("n_violations"),
+    )
+    out = orphans[0]
+    for part_df in orphans[1:] + [dup_orders, dup_lineitem]:
+        out = out.unionByName(part_df)
+    return out

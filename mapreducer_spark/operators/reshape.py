@@ -136,3 +136,87 @@ def rapid_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("gap_sec"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: unpivot (wide -> long) and broadcast band join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+WITH per_order AS (
+  SELECT
+    l_orderkey,
+    CAST(COUNT(*) AS DOUBLE)                                    AS n_items,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS total_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, 'n_items' AS metric, n_items AS metric_value FROM per_order
+UNION ALL
+SELECT l_orderkey, 'total_qty', total_qty FROM per_order
+UNION ALL
+SELECT l_orderkey, 'gross_revenue', gross_revenue FROM per_order
+""",
+    doc="Unpivot / melt (wide -> long): per-order lineitem metrics as "
+    "(order, metric, value) rows via DataFrame.unpivot — the inverse of "
+    "pivot_status_revenue. Map-side only after the one aggregation "
+    "shuffle; the 3x row expansion never re-shuffles.",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+        dec_sum("l_quantity").alias("total_qty"),
+        dec_sum("l_extendedprice").alias("gross_revenue"),
+    )
+    return per_order.unpivot(
+        ids=["l_orderkey"],
+        values=["n_items", "total_qty", "gross_revenue"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+# Fixed value tiers — mirrored literally in the oracle VALUES list.
+_VALUE_TIERS = (("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9))
+
+
+@register(
+    "event_value_band_join",
+    oracle=f"""
+WITH tiers(tier, lo, hi) AS (
+  VALUES {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _VALUE_TIERS)}
+)
+SELECT
+  tier,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN tiers ON "value" >= lo AND "value" < hi
+GROUP BY tier
+""",
+    doc="Band (range-interval) join: events joined to a tiny tier table "
+    "on value BETWEEN bounds — no equi-key. Spark plans a "
+    "BroadcastNestedLoopJoin, the right strategy when one side is a "
+    "handful of rows; the fact side never shuffles for the join.",
+    tags=("join", "range"),
+)
+def event_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        list(_VALUE_TIERS), schema="tier string, lo double, hi double"
+    )
+    return (
+        e.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+    )

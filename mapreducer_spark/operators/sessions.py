@@ -157,3 +157,65 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: SCD2 (slowly-changing-dimension type 2) interval construction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scd2_event_type_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT
+  user_id,
+  event_type,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  strftime(
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+    '%Y-%m-%d %H:%M:%S'
+  ) AS valid_to
+FROM changes
+""",
+    doc="SCD2 history build: collapse each user's event stream into "
+    "(event_type, valid_from, valid_to) validity intervals — a new "
+    "interval opens when the type changes (lag), closes at the next "
+    "change (lead), open-ended = NULL. The incremental-dimension pattern: "
+    "one shuffle on user_id, two window passes, no self-join.",
+    tags=("events", "window", "scd2"),
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+    )

@@ -278,3 +278,58 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: per-label centroids (the IVF coarse-quantizer building block)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_per_label",
+    oracle="""
+WITH flat AS (
+  SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS val
+  FROM embeddings, range(1, 1000) t(pos)
+  WHERE t.pos <= len(embedding)
+),
+agg AS (
+  SELECT label, pos,
+    round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS m,
+    COUNT(*) AS n
+  FROM flat GROUP BY label, pos
+)
+SELECT label, MAX(n) AS n_vectors, list(m ORDER BY pos) AS centroid
+FROM agg GROUP BY label
+""",
+    doc="Mean embedding per label — the distributed vector-mean that "
+    "seeds IVF/k-means coarse quantizers. posexplode -> per-(label, "
+    "dimension) decimal-exact mean -> re-assemble ordered array; shuffle "
+    "rows are (label, pos, partial sum), never whole vectors. Rounded at "
+    "6dp so the cross-engine float->double expansion agrees.",
+    tags=("llm", "similarity", "vector"),
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    agg = flat.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("centroid"),
+    )

@@ -293,3 +293,59 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.array_min(shingle_hashes).alias("fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: n-gram statistics
+# --------------------------------------------------------------------------
+
+_BIGRAM_TOPK = 30
+
+
+@register(
+    "bigram_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(
+    generate_series(1, len(t) - 1),
+    i -> t[i] || ' ' || t[i + 1]
+  )) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM big
+GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT {_BIGRAM_TOPK}
+""",
+    doc="Top bigrams over the corpus (L4 n-gram statistics). The token "
+    "array is materialized as a column BEFORE the pairing lambda "
+    "(Catalyst re-evaluates non-materialized expressions per element); "
+    "pairing is map-side, the only shuffle carries (bigram, partial "
+    "count). Deterministic tie-break on the bigram text.",
+    tags=("llm", "text", "ngram"),
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    with_toks = d.select("doc_id", _tokens_col().alias("t")).where(
+        F.size("t") >= 2
+    )
+    # sequence(1, size-1) is ascending only when size >= 2 — Spark's
+    # sequence(1, 0) would yield a DESCENDING [1, 0], so the size guard
+    # above is load-bearing, not just an optimization.
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    return (
+        with_toks.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(_BIGRAM_TOPK)
+    )

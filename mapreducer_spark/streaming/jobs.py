@@ -230,3 +230,53 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return name, q
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame, purchases: DataFrame, horizon_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a click by the
+    same user within ``horizon_minutes`` (SURVEY.md §2.9).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on BOTH ends — that is what lets Spark expire buffered state: a click
+    older than (purchase watermark - horizon) can never match again and
+    is evicted, so state is rate x horizon regardless of stream length.
+    Same-stream-different-filter works because each side is its own
+    readStream lineage.
+    """
+    c = (
+        clicks.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return c.join(
+        p,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("secs_to_purchase"),
+    )

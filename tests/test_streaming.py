@@ -58,3 +58,24 @@ def test_stateful_counts_match_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import click_purchase_join_stream
+
+    stream = click_purchase_join_stream(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    name, _ = run_stream_to_memory(stream, output_mode="append")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.secs_to_purchase)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # Batch twin: same join, plain DataFrames.
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.click_id, r.purchase_id, r.secs_to_purchase)
+        for r in click_purchase_join_stream(e, e).collect()
+    }
+    assert got == want and len(got) > 0
