@@ -49,14 +49,34 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plan, not session startup; run one full query (codegen, shuffle
-    # machinery, AQE) so the alphabetically-first timed query doesn't pay
-    # residual warmup.
+    # machinery, AQE) plus a generic join+window+explode warmer so the
+    # first timed query of each operator family doesn't pay the one-time
+    # whole-stage-codegen compile for that machinery.  (Measured: the
+    # first window+join-heavy query in a cold session runs ~2x its warm
+    # time purely from JIT/codegen.)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from mapreducer_spark.operators.wordcount import word_count_df
     from mapreducer_spark.sources import TABLES, load_table
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     word_count_df(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(F.explode(F.array("l_quantity", "l_discount")).alias("x"))
+        .groupBy()
+        .agg(F.sum("x"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     for name, q in sorted(queries.items()):
         t0 = time.perf_counter()

@@ -50,11 +50,15 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     # detection is small relative to the corpus, so compact it to few
     # partitions — per-round job latency (many tiny tasks), not data
     # volume, dominates the loop.
-    vertices = sym.select(F.col("a").alias("v")).distinct()
     # Self-loops fold "min over self and neighbors" into ONE join+agg per
     # round (no separate left join to merge the vertex's own label).
+    # Built straight from edge endpoints — duplicates are harmless under
+    # min() and skipping the vertices.distinct() saves a shuffle.
+    self_loops = base.select(
+        F.col("a"), F.col("a").alias("b")
+    ).unionByName(base.select(F.col("b").alias("a"), F.col("b")))
     sym = (
-        sym.unionByName(vertices.select(F.col("v").alias("a"), F.col("v").alias("b")))
+        sym.unionByName(self_loops)
         .repartition(8, "b")
         .localCheckpoint(eager=True)
     )

@@ -92,3 +92,46 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     plan = formatted_plan(word_count_topk(spark, sf_dir))
     # orderBy+limit must compile to TakeOrderedAndProject, not a global Sort.
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_band_join_broadcasts_tiers(spark, sf_dir):
+    """A 3-row range-predicate dim must plan as BroadcastNestedLoopJoin —
+    the fact side must NOT shuffle for the join."""
+    from mapreducer_spark.operators.reshape import event_value_band_join
+
+    plan = formatted_plan(event_value_band_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_returned_items_pushdown_and_broadcast(spark, sf_dir):
+    """Q10 shape: the returnflag filter reaches the lineitem scan, the
+    date filter reaches the orders scan, and the dim joins broadcast."""
+    from mapreducer_spark.operators.tpch_more import returned_items_topn
+
+    df = returned_items_topn(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_returnflag" in p for p in pushed), pushed
+    assert any("o_orderdate" in p for p in pushed), pushed
+    assert has_broadcast_hash_join(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_market_share_single_fact_shuffle(spark, sf_dir):
+    """Q8 shape: with every dim broadcast, the only hash-shuffles are the
+    lineitem-orders fact join and the final year aggregation."""
+    from mapreducer_spark.operators.tpch_more import nation_market_share
+
+    plan = formatted_plan(nation_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
+
+
+def test_anti_join_checks_broadcast(spark, sf_dir):
+    """Referential-integrity orphan checks: dim-side anti joins broadcast."""
+    from mapreducer_spark.operators.profiling import (
+        referential_integrity_checks,
+    )
+
+    plan = formatted_plan(referential_integrity_checks(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
