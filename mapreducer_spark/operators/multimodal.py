@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -171,4 +172,115 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("payload", 256).alias("digest"),
         "content_type",
         (F.col("byte_len") > 256).alias("is_large"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 2: image resize + audio feature extraction (stubs with real
+# Spark plumbing, SURVEY.md §2.10 L5)
+# --------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_bytes", BinaryType()),
+    ]
+)
+
+_RESIZE_TARGET = (64, 64)
+
+
+def resize_images_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas image-resize stage.
+
+    Real resizing needs PIL/libvips (absent in this container); the
+    deterministic stand-in emits a fixed-size byte strided sample of the
+    payload, so output size is bounded like a real thumbnail.  The Spark
+    side — binary in, fixed-dimensions binary out, Arrow batches — is
+    the production shape: at 100 TB this is a map-only stage whose
+    output is ~3 orders of magnitude smaller than its input, so it runs
+    BEFORE any shuffle/repartition in a media pipeline.
+    """
+    w, h = _RESIZE_TARGET
+    target_len = w * h // 64  # stub thumbnail byte budget
+    for pdf in batches:
+        out = []
+        for payload in pdf["payload"]:
+            stride = max(1, len(payload) // target_len)
+            out.append(bytes(payload[::stride][:target_len]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([w] * len(pdf), dtype="int32"),
+                "height": pd.Series([h] * len(pdf), dtype="int32"),
+                "resized_bytes": out,
+            }
+        )
+
+
+def resized_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary scan -> Arrow-batched resize (image-modality stub)."""
+    return assets_df(spark, sf_dir).mapInPandas(
+        resize_images_batch, schema=RESIZED_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+_AUDIO_WINDOW_BYTES = 256
+
+
+def audio_features_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas audio feature extraction: treat the payload as signed
+    8-bit PCM and compute per-window RMS + zero-crossing counts.
+
+    Unlike the image/video stages this is NOT a stub — byte-level DSP
+    needs only numpy, so the features are real; swapping in a true codec
+    front-end (ffmpeg decode to PCM) would change only the first line.
+    1 row in -> K window rows out, the shape of any framing stage
+    (spectrograms, VAD, chunked ASR) at scale.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        ids, idxs, rmss, zcs = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+            n_win = len(samples) // _AUDIO_WINDOW_BYTES
+            for wi in range(n_win):
+                w = samples[
+                    wi * _AUDIO_WINDOW_BYTES : (wi + 1) * _AUDIO_WINDOW_BYTES
+                ]
+                ids.append(doc_id)
+                idxs.append(wi)
+                rmss.append(round(float(np.sqrt(np.mean(w * w))), 6))
+                zcs.append(int(np.sum(np.signbit(w[:-1]) != np.signbit(w[1:]))))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(idxs, dtype="int32"),
+                "rms": pd.Series(rmss, dtype="float64"),
+                "zero_crossings": pd.Series(zcs, dtype="int32"),
+            }
+        )
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary scan -> Arrow-batched windowed audio features."""
+    return assets_df(spark, sf_dir).mapInPandas(
+        audio_features_batch, schema=AUDIO_FEATURE_SCHEMA
     )

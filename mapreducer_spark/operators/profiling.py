@@ -254,3 +254,46 @@ def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part_df in orphans[1:] + [dup_orders, dup_lineitem]:
         out = out.unionByName(part_df)
     return out
+
+
+@register(
+    "props_schema_validation",
+    oracle="""
+SELECT
+  COUNT(*) AS n_rows,
+  SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)            AS invalid_json,
+  SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+           THEN 1 ELSE 0 END)                                   AS missing_k,
+  SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           IS NULL AND json_extract_string(props, '$.k') IS NOT NULL
+           THEN 1 ELSE 0 END)                                   AS non_integer_k,
+  SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) < 0
+           THEN 1 ELSE 0 END)                                   AS negative_k,
+  MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))    AS min_k,
+  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))    AS max_k
+FROM events
+""",
+    doc="Semi-structured schema validation gate over events.props (JSON): "
+    "parse-validity, required-key presence, type and range checks, plus "
+    "observed bounds — one aggregation row. The contract-enforcement "
+    "pattern for JSON ingest: all checks are map-side expressions, the "
+    "only shuffle is the final 1-row aggregate.",
+    tags=("quality", "json", "events"),
+)
+def props_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    k_int = k_str.try_cast("bigint")
+    # json_valid twin: a parse that fails yields NULL from from_json.
+    parsed = F.from_json("props", "k BIGINT")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(parsed.isNull(), 1).otherwise(0)).alias("invalid_json"),
+        F.sum(F.when(k_str.isNull(), 1).otherwise(0)).alias("missing_k"),
+        F.sum(
+            F.when(k_int.isNull() & k_str.isNotNull(), 1).otherwise(0)
+        ).alias("non_integer_k"),
+        F.sum(F.when(k_int < 0, 1).otherwise(0)).alias("negative_k"),
+        F.min(k_int).alias("min_k"),
+        F.max(k_int).alias("max_k"),
+    )

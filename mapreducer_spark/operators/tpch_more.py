@@ -379,3 +379,99 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, top.supplier_no == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "shipping_priority_topn",
+    oracle=f"""
+SELECT
+  l_orderkey,
+  {oracle_dec_sum(_REVENUE, 4)} AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    doc="TPC-H Q3: unshipped high-revenue orders for one market segment "
+    "(3-way join, two pushed date filters, top-10 with deterministic "
+    "tie-break).",
+    tags=("join", "tpch", "limit"),
+)
+def shipping_priority_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01")))
+        .join(
+            o.where(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dec_sum(_revenue_col(), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+SELECT
+  n_cust.n_name AS n_name,
+  {oracle_dec_sum(_REVENUE, 4)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n_cust ON c_nationkey = n_cust.n_nationkey
+JOIN region   ON n_cust.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_nationkey = c_nationkey
+GROUP BY 1
+""",
+    doc="TPC-H Q5: revenue where the supplier and customer share a "
+    "nation, per EUROPE nation — the distinctive Q5 shape is the extra "
+    "non-key equality (s_nationkey = c_nationkey) on top of the star "
+    "joins, which prunes the join output before aggregation.",
+    tags=("join", "tpch", "agg"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(dec_sum(_revenue_col(), 4).alias("revenue"))
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducer_spark.functions.agg import dec_sum
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
@@ -177,4 +178,40 @@ def event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
         F.lead("event_type").over(w).alias("next_type"),
         F.first("event_id").over(wf).alias("first_event"),
+    )
+
+
+@register(
+    "customer_spend_distribution",
+    oracle="""
+SELECT
+  c_custkey,
+  total_spend,
+  round(PERCENT_RANK() OVER (ORDER BY total_spend, c_custkey), 6) AS pct_rank,
+  round(CUME_DIST()    OVER (ORDER BY total_spend, c_custkey), 6) AS cume,
+  NTILE(10)            OVER (ORDER BY total_spend, c_custkey)     AS decile
+FROM (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+""",
+    doc="Distributional window functions (percent_rank / cume_dist / "
+    "ntile) over per-customer spend — the analytic ranking family "
+    "completing §2.6. Global ORDER BY window = single-partition stage; "
+    "fine over an aggregated (small) relation, never over raw facts.",
+    tags=("window", "rank"),
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        dec_sum("o_totalprice").alias("total_spend")
+    )
+    w = Window.orderBy("total_spend", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "total_spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
     )

@@ -97,3 +97,51 @@ def test_multimodal_decode_real_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_real(b"\x89PNG")
+
+
+def test_multimodal_resize_bounds_output(spark, sf_dir):
+    from mapreducer_spark.operators.multimodal import (
+        _RESIZE_TARGET,
+        resized_assets,
+    )
+
+    rows = resized_assets(spark, sf_dir).collect()
+    assert len(rows) > 0
+    w, h = _RESIZE_TARGET
+    budget = w * h // 64
+    for r in rows[:50]:
+        assert r.width == w and r.height == h
+        assert 0 < len(r.resized_bytes) <= budget
+
+
+def test_multimodal_audio_features_deterministic(spark, sf_dir):
+    import numpy as np
+
+    from mapreducer_spark.operators.multimodal import (
+        _AUDIO_WINDOW_BYTES,
+        audio_features,
+    )
+    from mapreducer_spark.sources import load_table
+
+    feats = audio_features(spark, sf_dir)
+    got = {
+        (r.doc_id, r.window_idx): (r.rms, r.zero_crossings)
+        for r in feats.collect()
+    }
+    assert len(got) > 0
+    # Recompute one document driver-side: the distributed result must be
+    # bit-identical (Arrow roundtrip does not perturb the math).
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id = 1")
+        .select("text")
+        .collect()[0]
+    )
+    payload = doc.text.encode("utf-8")
+    samples = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+    n_win = len(samples) // _AUDIO_WINDOW_BYTES
+    assert n_win >= 1
+    w0 = samples[:_AUDIO_WINDOW_BYTES]
+    want_rms = round(float(np.sqrt(np.mean(w0 * w0))), 6)
+    want_zc = int(np.sum(np.signbit(w0[:-1]) != np.signbit(w0[1:])))
+    assert got[(1, 0)] == (want_rms, want_zc)
