@@ -220,3 +220,59 @@ def event_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value").alias("total_value"),
         )
     )
+
+
+# Per-stratum sampling rates (percent) — mirrored literally in the oracle.
+_STRATA_PCT = {"1-URGENT": 10, "2-HIGH": 25}
+_DEFAULT_PCT = 50
+
+
+@register(
+    "stratified_sample_orders",
+    oracle=f"""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE {oracle_md5_int64("CAST(o_orderkey AS VARCHAR)")} % 100 <
+  (CASE o_orderpriority
+     {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_PCT.items())}
+     ELSE {_DEFAULT_PCT} END)
+""",
+    doc="Stratified deterministic sampling: per-stratum rates via the "
+    "same cross-engine hash as hash_sampled_orders — downsample "
+    "over-represented strata (the data-mixing primitive for training-"
+    "corpus curation). Row-local predicate: no shuffle, pushdown-safe, "
+    "reproducible across engines and runs.",
+    tags=("sampling", "llm"),
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rate = F.lit(_DEFAULT_PCT)
+    for k, v in reversed(_STRATA_PCT.items()):
+        rate = F.when(F.col("o_orderpriority") == k, F.lit(v)).otherwise(rate)
+    keep = (
+        F.pmod(md5_int64(F.col("o_orderkey").cast("string")), F.lit(100)) < rate
+    )
+    return o.where(keep).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "approx_price_quantiles",
+    oracle=None,  # approx_percentile's sketch has no DuckDB twin ->
+    # rows-only; tests bound its error against the exact quantiles.
+    doc="Approximate percentiles via approx_percentile (Greenwald-Khanna "
+    "sketch: one pass, mergeable partials — the 100 TB path where exact "
+    "per-group sorts are unaffordable). Accuracy 10000 => max rank error "
+    "1e-4; tests assert the result brackets the exact quantile.",
+    tags=("agg", "quantile", "sketch", "rows-only"),
+)
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "median_approx"
+        ),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+            "p90_approx"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

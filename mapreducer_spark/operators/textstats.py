@@ -349,3 +349,75 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
         .limit(_BIGRAM_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: TF-IDF
+# --------------------------------------------------------------------------
+
+_TFIDF_TOPN = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, {ORACLE_TOKENS_SNIPPET} AS tok FROM documents
+  ) WHERE length(tok) > 0
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  SELECT
+    tf.doc_id, tf.tok,
+    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, rnk FROM (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+         ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TFIDF_TOPN}
+""",
+    doc="Top TF-IDF terms per document (L4): term frequency per doc, "
+    "document frequency via a broadcastable term table, idf = ln(N/df). "
+    "Two shuffles total (tf and df aggs); the df join broadcasts — at "
+    "100 TB the term table is ~vocabulary-sized, orders of magnitude "
+    "smaller than the corpus. Deterministic tie-break on the term.",
+    tags=("llm", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()  # scalar corpus size
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .select("doc_id", "tok", tfidf.alias("tfidf"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TFIDF_TOPN)
+    )

@@ -145,3 +145,29 @@ def test_multimodal_audio_features_deterministic(spark, sf_dir):
     want_rms = round(float(np.sqrt(np.mean(w0 * w0))), 6)
     want_zc = int(np.sum(np.signbit(w0[:-1]) != np.signbit(w0[1:])))
     assert got[(1, 0)] == (want_rms, want_zc)
+
+
+def test_approx_quantiles_bracket_exact(spark, sf_dir):
+    """The sketch result must sit within the exact quantile neighborhood
+    (rank error 1e-4 at accuracy=10000 -> exact on fixture cardinality)."""
+    from mapreducer_spark.operators.reshape import approx_price_quantiles
+    from mapreducer_spark.sources import load_table
+
+    got = {
+        r.o_orderpriority: (r.median_approx, r.p90_approx)
+        for r in approx_price_quantiles(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    for prio, (med, p90) in got.items():
+        vals = sorted(
+            r.o_totalprice
+            for r in o.where(F.col("o_orderpriority") == prio).collect()
+        )
+        import math
+
+        lo_m = vals[max(0, math.floor(0.5 * (len(vals) - 1)) - 2)]
+        hi_m = vals[min(len(vals) - 1, math.ceil(0.5 * (len(vals) - 1)) + 2)]
+        assert lo_m <= med <= hi_m, (prio, med, lo_m, hi_m)
+        lo_p = vals[max(0, math.floor(0.9 * (len(vals) - 1)) - 2)]
+        hi_p = vals[min(len(vals) - 1, math.ceil(0.9 * (len(vals) - 1)) + 2)]
+        assert lo_p <= p90 <= hi_p, (prio, p90, lo_p, hi_p)
