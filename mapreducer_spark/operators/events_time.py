@@ -152,3 +152,123 @@ def event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_of("purchase").alias("n_purchase"),
         ((n_of("purchase") > 0) & (n_of("view") > 0)).alias("converted"),
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+SELECT
+  CAST(dayofweek(ts) AS INT)  AS dow,
+  CAST(hour(ts) AS INT)       AS hod,
+  COUNT(*)                    AS n_events,
+  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Day-of-week x hour-of-day activity heatmap — the standard "
+    "event-cadence rollup; one map-side-combined aggregation. (DuckDB "
+    "dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday, so the Spark "
+    "side subtracts 1 to pin the shared convention.)",
+    tags=("events", "agg"),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("total_value"),
+    )
+
+
+_PROFILE_TOPK = 5
+
+
+@register(
+    "user_activity_similarity",
+    oracle=f"""
+WITH spine AS (
+  SELECT user_id, h.hod
+  FROM (SELECT DISTINCT user_id FROM events),
+       (SELECT unnest(generate_series(0, 23)) AS hod) h
+),
+counts AS (
+  SELECT user_id, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+profiles AS (
+  SELECT s.user_id,
+         list(CAST(COALESCE(c.cnt, 0) AS DOUBLE) ORDER BY s.hod) AS v
+  FROM spine s LEFT JOIN counts c
+    ON s.user_id = c.user_id AND s.hod = c.hod
+  GROUP BY s.user_id
+),
+scored AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS sim
+  FROM profiles a JOIN profiles b ON a.user_id <> b.user_id
+)
+SELECT user_a, user_b, sim, rnk FROM (
+  SELECT user_a, user_b, sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_a ORDER BY sim DESC, user_b ASC
+         ) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_PROFILE_TOPK}
+""",
+    doc="Time-series similarity search (EDBT'19 family): per-user 24-dim "
+    "hour-of-day activity profile (dense via an hour spine), pairwise "
+    "cosine, top-5 most-similar users each. The profile table is "
+    "|users| x 24 — tiny relative to the event stream, so the pairwise "
+    "stage broadcasts; the heavy lifting is one map-side-combined "
+    "aggregation over the raw events.",
+    tags=("events", "similarity", "timeseries"),
+)
+def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    users = e.select("user_id").distinct()
+    spine = users.crossJoin(
+        spark.range(24).select(F.col("id").cast("int").alias("hod"))
+    )
+    profiles = (
+        spine.join(counts, ["user_id", "hod"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "hod",
+                            F.coalesce(F.col("cnt"), F.lit(0))
+                            .cast("double")
+                            .alias("cnt"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("cnt"),
+            ).alias("v")
+        )
+    )
+    a = profiles.select(F.col("user_id").alias("user_a"), F.col("v").alias("va"))
+    b = profiles.select(F.col("user_id").alias("user_b"), F.col("v").alias("vb"))
+    w = Window.partitionBy("user_a").orderBy(F.col("sim").desc(), F.col("user_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("user_a") != F.col("user_b"))
+        .select(
+            "user_a",
+            "user_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _PROFILE_TOPK)
+    )

@@ -136,3 +136,36 @@ def word_count_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "word_count_ascii",
+    oracle="""
+SELECT word, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents
+)
+WHERE length(word) > 0
+GROUP BY word
+""",
+    doc="ASCII-restricted tokenizer variant ([a-z0-9] runs after lower) — "
+    "the round-1 default, kept as the explicit opt-in contrast to the "
+    "Unicode \\p{L}\\p{N} flagship (functions/text.py *_ASCII constants; "
+    "reference src/mapper.c iswalnum under the C locale behaves this way).",
+    tags=("ref", "agg", "ascii"),
+)
+def word_count_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE_ASCII
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), SPARK_TOKEN_SPLIT_RE_ASCII)
+            ).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -774,3 +774,80 @@ def union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         _custkeys_in_year(spark, sf_dir, 1997)
     )
     return u.groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "suppliers_above_avg_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(revenue, 4) AS revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE revenue > (SELECT AVG(revenue) FROM rev)
+""",
+    doc="Suppliers with above-average lifetime revenue — the correlated-"
+    "aggregate-vs-global-aggregate shape (TPC-H Q11-ish without "
+    "partsupp). Spark decorrelates via an empty-frame window average "
+    "over the per-supplier aggregate (|suppliers| rows, one tiny stage).",
+    tags=("agg", "subquery", "tpch"),
+)
+def suppliers_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue")
+    )
+    w_all = Window.partitionBy()
+    above = rev.withColumn("avg_rev", F.avg("revenue").over(w_all)).where(
+        F.col("revenue") > F.col("avg_rev")
+    )
+    return (
+        F.broadcast(above)
+        .join(s, above.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("revenue", 4).alias("revenue"))
+    )
+
+
+@register(
+    "quantity_decile_stats",
+    oracle="""
+SELECT decile,
+       COUNT(*) AS n_items,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT l_quantity, l_extendedprice,
+         NTILE(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS decile
+  FROM lineitem
+)
+GROUP BY decile
+""",
+    doc="Decile banding then per-band stats: global NTILE over a unique "
+    "total order, re-aggregated — the binned-distribution pattern. The "
+    "global sort is the cost driver at scale; the deterministic "
+    "alternative for 100 TB is ntile over approx_percentile cut points.",
+    tags=("window", "agg"),
+)
+def quantity_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    banded = li.select(
+        "l_quantity", "l_extendedprice", F.ntile(10).over(w).alias("decile")
+    )
+    return banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dec_sum("l_extendedprice").alias("revenue"),
+    )

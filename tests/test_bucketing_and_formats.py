@@ -106,3 +106,14 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     r.write.mode("overwrite").json(out)
     back = spark.read.json(out).select("r_regionkey", "r_name")
     assert {tuple(x) for x in back.collect()} == {tuple(x) for x in r.collect()}
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC source/sink (built into Spark, schema-preserving) — the other
+    columnar at-rest format alongside parquet."""
+    out = str(tmp_path / "customer_orc")
+    c = load_table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == c.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in c.collect()}
