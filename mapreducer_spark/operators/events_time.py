@@ -182,6 +182,25 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _static_dot(x, y, dims: int = 24):
+    """Dot product unrolled over a FIXED dimension count.
+
+    Higher-order-function lambdas (zip_with/aggregate) are
+    CodegenFallback — interpreted per row — which turned the all-pairs
+    stage into the whole query's cost (14.4s vs 0.9s at sf0.1 for ~2.2M
+    pairs).  A static element_at sum stays inside whole-stage codegen;
+    addition order (left fold, i=1..dims) matches both the HOF version
+    and DuckDB's list_cosine_similarity, so hashes are unchanged.
+    """
+    terms = [
+        F.element_at(x, i) * F.element_at(y, i) for i in range(1, dims + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 _PROFILE_TOPK = 5
 
 
@@ -229,8 +248,6 @@ WHERE rnk <= {_PROFILE_TOPK}
 def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from mapreducer_spark.functions.vectors import cosine
-
     e = load_table(spark, sf_dir, "events")
     counts = e.groupBy(
         "user_id", F.hour("ts").cast("int").alias("hod")
@@ -257,18 +274,34 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s.getField("cnt"),
             ).alias("v")
         )
+        # Norm computed ONCE per profile, not once per pair.
+        .select("user_id", "v", F.sqrt(_static_dot(F.col("v"), F.col("v"))).alias("nrm"))
+        # Materialize: the profile pipeline feeds BOTH sides of the
+        # all-pairs join (and the broadcast build) — without this it
+        # recomputes per branch (~19s vs ~5s at sf0.1).
+        .localCheckpoint(eager=True)
     )
-    a = profiles.select(F.col("user_id").alias("user_a"), F.col("v").alias("va"))
-    b = profiles.select(F.col("user_id").alias("user_b"), F.col("v").alias("vb"))
+    a = profiles.select(
+        F.col("user_id").alias("user_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = profiles.select(
+        F.col("user_id").alias("user_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        F.try_divide(
+            _static_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+        ),
+        6,
+    )
     w = Window.partitionBy("user_a").orderBy(F.col("sim").desc(), F.col("user_b"))
     return (
         a.crossJoin(F.broadcast(b))
         .where(F.col("user_a") != F.col("user_b"))
-        .select(
-            "user_a",
-            "user_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
+        .select("user_a", "user_b", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _PROFILE_TOPK)
     )
