@@ -421,3 +421,82 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _TFIDF_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: end-to-end corpus curation (the composite pipeline)
+# --------------------------------------------------------------------------
+
+_CURATION_MIN_TOKENS = 10
+_CURATION_SAMPLE_PCT = 80
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len({ORACLE_TOKEN_LIST_SNIPPET}) AS n_tokens
+  FROM documents
+),
+quality AS (
+  SELECT * FROM scored WHERE n_tokens >= {_CURATION_MIN_TOKENS}
+),
+dedup AS (
+  SELECT lang,
+         MIN(doc_id) AS keeper_doc_id,
+         MAX(n_tokens) AS n_tokens
+  FROM quality
+  GROUP BY lang, {oracle_md5_int64("trim(lower(regexp_replace(text, '[ ]+', ' ', 'g')))")}
+),
+sampled AS (
+  SELECT * FROM dedup
+  WHERE {oracle_md5_int64("CAST(keeper_doc_id AS VARCHAR)")} % 100 < {_CURATION_SAMPLE_PCT}
+)
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
+  MIN(keeper_doc_id) AS min_doc_id
+FROM sampled
+GROUP BY lang
+""",
+    doc="End-to-end corpus curation — the composite 100 TB training-data "
+    "job as ONE declarative plan: token-count quality gate -> "
+    "normalization-aware exact dedup (keep min doc per (lang, "
+    "norm-hash)) -> deterministic hash sampling -> per-language corpus "
+    "stats. Catalyst pipelines the whole thing into scan -> map -> one "
+    "dedup shuffle -> one stats shuffle; every stage is an operator "
+    "this engine exposes standalone.",
+    tags=("llm", "text", "dedup", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens_col())
+    quality = d.select("doc_id", "lang", "text", n_tokens.alias("n_tokens")).where(
+        F.col("n_tokens") >= _CURATION_MIN_TOKENS
+    )
+    norm = F.trim(F.lower(F.regexp_replace("text", "[ ]+", " ")))
+    dedup = (
+        quality.select(
+            "doc_id", "lang", "n_tokens", md5_int64(norm).alias("norm_hash")
+        )
+        .groupBy("lang", "norm_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+    )
+    sampled = dedup.where(
+        F.pmod(
+            md5_int64(F.col("keeper_doc_id").cast("string")), F.lit(100)
+        )
+        < _CURATION_SAMPLE_PCT
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.min("keeper_doc_id").alias("min_doc_id"),
+    )

@@ -79,3 +79,56 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         for r in click_purchase_join_stream(e, e).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_rate_source_smoke(spark):
+    """The rate source (readStream format=rate) — the built-in synthetic
+    stream for load/liveness testing; drains a couple of micro-batches
+    into memory and checks monotonically increasing values."""
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM rate_smoke").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+        vals = [r.value for r in spark.sql("SELECT value FROM rate_smoke").collect()]
+        assert len(set(vals)) == len(vals)
+    finally:
+        q.stop()
+
+
+def test_corrupt_json_permissive(spark):
+    """from_json malformed-record behavior: bad JSON yields NULL struct
+    (the PERMISSIVE contract) instead of failing the job — the ingest
+    robustness twin of the props_schema_validation gate."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ("not json",), (None,), ('{"k": "x"}',)], ["props"]
+    )
+    parsed = df.select(
+        F.from_json("props", "k BIGINT").alias("p"),
+        F.get_json_object("props", "$.k").alias("raw_k"),
+    )
+    rows = parsed.collect()
+    assert rows[0].p.k == 1
+    assert rows[1].p.k is None        # malformed -> all-NULL struct fields
+    assert rows[1].raw_k is None
+    assert rows[2].p is None          # NULL in -> NULL out
+    assert rows[3].p.k is None        # wrong type -> NULL field
