@@ -72,3 +72,77 @@ def salted_group_sum(
         partial.groupBy(*key_cols)
         .agg(F.sum("__partial").cast("double").alias(out_name))
     )
+
+
+def global_row_number(
+    df,
+    order_cols: list,
+    n_partitions: int = 32,
+    out_name: str = "rn",
+):
+    """Distributed global row_number over a UNIQUE total order.
+
+    ``Window.orderBy(...)`` without a partitionBy collapses to ONE
+    partition — a non-starter at 100 TB.  The scalable equivalent is the
+    classic two-phase ranking:
+
+    1. range-partition by the sort keys (sampled range bounds keep
+       partitions balanced),
+    2. count rows per partition (tiny driver-side metadata: one long per
+       partition — not data),
+    3. rn = (cumulative offset of this partition) + intra-partition
+       row_number, where the intra-partition window is partitioned by
+       the physical partition id so every window fits in one task.
+
+    The result is identical to the single-partition window for any
+    unique ordering (equal keys co-locate under range partitioning).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # PIN the partitioning: repartitionByRange SAMPLES its range bounds,
+    # and the sizes job below is a separate execution — without a
+    # materialization the final job can re-sample different bounds and
+    # the offsets silently misalign (observed: uneven NTILE buckets).
+    ranged = ranged.localCheckpoint(eager=True)
+    # One row per partition — metadata-sized, so collect() is legitimate.
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.lit(0)
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(
+            offset_expr
+        )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(
+            out_name, (offset_expr + F.row_number().over(w)).cast("int")
+        )
+        .drop("__pid")
+    )
+
+
+def ntile_from_rn(rn_col, total: int, n_tiles: int):
+    """NTILE(n) bucket from a 1-based global row number — the exact
+    semantics of the window function (first ``total % n`` buckets get
+    one extra row), computable without any global window."""
+    from pyspark.sql import functions as F
+
+    q, r = divmod(total, n_tiles)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(rn_col <= big, ((rn_col - 1) / (q + 1)).cast("int") + 1)
+        .otherwise(r + ((rn_col - big - 1) / q).cast("int") + 1)
+        if q > 0
+        else ((rn_col - 1) % n_tiles + 1)  # degenerate: fewer rows than tiles
+    )

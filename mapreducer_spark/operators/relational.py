@@ -838,12 +838,23 @@ GROUP BY decile
     tags=("window", "agg"),
 )
 def quantity_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from mapreducer_spark.functions.agg import global_row_number, ntile_from_rn
 
-    li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    banded = li.select(
-        "l_quantity", "l_extendedprice", F.ntile(10).over(w).alias("decile")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    # Scale-safe global NTILE: a bare Window.orderBy would collapse to a
+    # single partition; instead range-partition + per-partition offsets
+    # give the identical global row number fully distributed, and the
+    # NTILE bucket is pure arithmetic on (rn, total).
+    n_total = li.count()  # metadata scalar (one job over footer stats)
+    ranked = global_row_number(
+        li, ["l_quantity", "l_orderkey", "l_linenumber"]
+    )
+    banded = ranked.select(
+        "l_quantity",
+        "l_extendedprice",
+        ntile_from_rn(F.col("rn"), n_total, 10).alias("decile"),
     )
     return banded.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -123,3 +123,26 @@ def test_tokenizer_matches_reference_semantics(spark, texts):
         for tok in _reference_tokenize(t):
             want[tok] = want.get(tok, 0) + 1
     assert got_counts == set(want.items())
+
+
+def test_global_row_number_matches_single_partition_window(spark, sf_dir):
+    """Distributed two-phase ranking == the single-partition window it
+    replaces, for a unique total order."""
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.agg import global_row_number
+    from mapreducer_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    got = {
+        r.o_orderkey: r.rn
+        for r in global_row_number(
+            o, ["o_totalprice", "o_orderkey"], n_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r.o_orderkey: r.rn
+        for r in o.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
