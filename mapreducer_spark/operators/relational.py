@@ -805,8 +805,10 @@ def suppliers_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("revenue")
     )
-    w_all = Window.partitionBy()
-    above = rev.withColumn("avg_rev", F.avg("revenue").over(w_all)).where(
+    # Global average as a 1-row broadcast joined back (an empty-partition
+    # window would funnel all suppliers through one task).
+    av = rev.agg(F.avg("revenue").alias("avg_rev"))
+    above = rev.crossJoin(F.broadcast(av)).where(
         F.col("revenue") > F.col("avg_rev")
     )
     return (

@@ -368,12 +368,13 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dec_sum(_revenue_col(), 4).alias("total_revenue"))
     )
-    # The aggregate result is |suppliers| rows — a global window max over
-    # it is one tiny single-partition stage, not a scaled shuffle.
-    w_all = Window.partitionBy()
-    top = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(w_all)
-    ).where(F.col("total_revenue") == F.col("max_rev"))
+    # Global max as a 1-row broadcast joined back — unlike an
+    # empty-partition window (which funnels every row through one task),
+    # this stays distributed no matter how many suppliers exist.
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     return (
         F.broadcast(top)
         .join(s, top.supplier_no == s.s_suppkey)

@@ -203,15 +203,24 @@ FROM (
     tags=("window", "rank"),
 )
 def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.agg import global_row_number, ntile_from_rn
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         dec_sum("o_totalprice").alias("total_spend")
     )
-    w = Window.orderBy("total_spend", "c_custkey")
-    return spend.select(
+    # Scale-safe distributional windows: over the UNIQUE ordering
+    # (total_spend, c_custkey) the window functions reduce to arithmetic
+    # on the global row number — percent_rank = (rn-1)/(n-1), cume_dist
+    # = rn/n, ntile via exact bucket arithmetic — so the two-phase
+    # distributed ranking replaces the single-partition global window.
+    n = spend.count()  # metadata scalar
+    ranked = global_row_number(spend, ["total_spend", "c_custkey"])
+    rn = F.col("rn")
+    return ranked.select(
         "c_custkey",
         "total_spend",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(10).over(w).alias("decile"),
+        F.round((rn - 1) / F.lit(max(n - 1, 1)), 6).alias("pct_rank"),
+        F.round(rn / F.lit(n), 6).alias("cume"),
+        ntile_from_rn(rn, n, 10).alias("decile"),
     )
