@@ -22,7 +22,7 @@ through DECIMAL (functions/agg.py) for partition-count invariance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.agg import dec_sum, oracle_dec_sum
