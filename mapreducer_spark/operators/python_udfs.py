@@ -105,3 +105,53 @@ def token_count_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+@register(
+    "order_minmax_norm_pandas",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  round(
+    CASE WHEN mx = mn THEN 0.5
+         ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS price_norm
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+         MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+  FROM orders
+)
+""",
+    doc="Grouped-map Python path (applyInPandas TRANSFORM, not just "
+    "aggregation): per-priority min-max normalization of order prices — "
+    "group in, frame out with the same cardinality. Min/max are exact "
+    "(no float-order drift), so even the Python path hash-matches the "
+    "SQL window formulation. The general escape hatch for per-group "
+    "logic Spark expressions can't state; one shuffle on the group key.",
+    tags=("python", "grouped-map"),
+)
+def order_minmax_norm_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def minmax_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn = pdf["o_totalprice"].min()
+        mx = pdf["o_totalprice"].max()
+        if mx == mn:
+            norm = pd.Series([0.5] * len(pdf))
+        else:
+            norm = (pdf["o_totalprice"] - mn) / (mx - mn)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "price_norm": norm.round(6),
+            }
+        )
+
+    return o.groupBy("o_orderpriority").applyInPandas(
+        minmax_norm,
+        schema="o_orderkey long, o_orderpriority string, price_norm double",
+    )

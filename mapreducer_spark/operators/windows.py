@@ -224,3 +224,50 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rn / F.lit(n), 6).alias("cume"),
         ntile_from_rn(rn, n, 10).alias("decile"),
     )
+
+
+@register(
+    "nth_order_gap",
+    oracle="""
+SELECT
+  o_custkey,
+  strftime(first_dt, '%Y-%m-%d')  AS first_order,
+  strftime(third_dt, '%Y-%m-%d')  AS third_order,
+  CAST(datediff('day', first_dt, third_dt) AS INT) AS days_to_third
+FROM (
+  SELECT DISTINCT
+    o_custkey,
+    NTH_VALUE(o_orderdate, 1) OVER w AS first_dt,
+    NTH_VALUE(o_orderdate, 3) OVER w AS third_dt
+  FROM orders
+  WINDOW w AS (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+)
+WHERE third_dt IS NOT NULL
+""",
+    doc="nth_value over a full-partition frame: time from each "
+    "customer's first to third order — the cohort-velocity metric. "
+    "Completes the analytic-function family (lag/lead/first/last/"
+    "nth_value).",
+    tags=("window", "nth"),
+)
+def nth_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    picked = o.select(
+        "o_custkey",
+        F.nth_value("o_orderdate", 1).over(w).alias("first_dt"),
+        F.nth_value("o_orderdate", 3).over(w).alias("third_dt"),
+    ).distinct()
+    return picked.where(F.col("third_dt").isNotNull()).select(
+        "o_custkey",
+        F.date_format("first_dt", "yyyy-MM-dd").alias("first_order"),
+        F.date_format("third_dt", "yyyy-MM-dd").alias("third_order"),
+        F.datediff("third_dt", "first_dt").cast("int").alias("days_to_third"),
+    )
