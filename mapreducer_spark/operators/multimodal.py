@@ -284,3 +284,46 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets_df(spark, sf_dir).mapInPandas(
         audio_features_batch, schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+@register(
+    "doc_embedding_join",
+    oracle=r"""
+SELECT
+  d.doc_id,
+  d.lang,
+  len(list_filter(string_split_regex(lower(d.text), '[^\p{L}\p{N}]+'),
+                  x -> length(x) > 0)) AS n_tokens,
+  round(sqrt(list_sum(list_transform(e.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+    doc="Cross-modal join: text stats and embedding norm for the same "
+    "asset in one row (documents.doc_id = embeddings.vec_id) — the "
+    "canonical multimodal-table layout where each modality is its own "
+    "columnar table joined on the asset key. One shuffle on the key "
+    "(or zero with co-bucketed ingest, see tests/test_bucketing*).",
+    tags=("llm", "multimodal", "join"),
+)
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+
+    d = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return d.join(em, d.doc_id == em.vec_id).select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(F.sqrt(sq_sum), 6).alias("emb_norm"),
+    )

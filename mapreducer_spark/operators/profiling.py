@@ -297,3 +297,58 @@ def props_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k_int).alias("min_k"),
         F.max(k_int).alias("max_k"),
     )
+
+
+@register(
+    "warehouse_table_stats",
+    oracle="""
+SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+       COUNT(DISTINCT r_regionkey) AS key_ndv FROM region
+UNION ALL
+SELECT 'nation', COUNT(*), COUNT(DISTINCT n_nationkey) FROM nation
+UNION ALL
+SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey) FROM supplier
+UNION ALL
+SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey) FROM part
+UNION ALL
+SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey) FROM lineitem
+UNION ALL
+SELECT 'events', COUNT(*), COUNT(DISTINCT event_id) FROM events
+UNION ALL
+SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id) FROM documents
+UNION ALL
+SELECT 'embeddings', COUNT(*), COUNT(DISTINCT vec_id) FROM embeddings
+""",
+    doc="Catalog-wide ANALYZE: row count + primary-key NDV for every "
+    "warehouse table in one result — the stats a cost-based optimizer "
+    "ingests. Each branch is an independent scan+agg; Spark runs them "
+    "as one job DAG.",
+    tags=("quality", "stats"),
+)
+def warehouse_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = {
+        "region": "r_regionkey",
+        "nation": "n_nationkey",
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    out = None
+    for table, key in keys.items():
+        t = load_table(spark, sf_dir, table)
+        part_df = t.agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("key_ndv"),
+        )
+        out = part_df if out is None else out.unionByName(part_df)
+    return out
