@@ -146,3 +146,48 @@ def test_global_row_number_matches_single_partition_window(spark, sf_dir):
         for r in o.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=_TOKEN_ALPHABET, max_size=40),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_tokenizer_three_way_engine_parity(spark, texts):
+    """The tokenizer CONTRACT (functions/text.py) under random input:
+    Spark's Java-regex split, DuckDB's RE2 split (the oracle side), and
+    the Python-re twin must all produce identical token multisets —
+    this is the invariant every text-family oracle depends on."""
+    import duckdb
+
+    from mapreducer_spark.functions.text import (
+        ORACLE_TOKEN_SPLIT_RE,
+        SPARK_TOKEN_SPLIT_RE,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    spark_toks = sorted(
+        r.w
+        for r in df.select(
+            F.explode(F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .collect()
+    )
+    con = duckdb.connect()
+    duck_toks = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT unnest(string_split_regex(lower(t), '{ORACLE_TOKEN_SPLIT_RE}')) AS w
+            FROM (SELECT unnest(?) AS t)
+            """,
+            [texts],
+        ).fetchall()
+        if r[0]
+    )
+    py_toks = sorted(tok for t in texts for tok in _reference_tokenize(t))
+    assert spark_toks == duck_toks == py_toks
