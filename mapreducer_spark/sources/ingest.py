@@ -73,3 +73,51 @@ def read_warehouse_table(
         if extra in df.columns:
             df = df.drop(extra)
     return df
+
+
+def merge_upsert(
+    updates: DataFrame,
+    target_dir: str,
+    key_cols: list,
+    order_cols: list,
+) -> None:
+    """Batch MERGE-INTO emulation over a plain-parquet target: keep the
+    latest row per key across (existing ∪ updates), where "latest" is
+    max over ``order_cols``.
+
+    Plain parquet has no transactional merge, so the commit protocol is
+    write-to-side-directory + rename swap — the same generation dance
+    the streaming foreachBatch upsert uses (streaming/jobs.py), factored
+    for batch callers.  The previous generation stays intact until the
+    new one is fully written: a task retry mid-write re-reads valid
+    data, and a crash leaves either the old or the new state, never a
+    mix.  (A table format — Iceberg/Delta — replaces the rename with a
+    metadata commit; everything above it is unchanged.)
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    spark = updates.sparkSession
+    try:
+        existing = spark.read.parquet(target_dir).select(*updates.columns)
+    except Exception:
+        existing = None
+    merged = updates if existing is None else updates.unionByName(existing)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tmp_dir = f"{target_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    latest.write.mode("overwrite").parquet(tmp_dir)
+    old_dir = f"{target_dir}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target_dir):
+        os.rename(target_dir, old_dir)
+    os.rename(tmp_dir, target_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)

@@ -59,3 +59,24 @@ def test_ingest_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     pruned = scan_output_rows(df)
     total = load_table(spark, sf_dir, "orders").count()
     assert 0 < pruned < total
+
+
+def test_batch_merge_upsert(spark, sf_dir, tmp_path):
+    """Two successive merges: later ts wins per key; unseen keys insert."""
+    from mapreducer_spark.sources.ingest import merge_upsert
+
+    target = str(tmp_path / "state")
+    first = spark.createDataFrame(
+        [(1, 100, 10.0), (2, 101, 20.0)], "k long, ts long, v double"
+    )
+    merge_upsert(first, target, ["k"], ["ts"])
+    second = spark.createDataFrame(
+        [(2, 99, 99.0), (3, 102, 30.0), (2, 103, 25.0)],
+        "k long, ts long, v double",
+    )
+    merge_upsert(second, target, ["k"], ["ts"])
+    got = {
+        r.k: (r.ts, r.v) for r in spark.read.parquet(target).collect()
+    }
+    # k=1 untouched, k=2 takes ts=103 (stale 99 ignored), k=3 inserted.
+    assert got == {1: (100, 10.0), 2: (103, 25.0), 3: (102, 30.0)}
