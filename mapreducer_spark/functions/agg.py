@@ -146,3 +146,37 @@ def ntile_from_rn(rn_col, total: int, n_tiles: int):
         if q > 0
         else ((rn_col - 1) % n_tiles + 1)  # degenerate: fewer rows than tiles
     )
+
+
+def salted_join(
+    fact: "DataFrame",
+    dim: "DataFrame",
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+):
+    """Skew-resistant equi-join: salt the fact side, replicate the dim
+    side across all salts, join on (key, salt).
+
+    A hot fact key no longer lands on one reducer — its rows spread over
+    ``n_salts`` tasks, each joining against a replicated dim row.  Same
+    result set as the plain join (replication x disjoint salt ranges =
+    exactly one match per original pair).  Use when AQE's skew-join
+    splitting can't help (e.g. the skewed side feeds an aggregation, or
+    a non-AQE engine); cost is dim inflated n_salts x, so keep the dim
+    the small side.
+    """
+    from pyspark.sql import functions as F
+
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (F.col(fact_key) == F.col(dim_key))
+        & (salted_fact["__salt"] == salted_dim["__salt"]),
+    )
+    return joined.drop("__salt")

@@ -864,3 +864,34 @@ def quantity_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_quantity").alias("max_qty"),
         dec_sum("l_extendedprice").alias("revenue"),
     )
+
+
+@register(
+    "salted_user_event_counts",
+    oracle="""
+SELECT
+  c_custkey,
+  c_mktsegment,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+    doc="Skew-resistant salted join as a query (SURVEY.md §4.3): the "
+    "fact side is salted, the dim side replicated across salts, so a "
+    "hot user key spreads over n_salts tasks instead of one. Result set "
+    "identical to the plain join (the oracle IS the plain join) — "
+    "salting is purely a physical rebalance. Decimal sums keep the "
+    "post-join aggregation partition-order invariant.",
+    tags=("join", "skew"),
+)
+def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.agg import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, "user_id", "c_custkey", n_salts=8)
+    return joined.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("total_value"),
+    )
