@@ -3,6 +3,7 @@
 from mapreducer_spark.operators import (  # noqa: F401
     asof,
     clustering,
+    curation,
     dedup,
     events_time,
     frames_maps,

@@ -1,0 +1,327 @@
+"""Corpus-curation operators for LLM training pipelines (SURVEY.md §2.10 L4).
+
+Four classic pretraining-data ops, each Spark-first and oracle-checked:
+
+- benchmark contamination: flag training docs sharing any word n-gram
+  with a held-out benchmark split (the standard decontamination pass).
+- Gopher-style repetition rules: per-doc duplicate-token and
+  top-bigram fractions with a keep/drop verdict — pure per-row
+  expressions, zero shuffle, embarrassingly parallel at 100 TB.
+- n-gram novelty: fraction of a doc's n-grams first seen in that doc
+  (scanning in doc_id order) — a cheap corpus-growth / redundancy curve.
+- DSIR importance weights: per-doc average log-likelihood ratio between
+  a target-domain unigram LM and the background corpus LM (Xie et al.
+  2023, "Data Selection for Language Models via Importance Resampling"),
+  the standard importance-sampling score for domain upweighting.
+
+Determinism contract: every float that survives an aggregation is
+rounded per-token/per-gram to 6 dp, summed as DECIMAL (partition-order
+invariant), then rounded again for output — same recipe as
+doc_unigram_logprob, mirrored literally in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreducer_spark.functions.text import (
+    ORACLE_TOKEN_SPLIT_RE,
+    SPARK_TOKEN_SPLIT_RE,
+)
+from mapreducer_spark.registry import register
+from mapreducer_spark.sources import load_table
+
+_ORACLE_TOKS = (
+    "list_filter(string_split_regex(lower(text), "
+    f"'{ORACLE_TOKEN_SPLIT_RE}'), x -> length(x) > 0)"
+)
+
+# Contamination / novelty n-gram width.  The reference decontamination
+# recipe uses 13-grams on web text; the synthetic docs are 10-99 tokens
+# from a small vocabulary, so 4 keeps both regimes (some overlap, far
+# from all-overlap) observable at test scale.
+_NGRAM = 4
+_BENCH_SOURCE = "src0"  # the held-out "benchmark" split
+
+
+def _toks_col():
+    return F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
+    )
+
+
+def word_ngrams(t, n: int):
+    """Array of space-joined word n-grams over a MATERIALIZED token-array
+    column ``t``.  Caller must pre-filter ``size(t) >= n`` (a shorter doc
+    would make ``sequence(1, size-n+1)`` count DOWN — Spark's sequence
+    defaults to step -1 for descending bounds — yielding garbage grams
+    rather than an error).
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+
+
+def _oracle_ngrams(tcol: str, n: int) -> str:
+    """DuckDB twin of word_ngrams (1-based inclusive list slicing)."""
+    return (
+        f"list_transform(generate_series(1, len({tcol}) - {n - 1}), "
+        f"i -> array_to_string({tcol}[i:i + {n - 1}], ' '))"
+    )
+
+
+@register(
+    "contamination_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_ORACLE_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest({_oracle_ngrams('t', _NGRAM)}) AS gram
+  FROM toks WHERE len(t) >= {_NGRAM}
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE source = '{_BENCH_SOURCE}'),
+train AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE source <> '{_BENCH_SOURCE}'
+)
+SELECT doc_id, COUNT(*) AS n_shared_ngrams
+FROM train JOIN bench USING (gram)
+GROUP BY doc_id
+""",
+    doc="Benchmark decontamination (L4): training docs sharing any "
+    f"{_NGRAM}-gram with the '{_BENCH_SOURCE}' benchmark split, with the "
+    "count of distinct shared grams. The benchmark gram set is tiny "
+    "relative to the corpus, so it is broadcast — the training side "
+    "streams through a map-side hash join with no shuffle of the corpus; "
+    "at 100 TB the only shuffle is the per-doc distinct+count.",
+    tags=("llm", "quality", "dedup"),
+)
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _toks_col().alias("t")
+    )
+    d = d.where(F.size("t") >= _NGRAM)
+    grams = d.select(
+        "doc_id", "source", F.explode(word_ngrams(F.col("t"), _NGRAM)).alias("gram")
+    )
+    bench = (
+        grams.where(F.col("source") == _BENCH_SOURCE).select("gram").distinct()
+    )
+    train = (
+        grams.where(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021 table A1 uses
+# dup-line/top-2gram fractions on web text; adapted to the synthetic
+# small-vocab docs so both verdicts occur at test scale).
+_MIN_TOKENS = 30
+_DUP_TOKEN_MAX = 0.75
+_TOP_BIGRAM_MAX = 0.08
+
+
+@register(
+    "gopher_repetition_rules",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS t FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_frac,
+         CAST(list_max(list_transform(
+                list_distinct({_oracle_ngrams('t', 2)}),
+                g -> len(list_filter({_oracle_ngrams('t', 2)}, x -> x = g))
+              )) AS DOUBLE) / (len(t) - 1) AS top_bigram
+  FROM base WHERE len(t) >= 2
+)
+SELECT doc_id, n_tokens,
+       round(dup_frac, 6) AS dup_token_frac,
+       round(top_bigram, 6) AS top_bigram_frac,
+       (n_tokens >= {_MIN_TOKENS}
+        AND dup_frac <= {_DUP_TOKEN_MAX}
+        AND top_bigram <= {_TOP_BIGRAM_MAX}) AS keep
+FROM m
+""",
+    doc="Gopher-style repetition quality rules (L4): per-doc duplicate-"
+    "token fraction and top-bigram fraction with a keep/drop verdict. "
+    "Pure per-row expressions over the token array — no explode, no "
+    "shuffle, one parquet scan; the O(n^2) distinct-bigram count is "
+    "bounded by doc length, not corpus size, so the op is embarrassingly "
+    "parallel at 100 TB. Verdict comparisons use unrounded doubles "
+    "(integer-ratio divisions are exact in IEEE754 on both engines); "
+    "rounding is output-only.",
+    tags=("llm", "quality", "text"),
+)
+def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks_col().alias("t")
+    )
+    d = d.where(F.size("t") >= 2)
+    t = F.col("t")
+    n = F.size(t)
+    bigrams = word_ngrams(t, 2)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    ).cast("double") / (n - F.lit(1))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(top_bigram, 6).alias("top_bigram_frac"),
+        (
+            (n >= _MIN_TOKENS)
+            & (dup_frac <= _DUP_TOKEN_MAX)
+            & (top_bigram <= _TOP_BIGRAM_MAX)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest({_oracle_ngrams('t', _NGRAM)}) AS gram
+  FROM toks WHERE len(t) >= {_NGRAM}
+),
+firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       round(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+FROM grams JOIN firsts USING (gram)
+GROUP BY doc_id
+""",
+    doc=f"n-gram novelty curve (L4): per doc, the fraction of its "
+    f"distinct {_NGRAM}-grams whose first corpus occurrence (min doc_id) "
+    "is this doc — the redundancy signal behind dedup-aware data "
+    "scheduling. One shuffle on gram (min-doc aggregation, map-side "
+    "combinable) + one shuffle back on doc_id; gram keys are "
+    "high-cardinality and uniform, so no skew at 100 TB.",
+    tags=("llm", "dedup", "text"),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks_col().alias("t")
+    )
+    grams = (
+        d.where(F.size("t") >= _NGRAM)
+        .select("doc_id", F.explode(word_ngrams(F.col("t"), _NGRAM)).alias("gram"))
+        .distinct()
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_ORACLE_TOKS}) AS tok FROM documents
+),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+bg AS (SELECT tok, COUNT(*) AS cb FROM tok GROUP BY tok),
+nbg AS (SELECT COUNT(*) AS nb FROM tok),
+tgt AS (
+  SELECT tok, COUNT(*) AS ct FROM tok
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY tok
+),
+ntgt AS (
+  SELECT COUNT(*) AS nt FROM tok WHERE lang = '{_DSIR_TARGET_LANG}'
+),
+scored AS (
+  SELECT doc_id,
+         round(log2(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (nt + v))
+               - log2(CAST(cb + 1 AS DOUBLE) / (nb + v)), 6) AS llr
+  FROM tok
+  LEFT JOIN tgt USING (tok)
+  JOIN bg USING (tok)
+  CROSS JOIN vocab CROSS JOIN nbg CROSS JOIN ntgt
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       round(CAST(SUM(CAST(llr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS dsir_weight
+FROM scored
+GROUP BY doc_id
+""",
+    doc="DSIR importance weights (Xie et al. 2023, L4): per-doc average "
+    f"log-likelihood ratio between an add-1-smoothed '{_DSIR_TARGET_LANG}'"
+    "-target unigram LM and the background corpus LM — the importance-"
+    "resampling score for domain upweighting. Both LMs are one "
+    "broadcastable frequency table each; the corpus streams through two "
+    "broadcast joins (no corpus shuffle) then one per-doc aggregation. "
+    "Per-token LLRs round to 6 dp and sum as DECIMAL so the score is "
+    "partition-order invariant.",
+    tags=("llm", "quality", "sampling"),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(_toks_col()).alias("tok")
+    )
+    # Three corpus scalars: one job (cheap metadata pass, reused below).
+    counts = tok.agg(
+        F.countDistinct("tok").alias("v"),
+        F.count(F.lit(1)).alias("nb"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("nt"),
+    ).first()
+    v, nb, nt = counts["v"], counts["nb"], counts["nt"]
+    bg = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cb"))
+    tgt = (
+        tok.where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    llr = F.round(
+        F.log2((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / F.lit(nt + v))
+        - F.log2((F.col("cb") + 1).cast("double") / F.lit(nb + v)),
+        6,
+    )
+    return (
+        tok.join(F.broadcast(tgt), "tok", "left")
+        .join(F.broadcast(bg), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(llr.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("dsir_weight"),
+        )
+    )
