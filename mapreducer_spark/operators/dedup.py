@@ -485,3 +485,24 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in bit_terms[1:]:
         simhash = simhash + t
     return tok.groupBy("doc_id").agg(simhash.alias("simhash"))
+
+
+# Shared oracle snippet: the near-dup pair list (id_a < id_b), exactly
+# neardup_jaccard_blocked's oracle as a reusable CTE body — graph ops
+# (clustering, triangles) build their oracles on top of it.
+ORACLE_NEARDUP_PAIRS_SQL = f"""
+    WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+    toksets AS (
+      SELECT
+        doc_id,
+        regexp_extract(text, '^[a-z0-9]+') AS block,
+        list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM toksets a JOIN toksets b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok_set, b.tok_set)))
+          >= {_JACCARD_THRESHOLD}
+"""
