@@ -165,9 +165,15 @@ FROM m
     tags=("llm", "quality", "text"),
 )
 def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _toks_col().alias("t")
-    )
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Score any (doc_id, text) DataFrame with the Gopher repetition
+    rules.  Pure stateless per-row expressions, so the SAME function
+    scores the batch corpus and a readStream micro-batch (see
+    streaming/jobs.py::run_quality_router)."""
+    d = docs.select("doc_id", _toks_col().alias("t"))
     d = d.where(F.size("t") >= 2)
     t = F.col("t")
     n = F.size(t)

@@ -333,3 +333,46 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.getField("m"),
         ).alias("centroid"),
     )
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle=None,  # float matrix accumulation has no order-invariant SQL
+    # twin; exact parity vs numpy is asserted in tests/test_llm_ops.py
+    doc="Distributed Gram matrix X'X over the embedding column — the "
+    "front half of out-of-core PCA/whitening for embedding spaces. "
+    "mapInPandas emits one d*d partial per Arrow batch (vectorized "
+    "numpy matmul, never a Python loop over rows), then a posexplode + "
+    "sum tree-reduces the partials into d*d cells; only the upper "
+    "triangle is returned. At 100 TB the shuffle carries d*d doubles "
+    "per BATCH (~32 KB for d=64), independent of row count — the raw "
+    "vectors never leave their scan tasks; the d^3 eigensolve that "
+    "follows is driver-side numpy on a 64x64 matrix.",
+    tags=("llm", "vector", "python", "rows-only"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    em = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = len(em.head()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({"g": [(x.T @ x).ravel().tolist()]})
+
+    parts = em.mapInPandas(partials, schema="g array<double>")
+    return (
+        parts.select(F.posexplode("g").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("gram"))
+        .select(
+            (F.col("idx") / d).cast("int").alias("i"),
+            (F.col("idx") % d).cast("int").alias("j"),
+            "gram",
+        )
+        .where(F.col("i") <= F.col("j"))
+    )

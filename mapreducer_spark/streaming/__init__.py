@@ -1,7 +1,9 @@
 from mapreducer_spark.streaming.jobs import (
     deduped_stream,
+    read_documents_stream,
     read_events_stream,
     run_foreach_batch_upsert,
+    run_quality_router,
     run_stream_to_memory,
     run_windowed_to_parquet,
     sessionized_stream,
@@ -11,8 +13,10 @@ from mapreducer_spark.streaming.jobs import (
 
 __all__ = [
     "deduped_stream",
+    "read_documents_stream",
     "read_events_stream",
     "run_foreach_batch_upsert",
+    "run_quality_router",
     "run_stream_to_memory",
     "run_windowed_to_parquet",
     "sessionized_stream",

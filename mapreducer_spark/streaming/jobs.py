@@ -330,3 +330,63 @@ def top_value_per_user_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_quality_router(
+    docs: DataFrame, keep_dir: str, drop_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming corpus-curation router: score each micro-batch with the
+    Gopher repetition rules (operators/curation.py — the SAME stateless
+    expressions as the batch query) and route rows to a keep/ or drop/
+    parquet sink in one pass.
+
+    Multi-sink exactly-once: foreachBatch writes each sink into a
+    ``batch_id=N`` subdirectory with mode=overwrite, so a batch retry
+    rewrites the same directories instead of appending duplicates —
+    the checkpoint makes batch ids stable across restarts.  Readers see
+    the union of batch dirs (plain ``spark.read.parquet(keep_dir)``).
+    """
+    from mapreducer_spark.operators.curation import repetition_metrics
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        scored = repetition_metrics(batch_df)
+        # One materialization, two filtered writes: persist the scored
+        # batch so the two sinks don't re-run the scoring expressions.
+        scored.persist()
+        try:
+            scored.where(F.col("keep")).drop("keep").write.mode(
+                "overwrite"
+            ).parquet(f"{keep_dir}/batch_id={batch_id}")
+            scored.where(~F.col("keep")).drop("keep").write.mode(
+                "overwrite"
+            ).parquet(f"{drop_dir}/batch_id={batch_id}")
+        finally:
+            scored.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -171,3 +171,26 @@ def test_approx_quantiles_bracket_exact(spark, sf_dir):
         lo_p = vals[max(0, math.floor(0.9 * (len(vals) - 1)) - 2)]
         hi_p = vals[min(len(vals) - 1, math.ceil(0.9 * (len(vals) - 1)) + 2)]
         assert lo_p <= p90 <= hi_p, (prio, p90, lo_p, hi_p)
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    """Distributed X'X must equal single-node numpy to float tolerance,
+    and must be symmetric-complete (full upper triangle present)."""
+    import numpy as np
+
+    from mapreducer_spark.operators.similarity import embedding_gram_matrix
+    from mapreducer_spark.sources import load_table
+
+    rows = embedding_gram_matrix(spark, sf_dir).collect()
+    emb = [
+        r[0]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .collect()
+    ]
+    x = np.array(emb, dtype=np.float64)
+    want = x.T @ x
+    d = x.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert abs(r.gram - want[r.i][r.j]) <= 1e-8 * max(1.0, abs(want[r.i][r.j]))

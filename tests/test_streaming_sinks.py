@@ -83,3 +83,36 @@ def test_watermarked_dedup_stream(spark, sf_dir):
 
     total = load_table(spark, sf_dir, "events").count()
     assert n == distinct_ids == total  # fixture ids are unique already
+
+
+def test_quality_router_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed keep/drop routing must partition the corpus exactly as
+    the batch gopher_repetition_rules query."""
+    from mapreducer_spark.operators.curation import gopher_repetition_rules
+    from mapreducer_spark.streaming import (
+        read_documents_stream,
+        run_quality_router,
+    )
+
+    keep_dir = str(tmp_path / "keep")
+    drop_dir = str(tmp_path / "drop")
+    run_quality_router(
+        read_documents_stream(spark, sf_dir),
+        keep_dir,
+        drop_dir,
+        str(tmp_path / "ckpt"),
+    )
+    kept = spark.read.parquet(keep_dir)
+    dropped = spark.read.parquet(drop_dir)
+    batch = gopher_repetition_rules(spark, sf_dir)
+    want_keep = {r.doc_id for r in batch.where("keep").collect()}
+    want_drop = {r.doc_id for r in batch.where("NOT keep").collect()}
+    assert {r.doc_id for r in kept.collect()} == want_keep
+    assert {r.doc_id for r in dropped.collect()} == want_drop
+    # Routed rows carry the scores (schema contract minus the flag).
+    assert set(kept.columns) >= {
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram_frac",
+    }
