@@ -30,7 +30,7 @@ from mapreducer_spark.functions.text import (
     SPARK_TOKEN_SPLIT_RE,
 )
 from mapreducer_spark.registry import register
-from mapreducer_spark.sources import load_table
+from mapreducer_spark.sources import fan_out, load_table
 
 _ORACLE_TOKS = (
     "list_filter(string_split_regex(lower(text), "
@@ -100,7 +100,7 @@ GROUP BY doc_id
     tags=("llm", "quality", "dedup"),
 )
 def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", _toks_col().alias("t")
     )
     d = d.where(F.size("t") >= _NGRAM)
@@ -172,19 +172,43 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     """Score any (doc_id, text) DataFrame with the Gopher repetition
     rules.  Pure stateless per-row expressions, so the SAME function
     scores the batch corpus and a readStream micro-batch (see
-    streaming/jobs.py::run_quality_router)."""
-    d = docs.select("doc_id", _toks_col().alias("t"))
+    streaming/jobs.py::run_quality_router).
+
+    The top-bigram count is a run-length scan over the SORTED bigram
+    array — O(n log n) per doc with one array materialization.  The
+    naive form (for each distinct gram, filter the gram array) is
+    O(n^2) lambda evaluations and re-materializes the gram array per
+    distinct gram inside the interpreted HOF, which measured ~9x slower
+    at sf0.1.
+    """
+    d = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", _toks_col().alias("t")
+    )
     d = d.where(F.size("t") >= 2)
     t = F.col("t")
     n = F.size(t)
-    bigrams = word_ngrams(t, 2)
     dup_frac = F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n
-    top_bigram = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
-        )
-    ).cast("double") / (n - F.lit(1))
+    # Longest run of equal adjacent elements in the sorted bigram array
+    # == max occurrence count of any bigram.  Bigrams are never '' (the
+    # tokenizer drops empty tokens), so '' is a safe initial sentinel.
+    best_count = F.aggregate(
+        F.array_sort(word_ngrams(t, 2)),
+        F.struct(
+            F.lit(0).alias("best"), F.lit(0).alias("run"), F.lit("").alias("prev")
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram = best_count.cast("double") / (n - F.lit(1))
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -226,7 +250,7 @@ GROUP BY doc_id
     tags=("llm", "dedup", "text"),
 )
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", _toks_col().alias("t")
     )
     grams = (
@@ -297,7 +321,7 @@ GROUP BY doc_id
     tags=("llm", "quality", "sampling"),
 )
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", "lang", F.explode(_toks_col()).alias("tok")
     )

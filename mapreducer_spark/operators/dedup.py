@@ -35,7 +35,7 @@ from mapreducer_spark.functions.text import (
     SPARK_TOKEN_SPLIT_RE,
 )
 from mapreducer_spark.registry import register
-from mapreducer_spark.sources import load_table
+from mapreducer_spark.sources import fan_out, load_table
 
 # --------------------------------------------------------------------------
 # Synthesized duplicates — identical construction in Spark and oracle SQL.
@@ -64,7 +64,10 @@ _ORACLE_DOCS_WITH_NEAR_DUPS = """
 
 
 def docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: the whole dedup family is tokenize/hash-heavy per row; a
+    # single-split fixture file would otherwise serialize that CPU work
+    # onto one core (no-op at real scale — see sources.fan_out).
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     dups = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -72,7 +75,7 @@ def docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_with_case_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     dups = d.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.upper("text"), F.lit("  ")).alias("text"),
@@ -82,7 +85,7 @@ def docs_with_case_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicates: copy with the last token dropped (high Jaccard)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     dups = d.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"),
         F.regexp_replace("text", " [a-z0-9]+$", "").alias("text"),

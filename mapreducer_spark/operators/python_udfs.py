@@ -31,7 +31,7 @@ from mapreducer_spark.functions.text import (
     SPARK_TOKEN_SPLIT_RE,
 )
 from mapreducer_spark.registry import register
-from mapreducer_spark.sources import load_table
+from mapreducer_spark.sources import fan_out, load_table
 
 _ORACLE_WORD_COUNT = f"""
 SELECT word, COUNT(*) AS cnt
@@ -54,7 +54,7 @@ GROUP BY word
     tags=("ref", "python", "agg"),
 )
 def word_count_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         F.explode(F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)).alias("word")
     ).where(F.length("word") > 0)
@@ -103,7 +103,7 @@ def token_count_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: sum(1 for tok in token_re.split(t.lower()) if tok)
         ).astype("int64")
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", n_tokens("text").alias("n_tokens"))
 
 

@@ -19,7 +19,7 @@ from mapreducer_spark.functions.text import (
     SPARK_TOKEN_SPLIT_RE,
 )
 from mapreducer_spark.registry import register
-from mapreducer_spark.sources import load_table
+from mapreducer_spark.sources import fan_out, load_table
 
 # Shared stopword list — pinned here, mirrored literally in oracle SQL.
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
@@ -51,7 +51,7 @@ GROUP BY lang
     tags=("llm", "text"),
 )
 def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n_tokens = F.size(_tokens_col())
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -101,7 +101,7 @@ FROM (
     tags=("llm", "text"),
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = _tokens_col()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
@@ -160,7 +160,7 @@ FROM (
     tags=("llm", "text"),
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = _tokens_col()
     stop_ratio = F.try_divide(
         F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double"),
@@ -191,7 +191,7 @@ FROM documents
     tags=("llm", "text"),
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), "[ ]+")).alias("ws_tokens"),
@@ -235,7 +235,7 @@ GROUP BY doc_id
     tags=("llm", "text", "quality"),
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = (
         d.select(
             "doc_id",
@@ -281,7 +281,7 @@ FROM documents
     tags=("llm", "text", "fingerprint"),
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     shingle_hashes = F.transform(
         F.sequence(
             F.lit(1),
@@ -329,7 +329,7 @@ LIMIT {_BIGRAM_TOPK}
     tags=("llm", "text", "ngram"),
 )
 def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     with_toks = d.select("doc_id", _tokens_col().alias("t")).where(
         F.size("t") >= 2
     )
@@ -396,7 +396,7 @@ WHERE rnk <= {_TFIDF_TOPN}
     tags=("llm", "text", "tfidf"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     tok = (
         d.select(
             "doc_id",
@@ -471,7 +471,7 @@ GROUP BY lang
     tags=("llm", "text", "dedup", "pipeline"),
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n_tokens = F.size(_tokens_col())
     quality = d.select("doc_id", "lang", "text", n_tokens.alias("n_tokens")).where(
         F.col("n_tokens") >= _CURATION_MIN_TOKENS

@@ -51,3 +51,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a CPU-bound scan UP to cluster parallelism when the
+    input arrives in fewer partitions than cores.
+
+    Small parquet fixtures land in a single input split, which serializes
+    per-row-heavy operators (tokenization, n-gram scans, hashing) onto one
+    core while 31 idle.  At 100 TB the scan already has thousands of
+    splits, ``getNumPartitions() >= target`` holds, and this is a no-op —
+    so the helper costs nothing at scale and only fixes the small-file
+    regime.  The explicit ``repartition(n)`` is deliberately a
+    user-specified partition count: AQE's partition coalescing respects it
+    and will not merge the tiny shuffle blocks back into one task.
+
+    Streaming frames pass through untouched (``.rdd`` is illegal on them;
+    micro-batch parallelism is the source's concern).
+    """
+    if df.isStreaming:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
