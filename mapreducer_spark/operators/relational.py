@@ -392,6 +392,34 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_hll_rollup",
+    oracle=None,  # DataSketches HLL binaries have no DuckDB twin ->
+    # rows-only; tests/ bounds every estimate against the exact count.
+    doc="Mergeable-sketch rollup (Apache DataSketches HLL, §2.3 A4 at "
+    "scale): per (day, event_type) HLL sketches of user_id built in one "
+    "pass, then MERGED up to per-event_type totals with hll_union_agg — "
+    "the pre-aggregated-rollup pattern that lets a 100 TB warehouse keep "
+    "daily sketch tables and answer any coarser distinct-count rollup "
+    "by sketch union, never rescanning raw events. HLL register maxima "
+    "are order-insensitive, so estimates are deterministic under any "
+    "partitioning.",
+    tags=("agg", "approx", "sketch", "rows-only"),
+)
+def user_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
+@register(
     "customer_order_counts",
     oracle="""
 SELECT

@@ -271,3 +271,44 @@ def nth_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("third_dt", "yyyy-MM-dd").alias("third_order"),
         F.datediff("third_dt", "first_dt").cast("int").alias("days_to_third"),
     )
+
+
+@register(
+    "last_purchase_locf",
+    oracle="""
+SELECT
+  event_id,
+  user_id,
+  event_type,
+  round(last_value(CASE WHEN event_type = 'purchase' THEN "value" END
+                   IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 6) AS last_purchase_value
+FROM events
+""",
+    doc="Last-observation-carried-forward (LOCF) via IGNORE NULLS: for "
+    "every event, the value of that user's most recent purchase at or "
+    "before it — the standard sparse-signal forward-fill used for "
+    "sessionized feature tables. last(expr, ignorenulls) over a running "
+    "frame is the Spark idiom; DuckDB's IGNORE NULLS window is the "
+    "declarative twin. One shuffle on user_id + per-partition sort, "
+    "same cost envelope as any analytic window (§2.6).",
+    tags=("window", "events", "locf"),
+)
+def last_purchase_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.last(purchase_value, ignorenulls=True).over(w), 6).alias(
+            "last_purchase_value"
+        ),
+    )

@@ -135,3 +135,46 @@ def test_anti_join_checks_broadcast(spark, sf_dir):
 
     plan = formatted_plan(referential_integrity_checks(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
+    """The 100 TB semi-join-reduction pattern: when a selective dim
+    filter feeds a shuffle join, Spark's InjectRuntimeFilter builds a
+    bloom filter from the dim side and applies it to the fact side
+    BEFORE the shuffle.  Production size thresholds (10 GB application
+    side) can't trigger on fixture data, so pin them down here and
+    assert the capability: the optimized plan must carry the
+    bloom-filter might_contain probe on the lineitem branch."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # Force a shuffle join: runtime filters only help non-broadcast
+        # joins (a broadcast build already prunes at the probe).
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+        assert j.count() == 1  # and the filtered join still runs
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

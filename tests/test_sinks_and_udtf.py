@@ -78,3 +78,25 @@ def test_approx_distinct_within_rsd(spark, oracle_sf_dir):
     }
     for et, n in exact.items():
         assert abs(approx[et] - n) / n < 0.1, (et, approx[et], n)
+
+
+def test_hll_rollup_merge_matches_exact_within_error(spark, oracle_sf_dir):
+    """Merged daily sketches must estimate the same population as a
+    direct distinct count (HLL union is lossless over register maxima;
+    lgK=12 default keeps relative error ~1.6%)."""
+    from mapreducer_spark.operators.relational import user_hll_rollup
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in user_hll_rollup(spark, oracle_sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, oracle_sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.05, (et, approx[et], n)
