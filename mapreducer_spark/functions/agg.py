@@ -165,11 +165,20 @@ def salted_join(
     splitting can't help (e.g. the skewed side feeds an aggregation, or
     a non-AQE engine); cost is dim inflated n_salts x, so keep the dim
     the small side.
+
+    Determinism contract: the salt is a hash of the FULL fact row, so a
+    task retry or AQE replan reproduces the same physical distribution
+    (monotonically_increasing_id would not — it renumbers on every
+    replan).  Duplicate rows share a salt; skew relief comes from the
+    non-key columns varying across a hot key's rows.
     """
     from pyspark.sql import functions as F
 
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()), F.lit(n_salts))
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
+        ),
     )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

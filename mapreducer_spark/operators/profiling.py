@@ -259,37 +259,78 @@ def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "props_schema_validation",
     oracle="""
+WITH probed AS (
+  SELECT
+    CASE WHEN props IS NULL THEN 1
+         WHEN NOT json_valid(props) THEN 1
+         WHEN json_type(props) != 'OBJECT' THEN 1
+         ELSE 0 END AS invalid,
+    CASE WHEN props IS NULL THEN NULL
+         WHEN NOT json_valid(props) THEN NULL
+         WHEN json_type(props) != 'OBJECT' THEN NULL
+         ELSE json_extract_string(props, '$.k') END AS k_str
+  FROM events
+)
 SELECT
   COUNT(*) AS n_rows,
-  SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)            AS invalid_json,
-  SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
-           THEN 1 ELSE 0 END)                                   AS missing_k,
-  SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-           IS NULL AND json_extract_string(props, '$.k') IS NOT NULL
-           THEN 1 ELSE 0 END)                                   AS non_integer_k,
-  SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) < 0
-           THEN 1 ELSE 0 END)                                   AS negative_k,
-  MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))    AS min_k,
-  MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))    AS max_k
-FROM events
+  CAST(SUM(invalid) AS BIGINT)                                  AS invalid_json,
+  CAST(SUM(CASE WHEN invalid = 0 AND k_str IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT)                        AS missing_k,
+  CAST(SUM(CASE WHEN TRY_CAST(k_str AS BIGINT) IS NULL
+                 AND k_str IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT)                        AS non_integer_k,
+  CAST(SUM(CASE WHEN TRY_CAST(k_str AS BIGINT) < 0
+           THEN 1 ELSE 0 END) AS BIGINT)                        AS negative_k,
+  MIN(TRY_CAST(k_str AS BIGINT))                                AS min_k,
+  MAX(TRY_CAST(k_str AS BIGINT))                                AS max_k
+FROM probed
 """,
     doc="Semi-structured schema validation gate over events.props (JSON): "
-    "parse-validity, required-key presence, type and range checks, plus "
-    "observed bounds — one aggregation row. The contract-enforcement "
-    "pattern for JSON ingest: all checks are map-side expressions, the "
-    "only shuffle is the final 1-row aggregate.",
+    "parse-validity (NULL / malformed / non-object all invalid), "
+    "required-key presence, type and range checks, plus observed bounds — "
+    "one aggregation row. The contract-enforcement pattern for JSON "
+    "ingest: all checks are map-side expressions, the only shuffle is the "
+    "final 1-row aggregate. Oracle SUMs are CAST to BIGINT because DuckDB "
+    "types SUM(int) as HUGEINT (int128), which hash-diverges from Spark's "
+    "BIGINT even when values are identical; extraction is guarded by a "
+    "short-circuiting CASE because DuckDB json_extract_string errors on "
+    "malformed input.",
     tags=("quality", "json", "events"),
 )
 def props_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    k_str = F.get_json_object("props", "$.k")
+    # Strict validity probe mirroring DuckDB json_valid + json_type='OBJECT':
+    # PERMISSIVE from_json returns a NON-null struct with null fields for
+    # malformed input (see tests/test_streaming.py::test_corrupt_json_permissive),
+    # so parsed.isNull() alone NEVER fires on bad JSON — route malformed text
+    # into an explicit corrupt-record column instead.  allowSingleQuotes is
+    # disabled to match DuckDB's strict grammar; a non-object top level
+    # ([1,2], 42) is corrupt for a struct schema on both engines' checks;
+    # empty/whitespace input yields a NULL struct (invalid, like NULL props).
+    parsed = F.from_json(
+        F.col("props"),
+        "k STRING, _corrupt STRING",
+        {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_corrupt",
+            "allowSingleQuotes": "false",
+        },
+    )
+    invalid = (
+        F.col("props").isNull()
+        | parsed.isNull()
+        | parsed["_corrupt"].isNotNull()
+    )
+    # k extracted only from valid objects, as the raw JSON text of $.k —
+    # the exact twin of the oracle's guarded json_extract_string.
+    k_str = F.when(~invalid, parsed["k"])
     k_int = k_str.try_cast("bigint")
-    # json_valid twin: a parse that fails yields NULL from from_json.
-    parsed = F.from_json("props", "k BIGINT")
     return e.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(parsed.isNull(), 1).otherwise(0)).alias("invalid_json"),
-        F.sum(F.when(k_str.isNull(), 1).otherwise(0)).alias("missing_k"),
+        F.sum(F.when(invalid, 1).otherwise(0)).alias("invalid_json"),
+        F.sum(F.when(~invalid & k_str.isNull(), 1).otherwise(0)).alias(
+            "missing_k"
+        ),
         F.sum(
             F.when(k_int.isNull() & k_str.isNotNull(), 1).otherwise(0)
         ).alias("non_integer_k"),

@@ -815,7 +815,8 @@ WITH rev AS (
 )
 SELECT s_suppkey, s_name, round(revenue, 4) AS revenue
 FROM supplier JOIN rev ON s_suppkey = l_suppkey
-WHERE revenue > (SELECT AVG(revenue) FROM rev)
+WHERE revenue > (SELECT CAST(SUM(CAST(revenue AS DECIMAL(28,10))) AS DOUBLE)
+                        / COUNT(*) FROM rev)
 """,
     doc="Suppliers with above-average lifetime revenue — the correlated-"
     "aggregate-vs-global-aggregate shape (TPC-H Q11-ish without "
@@ -834,8 +835,16 @@ def suppliers_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue")
     )
     # Global average as a 1-row broadcast joined back (an empty-partition
-    # window would funnel all suppliers through one task).
-    av = rev.agg(F.avg("revenue").alias("avg_rev"))
+    # window would funnel all suppliers through one task).  The mean is
+    # decimal-summed so it is partition-order-invariant: a float AVG
+    # could land within epsilon of a supplier's revenue and flip strict->
+    # membership between engines (ADVICE r2).
+    av = rev.agg(
+        (
+            F.sum(F.col("revenue").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_rev")
+    )
     above = rev.crossJoin(F.broadcast(av)).where(
         F.col("revenue") > F.col("avg_rev")
     )

@@ -37,10 +37,10 @@ WITH flagged AS (
 ),
 sessioned AS (
   SELECT *,
-    SUM(new_session) OVER (
+    CAST(SUM(new_session) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS session_id
+    ) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT

@@ -80,22 +80,13 @@ _N_CENTROIDS = 16
 _N_PROBE = 2
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=None,  # deterministic, but the cluster-routing logic is not
-    # reasonably SQL-expressible -> rows-only; similarity_topk
-    # hash-checks the same cosine math exactly.
-    doc="IVF-style ANN: broadcast coarse centroids, cluster-assign all "
-    "vectors, probe only the 2 nearest clusters per query (L3 scale "
-    "path). Deterministic stand-in centroids.",
-    tags=("llm", "similarity", "rows-only"),
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, sf_dir, "embeddings")
-    centroids = em.where(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_v")
-    )
-
+def _ivf_topk(
+    em: DataFrame, centroids: DataFrame, nprobe: int = _N_PROBE
+) -> DataFrame:
+    """IVF search core shared by the declared query and the recall
+    report: cluster-assign all vectors to broadcast centroids, route
+    each query to its ``nprobe`` nearest clusters, exact top-k within
+    the probed clusters only."""
     # Assign every vector to its nearest centroid: broadcast NL join +
     # per-vector argmax.  max_by over a (sim, -cent_id) struct instead of
     # a row_number window: one partial-aggregating shuffle of tiny rows
@@ -129,7 +120,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("qv"), F.col("cent_v")), 9).alias("qsim"),
         )
         .withColumn("prank", F.row_number().over(w_probe))
-        .where(F.col("prank") <= _N_PROBE)
+        .where(F.col("prank") <= nprobe)
         .select("q_id", "qv", F.col("cent_id").alias("cluster"))
     )
 
@@ -143,6 +134,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w_k))
         .where(F.col("rnk") <= _TOP_K)
     )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # deterministic, but the cluster-routing logic is not
+    # reasonably SQL-expressible -> rows-only; similarity_topk
+    # hash-checks the same cosine math exactly.
+    doc="IVF ANN with TRAINED coarse centroids: seeded KMeans over the "
+    "corpus (pinned maxIter — the production quantizer, promoted from "
+    "the first-k stand-in per VERDICT r2 #3), broadcast centroids, "
+    "cluster-assign all vectors, probe only the nearest clusters per "
+    "query (L3 scale path). Recall vs exact is reported by "
+    "ann_ivf_kmeans_recall and floor-asserted in tests.",
+    tags=("llm", "similarity", "rows-only", "mllib"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return _ivf_topk(em, kmeans_centroids(em))
 
 
 def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> DataFrame:
@@ -173,40 +182,7 @@ def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> Da
 )
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_centroids(em)
-
-    sim_to_cent = cosine(F.col("embedding"), F.col("cent_v"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cent_id")
-    )
-    assigned = (
-        em.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "cent_id", F.round(sim_to_cent, 9).alias("csim"))
-        .withColumn("crank", F.row_number().over(w_assign))
-        .where(F.col("crank") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
-    )
-    q = em.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
-    )
-    w_probe = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .select("q_id", "qv", "cent_id", F.round(cosine(F.col("qv"), F.col("cent_v")), 9).alias("qsim"))
-        .withColumn("prank", F.row_number().over(w_probe))
-        .where(F.col("prank") <= _N_PROBE)
-        .select("q_id", "qv", F.col("cent_id").alias("cluster"))
-    )
-    sim = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
-    w_k = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    approx = (
-        assigned.join(F.broadcast(probes), "cluster")
-        .where(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w_k))
-        .where(F.col("rnk") <= _TOP_K)
-        .select("q_id", "vec_id")
-    )
+    approx = _ivf_topk(em, kmeans_centroids(em)).select("q_id", "vec_id")
     exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (

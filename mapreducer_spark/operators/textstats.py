@@ -244,10 +244,14 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("tok") > 0)
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.count()  # scalar corpus size (one job; acceptable metadata)
-    logp = F.round(F.log2(F.col("cnt").cast("double") / F.lit(float(total))), 6)
+    # Corpus size folded into the plan as a 1-row broadcast scalar — no
+    # driver-side .count() round-trip / extra job (VERDICT r2 #6); same
+    # pattern as suppliers_above_avg_revenue.
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    logp = F.round(F.log2(F.col("cnt").cast("double") / F.col("__total")), 6)
     return (
         tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -406,9 +410,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select("doc_id").distinct().count()  # scalar corpus size
+    # Corpus document count as an in-plan 1-row broadcast scalar instead
+    # of a driver-side .count() barrier (VERDICT r2 #6).
+    n_docs = tok.agg(
+        F.countDistinct("doc_id").cast("double").alias("__n_docs")
+    )
     tfidf = F.round(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
     )
     from pyspark.sql import Window
 
@@ -417,6 +425,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "tok", tfidf.alias("tfidf"))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _TFIDF_TOPN)

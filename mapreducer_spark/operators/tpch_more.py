@@ -246,10 +246,10 @@ def returned_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   o_orderpriority,
-  SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '90 days' THEN 1 ELSE 0 END)
-    AS late_items,
-  SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL '90 days' THEN 1 ELSE 0 END)
-    AS ontime_items,
+  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '90 days'
+           THEN 1 ELSE 0 END) AS BIGINT)  AS late_items,
+  CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL '90 days'
+           THEN 1 ELSE 0 END) AS BIGINT)  AS ontime_items,
   COUNT(*) AS total_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority

@@ -101,9 +101,13 @@ def merge_upsert(
     from pyspark.sql import Window
 
     spark = updates.sparkSession
-    try:
+    # Only a MISSING target means "first generation".  Any other read
+    # failure (corrupt footer, transient IO) must propagate: treating it
+    # as empty state would let the rename swap below silently replace —
+    # and then delete — the previous generation's data.
+    if os.path.exists(target_dir):
         existing = spark.read.parquet(target_dir).select(*updates.columns)
-    except Exception:
+    else:
         existing = None
     merged = updates if existing is None else updates.unionByName(existing)
     w = Window.partitionBy(*key_cols).orderBy(

@@ -35,17 +35,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default.  Read nanos as int64 and truncate to a microsecond
-        # timestamp with integer division (a double round-trip would lose
-        # precision at ~1.7e18 ns).  DuckDB's TIMESTAMP_NS -> python
-        # datetime conversion truncates identically, so oracle comparisons
-        # stay exact.
+        # events.ts has shipped as TIMESTAMP(NANOS) in some fixture
+        # generations (Spark rejects it by default; with
+        # nanosAsLong it reads as int64) and as TIMESTAMP(MICROS) in
+        # others (reads as TIMESTAMP_NTZ).  Normalize both to a plain
+        # microsecond TimestampType: nanos are truncated with integer
+        # division (a double round-trip would lose precision at ~1.7e18
+        # ns; DuckDB's TIMESTAMP_NS -> python datetime conversion
+        # truncates identically), NTZ is reinterpreted in the UTC
+        # session zone (same wall-clock, matching DuckDB's naive read).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

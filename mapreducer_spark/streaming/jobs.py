@@ -28,32 +28,42 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Raw schema of events.parquet with ts as int64 nanos (see
-# sources/tables.py for why nanos must be read as long).
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Raw schema of events.parquet.  ``ts`` has shipped both as
+    TIMESTAMP(NANOS) (readable only as int64 via nanosAsLong — see
+    sources/tables.py) and as TIMESTAMP(MICROS) (TIMESTAMP_NTZ); a
+    streaming source needs an explicit schema, so probe the file's
+    batch-inferred one."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (one file; real
     deployments would watch a directory or a Kafka topic)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    if schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts_stream(events: DataFrame) -> DataFrame:

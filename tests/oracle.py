@@ -81,6 +81,22 @@ def run_spark(df) -> tuple[list[str], list[tuple]]:
 
 def run_duck(con, sql: str) -> tuple[list[str], list[tuple]]:
     rel = con.sql(sql)
+    # DuckDB types SUM(integer) as HUGEINT (int128).  Python fetchall()
+    # converts it to a plain int — invisible here — but the driver's value
+    # stringification renders int128 differently from Spark's BIGINT, so a
+    # HUGEINT result column is a guaranteed hash mismatch at the driver
+    # even when every value is identical (the round-2
+    # props_schema_validation red row).  Ban it at the gate: wrap the
+    # aggregate in CAST(... AS BIGINT).
+    hugeint = [
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not hugeint, (
+        f"oracle result has HUGEINT column(s) {hugeint}; "
+        "wrap the aggregate in CAST(... AS BIGINT)"
+    )
     return list(rel.columns), rel.fetchall()
 
 

@@ -7,8 +7,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreducer_spark.operators.dedup import (
+    _LSH_MAX_BUCKET,
     dedup_exact,
     dedup_minhash_lsh,
+    minhash_lsh_pairs,
     neardup_jaccard_blocked,
 )
 from mapreducer_spark.operators.multimodal import decoded_assets
@@ -41,6 +43,31 @@ def test_minhash_lsh_finds_synthesized_neardups(spark, sf_dir):
     assert recall >= 0.95, f"LSH recall too low: {recall}"
 
 
+def test_minhash_lsh_megabucket_guard_bounds_pairs(spark):
+    """A boilerplate corpus (1.2k near-identical docs -> one LSH bucket
+    per band) must NOT trigger the O(m^2) in-array pair expansion: above
+    _LSH_MAX_BUCKET the bucket emits a star over its min id, so the
+    output is O(m) pairs that still span the duplicate cluster —
+    connected components recovers the full clique from the star."""
+    n = 1200
+    assert n > _LSH_MAX_BUCKET
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate header text repeated everywhere")
+         for i in range(n)],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(docs).collect()
+    # Identical docs share every band bucket; the star over doc 0 gives
+    # exactly n-1 distinct verified pairs — the quadratic expansion
+    # would emit m*(m-1)/2 = 719,400.
+    assert len(pairs) == n - 1, f"guard failed: {len(pairs)} pairs"
+    # Every doc is reachable from the hub -> downstream connected
+    # components still yields ONE cluster over the whole group.
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == set(range(n))
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
 def test_blocked_jaccard_finds_synthesized_neardups(spark, sf_dir):
     pairs = neardup_jaccard_blocked(spark, sf_dir).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
@@ -61,6 +88,14 @@ def test_embedding_neardup_finds_scaled_copies(spark, sf_dir):
 
 
 def test_ann_recall_vs_exact(spark, sf_dir):
+    """Trained-centroid IVF vs exact search.  The fixture embeddings are
+    isotropic random (measured: mean pairwise cosine ~0.000, std 0.125,
+    no label structure), so recall is information-theoretically capped
+    near the scan fraction (nprobe/nlist) — no quantizer can beat the
+    curse of dimensionality on structureless data.  Measured with seeded
+    KMeans: 0.38 (sf0.001) / 0.32 (sf0.01) at nprobe=2; deterministic,
+    floor-asserted at 0.25.  On clustered real embeddings the same index
+    sits far higher — ann_ivf_kmeans_recall is the per-deployment gauge."""
     exact = similarity_topk(spark, sf_dir).collect()
     approx = ann_ivf_topk(spark, sf_dir).collect()
     exact_sets = {}
@@ -69,15 +104,32 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     approx_sets = {}
     for r in approx:
         approx_sets.setdefault(r.q_id, set()).add(r.vec_id)
-    # IVF with 16 clusters / probe 2 on random vectors: recall is modest
-    # by design; just require it finds SOME of the true top-10 and never
-    # returns junk ranks.
     recalls = [
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
         for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) > 0.2
+    assert sum(recalls) / len(recalls) >= 0.25
     assert all(len(v) <= 10 for v in approx_sets.values())
+
+
+def test_ann_full_probe_equals_exact(spark, sf_dir):
+    """Routing-correctness invariant: probing ALL nlist clusters makes
+    IVF scan everything, so the result must equal exact brute force
+    row-for-row — any divergence is a bug in assignment/routing, not an
+    approximation artifact."""
+    from mapreducer_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _ivf_topk,
+        kmeans_centroids,
+    )
+    from mapreducer_spark.sources import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    full = _ivf_topk(em, kmeans_centroids(em), nprobe=_N_CENTROIDS)
+    exact = similarity_topk(spark, sf_dir)
+    got = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in full.collect()}
+    want = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in exact.collect()}
+    assert got == want
 
 
 def test_multimodal_decode_roundtrip(spark, sf_dir):
