@@ -243,17 +243,31 @@ WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
     tags=("llm", "dedup", "neardup"),
 )
 def neardup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Intersections via explode + hash join + count, NOT per-pair
-    # array_intersect: |A∩B| = number of co-occurring (block, token_hash)
-    # rows per pair.  The narrow-row join is ~2x faster than shipping
-    # token arrays through the block self-join and intersecting per pair
-    # (6.8s vs 13.8s at sf0.1), and it's the formulation that scales —
-    # shuffle rows are (block, hash, id), never whole documents.
-    # (A collect_set + in-array i<j expansion — the LSH trick below — was
-    # measured SLOWER here, 7.9s vs 4.8s: unlike LSH buckets, common
-    # (block, token) groups are large, and materializing m^2 pair structs
-    # per group row beats streaming them through a join only when m is
-    # tiny.)
+    overlap = _blocked_pair_overlap(spark, sf_dir)
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        overlap.where(jacc >= _JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+def _blocked_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, inter, sz_a, sz_b) for first-token-blocked candidate
+    pairs over the near-dup corpus — shared by the Jaccard and
+    containment queries.
+
+    Intersections via explode + hash join + count, NOT per-pair
+    array_intersect: |A∩B| = number of co-occurring (block, token_hash)
+    rows per pair.  The narrow-row join is ~2x faster than shipping
+    token arrays through the block self-join and intersecting per pair
+    (6.8s vs 13.8s at sf0.1), and it's the formulation that scales —
+    shuffle rows are (block, hash, id), never whole documents.
+    (A collect_set + in-array i<j expansion — the LSH trick below — was
+    measured SLOWER here, 7.9s vs 4.8s: unlike LSH buckets, common
+    (block, token) groups are large, and materializing m^2 pair structs
+    per group row beats streaming them through a join only when m is
+    tiny.)
+    """
     ts = (
         _token_hash_sets(docs_with_near_dups(spark, sf_dir))
         .select(
@@ -284,13 +298,73 @@ def neardup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(jacc >= _JACCARD_THRESHOLD)
-        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+_CONTAINMENT_THRESHOLD = 0.9
+
+_ORACLE_BLOCKED_PAIRS_CTES = f"""corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+toksets AS (
+  SELECT
+    doc_id,
+    regexp_extract(text, '^[a-z0-9]+') AS block,
+    list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
+  FROM corpus
+),
+overlap AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.tok_set, b.tok_set)) AS inter,
+         len(a.tok_set) AS sz_a, len(b.tok_set) AS sz_b
+  FROM toksets a JOIN toksets b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "doc_containment",
+    oracle=f"""
+WITH {_ORACLE_BLOCKED_PAIRS_CTES}
+SELECT contained_id, container_id, containment FROM (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         round(CAST(inter AS DOUBLE) / NULLIF(sz_a, 0), 6) AS containment
+  FROM overlap
+  UNION ALL
+  SELECT id_b, id_a,
+         round(CAST(inter AS DOUBLE) / NULLIF(sz_b, 0), 6)
+  FROM overlap
+)
+WHERE containment >= {_CONTAINMENT_THRESHOLD}
+""",
+    doc="Asymmetric CONTAINMENT dedup (L2 family): C(A in B) = "
+    "|A∩B| / |A| — catches documents fully embedded in a larger one "
+    "(quotes, concatenated crawls, boilerplate wrappers), which "
+    "symmetric Jaccard misses when sizes differ a lot.  Reuses the "
+    "blocked narrow-row overlap relation; both directions of each "
+    "candidate pair are tested, so a near-equal pair emits two rows. "
+    "The standard complement to Jaccard in training-data dedup "
+    "(suffix-array/containment passes in public corpus pipelines).",
+    tags=("llm", "dedup", "neardup"),
+)
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized: the two direction branches below would otherwise each
+    # re-run the whole overlap join pipeline.
+    overlap = _blocked_pair_overlap(spark, sf_dir).localCheckpoint(eager=True)
+    dirs = overlap.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(
+            F.try_divide(F.col("inter"), F.col("sz_a")), 6
+        ).alias("containment"),
+    ).unionByName(
+        overlap.select(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            F.round(
+                F.try_divide(F.col("inter"), F.col("sz_b")), 6
+            ).alias("containment"),
+        )
     )
+    return dirs.where(F.col("containment") >= _CONTAINMENT_THRESHOLD)
 
 
 # MinHash-LSH: the 100 TB path.  xxhash64 (JVM, no Python) -> k affine
@@ -538,3 +612,63 @@ ORACLE_NEARDUP_PAIRS_SQL = f"""
           / len(list_distinct(list_concat(a.tok_set, b.tok_set)))
           >= {_JACCARD_THRESHOLD}
 """
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-dup (string-similarity verify on blocked candidates)
+# --------------------------------------------------------------------------
+
+_EDITDIST_MAX = 3
+
+
+@register(
+    "part_name_editdist_pairs",
+    oracle=f"""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name,
+         regexp_extract(p_name, '[a-z0-9]+$') AS block
+  FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.block = b.block
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_EDITDIST_MAX}
+""",
+    doc="Edit-distance near-duplicate pairs over part names: block on "
+    "(brand, last name token) so the quadratic levenshtein verify runs "
+    "only within small candidate groups — the fuzzy-matching shape for "
+    "entity resolution / catalog dedup.  Both engines implement the "
+    "standard unit-cost Levenshtein (verified kitten->sitting = 3), so "
+    "the check is exact.  At 100 TB the block key keeps per-task pair "
+    "counts bounded exactly like the token-blocked Jaccard path.",
+    tags=("llm", "dedup", "string"),
+)
+def part_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.regexp_extract(F.col("p_name"), "[a-z0-9]+$", 0).alias("block"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= _EDITDIST_MAX)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+    )

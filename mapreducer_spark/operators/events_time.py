@@ -423,3 +423,127 @@ def user_activity_similarity_blocked(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _PROFILE_TOPK)
     )
+
+
+@register(
+    "event_funnel_ordered",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM v) AS n_view,
+  (SELECT COUNT(*) FROM c) AS n_view_click,
+  (SELECT COUNT(*) FROM p) AS n_view_click_buy,
+  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        / NULLIF((SELECT COUNT(*) FROM v), 0), 6) AS click_through,
+  round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        / NULLIF((SELECT COUNT(*) FROM c), 0), 6) AS buy_through
+""",
+    doc="ORDERED funnel (view -> later click -> later purchase): each "
+    "stage requires an event strictly after the previous stage's "
+    "earliest completion — the sequential-pattern shape a naive "
+    "per-type count-distinct funnel (event_type_funnel) cannot "
+    "express.  Three filtered min-aggregations chained by equi-joins; "
+    "every stage's filter pushes to the scan and each join carries "
+    "(user_id, ts) only.  Stage counts fold into one row via broadcast "
+    "scalar crossJoins — no driver-side .count() round-trips.",
+    tags=("events", "funnel", "join"),
+)
+def event_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_buy"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_buy",
+            F.round(
+                F.try_divide(F.col("n_view_click"), F.col("n_view")), 6
+            ).alias("click_through"),
+            F.round(
+                F.try_divide(F.col("n_view_click_buy"), F.col("n_view_click")),
+                6,
+            ).alias("buy_through"),
+        )
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+expanded AS (
+  SELECT user_id, d + CAST(o.o AS INTEGER) AS window_end
+  FROM ud, (SELECT unnest(range(7)) AS o) o
+)
+SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+       COUNT(DISTINCT user_id) AS active_users
+FROM expanded
+GROUP BY window_end
+""",
+    doc="Trailing-7-day distinct active users per day — the rolling "
+    "cohort metric COUNT(DISTINCT) OVER a RANGE frame cannot express "
+    "in either engine.  Formulated scale-first: dedupe to (user, day) "
+    "rows (bounded by DAU x days, partial-agg combined map-side), "
+    "explode each into the 7 window-ends it contributes to, one "
+    "count-distinct per window end.  Shuffle volume is 7x the (user, "
+    "day) relation — independent of raw event count.  Window ends "
+    "with no events still report trailing actives (the honest value), "
+    "including the tail past the last event day.",
+    tags=("events", "window-time", "agg"),
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.date_add(F.col("d"), o) for o in range(7)])
+        ).alias("window_end"),
+    )
+    return (
+        expanded.groupBy(
+            F.date_format("window_end", "yyyy-MM-dd").alias("window_end")
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -932,3 +932,51 @@ def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value").alias("total_value"),
     )
+
+
+@register(
+    "segment_modal_priority",
+    oracle="""
+WITH cnt AS (
+  SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+)
+SELECT c_mktsegment, o_orderpriority AS modal_priority, n AS n_orders
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority ASC
+  ) AS rnk FROM cnt
+)
+WHERE rnk = 1
+""",
+    doc="Statistical MODE per group (most frequent order priority per "
+    "market segment): count-then-argmax with a deterministic tie-break "
+    "on the priority string.  The two-level aggregation shape — the "
+    "mode() aggregate many engines ship, decomposed into portable "
+    "relational pieces; the final window runs over |segments x "
+    "priorities| rows (tiny), never the fact table.",
+    tags=("agg", "window"),
+)
+def segment_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cnt = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )

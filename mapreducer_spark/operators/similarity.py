@@ -352,3 +352,71 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("i") <= F.col("j"))
     )
+
+
+@register(
+    "embedding_int8_quant_error",
+    oracle="""
+WITH q AS (
+  SELECT
+    vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)) AS av,
+    CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(av) / 127.0 AS scale
+  FROM q
+)
+SELECT
+  vec_id,
+  round(scale, 9) AS scale,
+  round(list_max(list_transform(
+    v, x -> abs(x - round(x / NULLIF(scale, 0)) * scale)
+  )), 9) AS max_abs_err,
+  round(list_max(list_transform(
+    v, x -> abs(x - round(x / NULLIF(scale, 0)) * scale)
+  )) / NULLIF(list_max(list_transform(v, x -> abs(x))), 0), 9)
+    AS rel_err
+FROM scaled
+""",
+    doc="INT8 symmetric scalar quantization error report: per-vector "
+    "scale = max|x|/127, codes = round(x/scale), reconstruction error "
+    "metrics (max absolute + relative to the vector's own peak).  The "
+    "memory-bandwidth lever for 100 TB ANN — int8 codes are 4x smaller "
+    "than float32, and this report is the accept/reject gauge before "
+    "flipping an index to quantized storage.  Entirely per-row map-side "
+    "expressions; only ORDER-FREE reductions (list_max) are emitted so "
+    "the cross-engine hash is exact without decimal tricks.  Both "
+    "engines round half-away-from-zero on doubles, so codes agree "
+    "bit-for-bit.",
+    tags=("llm", "vector", "similarity"),
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select("vec_id", v.alias("v"))
+    scale = F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    # The raw scale column must NOT share a name with the rounded output
+    # column: CollapseProject folds `round(scale,9) AS scale` into this
+    # projection and rewrites the error lambda's reference to the
+    # ROUNDED scale (observed: max_abs_err drifted 1e-8 off the oracle).
+    scaled = base.select("vec_id", "v", scale.alias("s_raw"))
+    err = F.transform(
+        "v",
+        lambda x: F.abs(
+            x - F.round(F.try_divide(x, F.col("s_raw"))) * F.col("s_raw")
+        ),
+    )
+    return scaled.select(
+        "vec_id",
+        F.round("s_raw", 9).alias("scale"),
+        F.round(F.array_max(err), 9).alias("max_abs_err"),
+        F.round(
+            F.try_divide(
+                F.array_max(err), F.array_max(F.transform("v", F.abs))
+            ),
+            9,
+        ).alias("rel_err"),
+    )

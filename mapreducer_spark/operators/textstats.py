@@ -509,3 +509,57 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_tokens"),
         F.min("keeper_doc_id").alias("min_doc_id"),
     )
+
+
+_INV_INDEX_TOPN = 5
+
+
+@register(
+    "inverted_index_rare_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, {ORACLE_TOKENS_SNIPPET} AS tok FROM documents
+  ) WHERE length(tok) > 0
+)
+SELECT tok AS term, COUNT(*) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM tok GROUP BY tok
+ORDER BY df ASC, term ASC
+LIMIT {_INV_INDEX_TOPN}
+""",
+    doc="Inverted-index construction for the RAREST terms (bottom-"
+    f"{_INV_INDEX_TOPN} by document frequency, deterministic term "
+    "tie-break): term -> sorted posting list.  Rare-term postings are "
+    "the useful slice for contamination tracing and near-dup pivoting "
+    "(common-term postings are unboundedly large and information-free); "
+    "selecting by df rank keeps every output row small at 100 TB.  One "
+    "explode + distinct-by-agg + groupBy — posting lists assemble via "
+    "sort_array(collect_set), shuffle rows are (term, doc_id) pairs "
+    "only, and the final rank runs over |vocabulary| rows.",
+    tags=("llm", "text", "index"),
+)
+def inverted_index_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)
+            ).alias("term"),
+        )
+        .where(F.length("term") > 0)
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .select(
+            "term",
+            F.size("postings").cast("long").alias("df"),
+            "postings",
+        )
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .limit(_INV_INDEX_TOPN)
+    )

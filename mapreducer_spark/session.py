@@ -51,6 +51,12 @@ def get_spark(
         # Columnar parquet IO with pushdown (verified in tests/test_plans.py).
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # The generated-class cache defaults to 100 entries; a 100+-query
+        # workload (this engine ships 129) evicts and recompiles every
+        # stage late in a run — measured 2-4x inflation on late queries
+        # (token_count_pandas_udf 2.1s isolated vs 5.2s in a full bench).
+        # Driver-side memory cost is a few hundred MB of compiled classes.
+        "spark.sql.codegen.cache.maxEntries": "2000",
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -116,3 +116,57 @@ def test_quality_router_matches_batch(spark, sf_dir, tmp_path):
         "dup_token_frac",
         "top_bigram_frac",
     }
+
+
+def test_quality_router_restart_is_incremental(spark, sf_dir, tmp_path):
+    """Restarting the router with the same checkpoint must process ONLY
+    newly arrived files: batch ids advance, earlier batch_id dirs are
+    not rewritten, and no doc is routed twice — the exactly-once
+    contract the batch_id=N/overwrite layout exists to provide."""
+    import glob
+    import shutil
+
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import (
+        _DOCS_SCHEMA,
+        run_quality_router,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage(df, name):
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], src / name)
+
+    stage(docs.where("doc_id % 2 = 0"), "p1.parquet")
+    keep_dir, drop_dir = str(tmp_path / "keep"), str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(_DOCS_SCHEMA).parquet(str(src))
+    run_quality_router(stream, keep_dir, drop_dir, ckpt)
+    first_keep = {r.doc_id for r in spark.read.parquet(keep_dir).collect()}
+    first_dirs = set(glob.glob(f"{keep_dir}/batch_id=*"))
+
+    # Second generation arrives; same checkpoint -> incremental batch.
+    stage(docs.where("doc_id % 2 = 1"), "p2.parquet")
+    stream2 = spark.readStream.schema(_DOCS_SCHEMA).parquet(str(src))
+    run_quality_router(stream2, keep_dir, drop_dir, ckpt)
+
+    kept = [r.doc_id for r in spark.read.parquet(keep_dir).collect()]
+    dropped = [r.doc_id for r in spark.read.parquet(drop_dir).collect()]
+    # No doc routed twice across restarts ...
+    assert len(kept) == len(set(kept))
+    assert len(dropped) == len(set(dropped))
+    # ... first-run output still present, new batch dir added ...
+    assert first_keep <= set(kept)
+    assert first_dirs < set(glob.glob(f"{keep_dir}/batch_id=*"))
+    # ... and the union equals the batch-mode routing of the full corpus.
+    from mapreducer_spark.operators.curation import gopher_repetition_rules
+
+    batch = gopher_repetition_rules(spark, sf_dir)
+    assert set(kept) == {r.doc_id for r in batch.where("keep").collect()}
+    assert set(dropped) == {
+        r.doc_id for r in batch.where("NOT keep").collect()
+    }
