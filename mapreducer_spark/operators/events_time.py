@@ -100,11 +100,41 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_session_windows",
-    oracle=None,  # session windows aren't SQL-expressible in DuckDB → rows-only
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, "value",
+    CASE WHEN ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *,
+    CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT
+  user_id,
+  strftime(MIN(ts), '{_FMT_DUCK}') AS session_start,
+  strftime(MAX(ts) + INTERVAL '30 minutes', '{_FMT_DUCK}') AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessioned
+GROUP BY user_id, sid
+""",
     doc="Session windows with 30-minute gap per user (§2.9). Batch form of "
     "session_window(ts, '30 minutes'); the streaming twin lives in "
-    "streaming/jobs.py. Deterministic but not oracle-expressible.",
-    tags=("events", "window-time", "rows-only"),
+    "streaming/jobs.py.  Promoted from rows-only to hash-checked: "
+    "session_window is definitionally gaps-and-islands with window end "
+    "= last event + gap, and two touching windows (gap exactly elapsed) "
+    "do NOT merge, so the oracle's new-session predicate is >= (the "
+    "sibling event_sessions query keeps the conventional > form; the "
+    "fixture's microsecond timestamps make exact-gap ties improbable "
+    "but the predicate is still pinned to Spark's semantics).",
+    tags=("events", "window-time", "session"),
 )
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -206,33 +236,26 @@ _PROFILE_TOPK = 5
 
 def _hour_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, v: 24-dim hour-of-day count profile, nrm) — materialized
-    once; shared by the exact and LSH-blocked similarity queries."""
+    once; shared by the exact and LSH-blocked similarity queries.
+
+    Built as ONE conditional-sum aggregation (24 pivoted counters per
+    user, map-side combined) instead of the earlier per-(user, hour)
+    groupBy + dense hour spine + collect_list re-assembly: same dense
+    24-vector, but a single shuffle of 24-int rows and no distinct-users
+    scan or spine join (three shuffles -> one)."""
     e = load_table(spark, sf_dir, "events")
-    counts = e.groupBy(
-        "user_id", F.hour("ts").cast("int").alias("hod")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    users = e.select("user_id").distinct()
-    spine = users.crossJoin(
-        spark.range(24).select(F.col("id").cast("int").alias("hod"))
+    hod = F.hour("ts")
+    prof = e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(hod == h, 1).otherwise(0))
+            .cast("double")
+            .alias(f"h{h}")
+            for h in range(24)
+        ]
     )
+    v = F.array(*[F.col(f"h{h}") for h in range(24)])
     return (
-        spine.join(counts, ["user_id", "hod"], "left")
-        .groupBy("user_id")
-        .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            "hod",
-                            F.coalesce(F.col("cnt"), F.lit(0))
-                            .cast("double")
-                            .alias("cnt"),
-                        )
-                    )
-                ),
-                lambda s: s.getField("cnt"),
-            ).alias("v")
-        )
+        prof.select("user_id", v.alias("v"))
         # Norm computed ONCE per profile, not once per pair.
         .select(
             "user_id", "v", F.sqrt(_static_dot(F.col("v"), F.col("v"))).alias("nrm")
@@ -295,7 +318,13 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     profiles = _hour_profiles(spark, sf_dir)
-    a = profiles.select(
+    # The checkpointed profile table is tiny (AQE coalesces it to ~1
+    # partition), but the probe side drives |U|^2 unrolled cosines —
+    # spread it across the cluster or the whole pair stage runs in one
+    # task (measured: single 3-4s task at sf0.1).
+    a = profiles.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         F.col("user_id").alias("user_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),

@@ -276,3 +276,65 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# Mixture weights by source band: sources src0-4 are "high quality"
+# (keep all), src5-9 half, src10-14 quarter, src15-19 a tenth — the
+# down-weighting shape of training-corpus mixing recipes.
+_MIX_BAND_WEIGHTS = (1.0, 0.5, 0.25, 0.1)
+
+
+@register(
+    "corpus_mixture_quota",
+    oracle=f"""
+WITH ranked AS (
+  SELECT
+    doc_id,
+    source,
+    CAST(floor(
+      (CASE CAST(substr(source, 4) AS INTEGER) // 5
+         {" ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(_MIX_BAND_WEIGHTS))}
+         ELSE {_MIX_BAND_WEIGHTS[-1]} END)
+      * COUNT(*) OVER (PARTITION BY source)
+    ) AS BIGINT) AS quota,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY {oracle_md5_int64("text")}, doc_id
+    ) AS rnk
+  FROM documents
+)
+SELECT doc_id, source, rnk FROM ranked WHERE rnk <= quota
+""",
+    doc="EXACT-quota corpus mixing: each source contributes exactly "
+    "floor(weight x |source|) documents, selected by a deterministic "
+    "content-hash order — the data-mixing primitive when the training "
+    "recipe specifies hard per-source budgets (rate-based "
+    "stratified_sample_orders hits quotas only in expectation).  "
+    "Content-hash ordering makes the selection reproducible across "
+    "engines, runs, and partitionings.  The per-source sort is the "
+    "scale cost: at 100 TB with few huge sources, swap the window for "
+    "the two-phase global ranking in functions/agg.py::global_row_number "
+    "applied per source (same output, distributed sort).",
+    tags=("sampling", "llm", "window"),
+)
+def corpus_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    band = (F.substring("source", 4, 10).cast("int") / 5).cast("int")
+    weight = F.lit(float(_MIX_BAND_WEIGHTS[-1]))
+    for i, w in reversed(list(enumerate(_MIX_BAND_WEIGHTS))):
+        weight = F.when(band == i, F.lit(w)).otherwise(weight)
+    w_src = Window.partitionBy("source")
+    w_rnk = Window.partitionBy("source").orderBy(
+        md5_int64(F.col("text")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.floor(weight * F.count(F.lit(1)).over(w_src)).alias("quota"),
+        F.row_number().over(w_rnk).alias("rnk"),
+    )
+    return ranked.where(F.col("rnk") <= F.col("quota")).select(
+        "doc_id", "source", "rnk"
+    )
