@@ -980,3 +980,82 @@ def segment_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+@register(
+    "waiting_suppliers_q21ish",
+    oracle="""
+WITH multi AS (
+  SELECT l_orderkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) > 1
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL '90 days'
+),
+sole_blame AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+  FROM late
+  GROUP BY l_orderkey
+  HAVING COUNT(*) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole_blame
+JOIN multi USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    doc="TPC-H Q21 analogue (fixture lacks commitdate/orderstatus detail: "
+    "'late' = shipped >90 days after order date). Suppliers who were "
+    "the SOLE late supplier on a multi-supplier order — the "
+    "EXISTS + NOT EXISTS double-correlation shape, decorrelated into "
+    "two aggregations joined back: per-order distinct-supplier count "
+    "(multi-supplier filter) and per-order late-supplier set (exactly "
+    "one).  Both aggregate before joining, so the join inputs are "
+    "order-grained, never lineitem-grained — the decorrelation a "
+    "planner must find for Q21 to scale.",
+    tags=("join", "tpch", "agg", "limit"),
+)
+def waiting_suppliers_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    multi = (
+        lo.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        lo.where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole_blame = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.count(F.lit(1)).alias("n_late"),
+        )
+        .where(F.col("n_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        sole_blame.join(multi, "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )

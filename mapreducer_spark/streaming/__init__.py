@@ -1,4 +1,5 @@
 from mapreducer_spark.streaming.jobs import (
+    BatchMetricsListener,
     deduped_stream,
     read_documents_stream,
     read_events_stream,
@@ -12,6 +13,7 @@ from mapreducer_spark.streaming.jobs import (
 )
 
 __all__ = [
+    "BatchMetricsListener",
     "deduped_stream",
     "read_documents_stream",
     "read_events_stream",

@@ -400,3 +400,62 @@ def run_quality_router(
         .start()
     )
     q.awaitTermination()
+
+
+class BatchMetricsListener:
+    """StreamingQueryListener that captures per-batch progress metrics —
+    the observability hook a production streaming deployment wires into
+    its metrics system (rows/sec, batch duration, watermark lag).
+
+    Implemented against pyspark's StreamingQueryListener interface;
+    events arrive on a listener-bus thread, so readers should poll
+    (see tests/test_streaming_sinks.py).
+    """
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        captured: list[dict] = []
+        self.batches = captured
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                captured.append(
+                    {
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                        "sink": p.sink.description if p.sink else None,
+                    }
+                )
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._listener = _L()
+
+    def attach(self, spark: SparkSession) -> "BatchMetricsListener":
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self._listener)
+
+    def wait_for_batches(self, n: int = 1, timeout_s: float = 30.0) -> list[dict]:
+        """Poll until >= n batch-progress events arrived (listener events
+        are delivered asynchronously after awaitTermination returns)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            if len(self.batches) >= n:
+                return self.batches
+            _time.sleep(0.2)
+        return self.batches

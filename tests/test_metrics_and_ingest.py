@@ -80,3 +80,53 @@ def test_batch_merge_upsert(spark, sf_dir, tmp_path):
     }
     # k=1 untouched, k=2 takes ts=103 (stale 99 ignored), k=3 inserted.
     assert got == {1: (100, 10.0), 2: (103, 25.0), 3: (102, 30.0)}
+
+
+def test_dynamic_partition_pruning_on_warehouse_fact(spark, sf_dir, tmp_path):
+    """The 100 TB join-pruning pattern: when a partitioned FACT joins a
+    filtered dim on the partition column, Spark's dynamic partition
+    pruning injects a runtime subquery filter into the fact scan —
+    partitions for non-qualifying keys are never read, even though no
+    static partition predicate exists.  Assert the capability on the
+    warehouse layout (lineitem partitioned by l_year)."""
+    wh = str(tmp_path / "wh_dpp")
+    from mapreducer_spark.sources.ingest import ingest_warehouse
+
+    ingest_warehouse(spark, sf_dir, wh)
+    fact = spark.read.parquet(f"{wh}/lineitem")
+    # The dim filter must be NON-derivable at plan time (a priority
+    # predicate, not a year literal): with a static year filter Catalyst
+    # constant-folds the join key and emits a plain PartitionFilter —
+    # better than DPP, but not the capability under test.
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+    )
+    j = (
+        fact.join(dim, fact.l_year == dim.yr)
+        .groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+    rows = j.collect()
+    assert rows and all(r.n > 0 for r in rows)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution contract: generation 2 adds a column; reading
+    the union with mergeSchema surfaces it, with NULLs for generation-1
+    rows — the append-only evolution path a long-lived warehouse needs."""
+    base = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        f"{base}/gen=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(f"{base}/gen=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "v", "score", "gen"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5

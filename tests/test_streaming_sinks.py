@@ -170,3 +170,27 @@ def test_quality_router_restart_is_incremental(spark, sf_dir, tmp_path):
     assert set(dropped) == {
         r.doc_id for r in batch.where("NOT keep").collect()
     }
+
+
+def test_streaming_listener_captures_batch_metrics(spark, sf_dir):
+    """Per-batch observability: the listener must see every processed
+    batch with its input row count — the hook a production deployment
+    exports to its metrics system."""
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import BatchMetricsListener
+
+    listener = BatchMetricsListener().attach(spark)
+    try:
+        name, _ = run_stream_to_memory(
+            deduped_stream(read_events_stream(spark, sf_dir)),
+            output_mode="append",
+        )
+        batches = listener.wait_for_batches(1)
+        assert batches, "no progress events delivered"
+        total_in = sum(b["num_input_rows"] for b in batches)
+        assert total_in == load_table(spark, sf_dir, "events").count()
+        assert all(
+            b["duration_ms"] is None or b["duration_ms"] >= 0 for b in batches
+        )
+    finally:
+        listener.detach(spark)
