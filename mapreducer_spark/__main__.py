@@ -76,6 +76,15 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    from mapreducer_spark.sources.ingest import compact_parquet_dir
+
+    spark = _get_spark(args)
+    n = compact_parquet_dir(spark, args.path, target_file_mb=args.target_mb)
+    print(f"compacted {args.path} -> {n} file(s)")
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from mapreducer_spark.sql_api import sql
 
@@ -147,6 +156,13 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ing.add_argument("--warehouse", required=True)
     ing.set_defaults(fn=cmd_ingest)
+
+    cp = sub.add_parser(
+        "compact", help="compact a small-files parquet dir (atomic swap)"
+    )
+    cp.add_argument("--path", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.set_defaults(fn=cmd_compact)
 
     sq = sub.add_parser("sql", help="run SQL over the fixture tables")
     sq.add_argument("query")

@@ -109,3 +109,72 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
     )
+
+
+_ATTRIB_WINDOW_SECS = 7200  # 2-hour attribution window
+
+
+@register(
+    "purchase_attribution_asof",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.ts AS view_ts
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT
+  event_id,
+  user_id,
+  CASE WHEN date_diff('second', view_ts, ts) <= {_ATTRIB_WINDOW_SECS}
+       THEN view_event_id END AS attributed_view_id,
+  CASE WHEN date_diff('second', view_ts, ts) <= {_ATTRIB_WINDOW_SECS}
+       THEN date_diff('second', view_ts, ts) END AS secs_since_view
+FROM m
+""",
+    doc="As-of join with a TOLERANCE bound (the 'asof ... tolerance' "
+    "form): each purchase is attributed to the user's most recent "
+    "preceding view only if it happened within a 2-hour window, else "
+    "NULL — the standard attribution-window semantics.  Same "
+    "union+window single-shuffle as-of core; the matched right TIME is "
+    "carried with the payload and the bound applied as a row-local "
+    "post-predicate, expressed identically in the oracle (complete "
+    "second boundaries: DuckDB date_diff('second') == difference of "
+    "floored epoch seconds).",
+    tags=("join", "asof", "events"),
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumnRenamed("ts", "view_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views.withColumnRenamed("user_id", "v_user_id"),
+        left_key="user_id",
+        right_key="v_user_id",
+        left_time="ts",
+        right_time="view_ts",
+        right_payload=["view_event_id", "view_ts"],
+    )
+    secs = F.col("ts").cast("long") - F.col("view_ts").cast("long")
+    fresh = secs <= _ATTRIB_WINDOW_SECS
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("view_event_id")).alias("attributed_view_id"),
+        F.when(fresh, secs).alias("secs_since_view"),
+    )

@@ -125,3 +125,41 @@ def merge_upsert(
         os.rename(target_dir, old_dir)
     os.rename(tmp_dir, target_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and atomically swap it in.
+
+    Streaming sinks and incremental batch appends accumulate files far
+    below the efficient scan size; at 100 TB the resulting task-per-file
+    scheduling and footer overhead dominate reads.  This is the
+    maintenance pass a table format runs as 'OPTIMIZE' — here over plain
+    parquet with the same temp-dir + rename generation swap as
+    merge_upsert (old data intact until the new generation is complete).
+
+    Returns the number of files written.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp_dir = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    # coalesce, not repartition: compaction must not shuffle — it only
+    # concatenates scan partitions into fewer output files.
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp_dir)
+    old_dir = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old_dir)
+    os.rename(tmp_dir, path)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return n_files

@@ -191,3 +191,20 @@ def test_tokenizer_three_way_engine_parity(spark, texts):
     )
     py_toks = sorted(tok for t in texts for tok in _reference_tokenize(t))
     assert spark_toks == duck_toks == py_toks
+
+
+def test_cli_compact(spark, sf_dir, tmp_path):
+    """CLI compact: maintenance pass reachable as a command."""
+    import glob
+
+    target = str(tmp_path / "cli_smallfiles")
+    load_table(spark, sf_dir, "orders").repartition(8).write.parquet(target)
+    assert len(glob.glob(f"{target}/part-*.parquet")) == 8
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(
+            ["--master", "local[4]", "compact", "--path", target]
+        )
+    assert rc == 0
+    assert "1 file(s)" in buf.getvalue()
+    assert len(glob.glob(f"{target}/part-*.parquet")) == 1

@@ -130,3 +130,30 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score", "gen"}
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_compact_parquet_dir(spark, sf_dir, tmp_path):
+    """Compaction must reduce a many-small-files directory to the
+    computed file count, preserve every row, and leave no temp/old
+    generation behind."""
+    import glob
+    import os
+
+    from mapreducer_spark.sources.ingest import compact_parquet_dir
+
+    target = str(tmp_path / "smallfiles")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(20).write.parquet(target)
+    assert len(glob.glob(f"{target}/part-*.parquet")) == 20
+    before = {r.o_orderkey for r in spark.read.parquet(target).collect()}
+
+    n = compact_parquet_dir(spark, target, target_file_mb=128)
+    files = glob.glob(f"{target}/part-*.parquet")
+    assert len(files) == n == 1  # fixture orders << 128 MB
+    after = {r.o_orderkey for r in spark.read.parquet(target).collect()}
+    assert after == before
+    leftovers = [
+        p for p in os.listdir(str(tmp_path))
+        if p.startswith("smallfiles.")
+    ]
+    assert not leftovers, leftovers
