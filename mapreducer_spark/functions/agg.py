@@ -74,6 +74,21 @@ def salted_group_sum(
     )
 
 
+def global_row_number_with_total(
+    df,
+    order_cols: list,
+    n_partitions: int = 32,
+    out_name: str = "rn",
+):
+    """``global_row_number`` plus the total row count, derived from the
+    same per-partition size collect — callers that need N (exact NTILE
+    arithmetic) save a second full scan."""
+    ranked, total = _global_row_number_impl(
+        df, order_cols, n_partitions, out_name
+    )
+    return ranked, total
+
+
 def global_row_number(
     df,
     order_cols: list,
@@ -97,6 +112,18 @@ def global_row_number(
     The result is identical to the single-partition window for any
     unique ordering (equal keys co-locate under range partitioning).
     """
+    ranked, _total = _global_row_number_impl(
+        df, order_cols, n_partitions, out_name
+    )
+    return ranked
+
+
+def _global_row_number_impl(
+    df,
+    order_cols: list,
+    n_partitions: int,
+    out_name: str,
+):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -124,12 +151,13 @@ def global_row_number(
             offset_expr
         )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    ranked = (
         ranged.withColumn(
             out_name, (offset_expr + F.row_number().over(w)).cast("int")
         )
         .drop("__pid")
     )
+    return ranked, acc
 
 
 def ntile_from_rn(rn_col, total: int, n_tiles: int):

@@ -877,7 +877,10 @@ GROUP BY decile
     tags=("window", "agg"),
 )
 def quantity_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreducer_spark.functions.agg import global_row_number, ntile_from_rn
+    from mapreducer_spark.functions.agg import (
+        global_row_number_with_total,
+        ntile_from_rn,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"
@@ -886,8 +889,9 @@ def quantity_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single partition; instead range-partition + per-partition offsets
     # give the identical global row number fully distributed, and the
     # NTILE bucket is pure arithmetic on (rn, total).
-    n_total = li.count()  # metadata scalar (one job over footer stats)
-    ranked = global_row_number(
+    # Total row count comes from the ranking helper's own per-partition
+    # size collect — no separate .count() scan.
+    ranked, n_total = global_row_number_with_total(
         li, ["l_quantity", "l_orderkey", "l_linenumber"]
     )
     banded = ranked.select(

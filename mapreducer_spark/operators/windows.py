@@ -203,7 +203,10 @@ FROM (
     tags=("window", "rank"),
 )
 def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreducer_spark.functions.agg import global_row_number, ntile_from_rn
+    from mapreducer_spark.functions.agg import (
+        global_row_number_with_total,
+        ntile_from_rn,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
@@ -214,8 +217,10 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the global row number — percent_rank = (rn-1)/(n-1), cume_dist
     # = rn/n, ntile via exact bucket arithmetic — so the two-phase
     # distributed ranking replaces the single-partition global window.
-    n = spend.count()  # metadata scalar
-    ranked = global_row_number(spend, ["total_spend", "c_custkey"])
+    # n comes from the helper's own size collect (no second scan).
+    ranked, n = global_row_number_with_total(
+        spend, ["total_spend", "c_custkey"]
+    )
     rn = F.col("rn")
     return ranked.select(
         "c_custkey",
