@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreducer_spark.functions.hashes import oracle_md5_int64
 from mapreducer_spark.functions.text import (
     ORACLE_TOKEN_SPLIT_RE,
     SPARK_TOKEN_SPLIT_RE,
@@ -354,4 +355,80 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("dsir_weight"),
         )
+    )
+
+
+_NEG_K = 4  # negatives per anchor
+
+
+@register(
+    "contrastive_negative_pairs",
+    oracle=f"""
+WITH idx AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+anchored AS (
+  SELECT a.doc_id, a.source, a.rn, a.n, j.j,
+         1 + ({oracle_md5_int64("CAST(a.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)")}
+              % (a.n - 1)) AS off
+  FROM idx a, (SELECT unnest(range(1, {_NEG_K} + 1)) AS j) j
+)
+SELECT
+  a.doc_id,
+  CAST(a.j AS INT) AS j,
+  b.doc_id AS neg_doc_id,
+  (a.source = b.source) AS same_source
+FROM anchored a
+JOIN idx b ON b.rn = ((a.rn - 1 + a.off) % a.n) + 1
+""",
+    doc=f"Contrastive NEGATIVE SAMPLING ({_NEG_K} negatives per anchor): "
+    "deterministic pseudo-random partner selection via a content-hash "
+    "offset in [1, N-1] over a global document ranking — never the "
+    "anchor itself, uniform-ish over the corpus, and exactly "
+    "reproducible across engines/runs/partitionings (the property "
+    "random() sampling lacks).  The training-pair generator for "
+    "contrastive embedding/reranker training; same_source is the "
+    "trivial hard-negative signal.  Cost: one global ranking + an "
+    "equi-join on rank — no cross join; at 100 TB the ranking is the "
+    "two-phase distributed global_row_number already used by the "
+    "decile queries.",
+    tags=("llm", "sampling", "join"),
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.agg import global_row_number_with_total
+    from mapreducer_spark.functions.hashes import md5_int64
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked, n = global_row_number_with_total(d, ["doc_id"])
+    idx = ranked.localCheckpoint(eager=True)  # anchor + partner branches
+    j = spark.range(1, _NEG_K + 1).select(F.col("id").cast("int").alias("j"))
+    off = 1 + F.pmod(
+        md5_int64(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        ),
+        F.lit(n - 1),
+    )
+    anchored = idx.crossJoin(F.broadcast(j)).select(
+        "doc_id",
+        "source",
+        "j",
+        (((F.col("rn") - 1 + off) % n) + 1).alias("neg_rn"),
+    )
+    partners = idx.select(
+        F.col("rn").alias("neg_rn"),
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("neg_source"),
+    )
+    return anchored.join(partners, "neg_rn").select(
+        "doc_id",
+        "j",
+        "neg_doc_id",
+        (F.col("source") == F.col("neg_source")).alias("same_source"),
     )

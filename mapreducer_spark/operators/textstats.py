@@ -563,3 +563,56 @@ def inverted_index_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").asc(), F.col("term").asc())
         .limit(_INV_INDEX_TOPN)
     )
+
+
+_CHUNK_WIDTH = 32
+_CHUNK_STRIDE = 16
+
+
+@register(
+    "doc_token_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT
+  doc_id,
+  CAST((s - 1) // {_CHUNK_STRIDE} AS INT) AS chunk_id,
+  array_to_string(list_slice(t, s, s + {_CHUNK_WIDTH} - 1), ' ')
+    AS chunk_text,
+  len(list_slice(t, s, s + {_CHUNK_WIDTH} - 1)) AS n_tokens
+FROM starts
+""",
+    doc=f"Document CHUNKING: overlapping {_CHUNK_WIDTH}-token windows "
+    f"with stride {_CHUNK_STRIDE} — the segmentation primitive for "
+    "embedding/RAG/long-context pipelines (every chunker is this op "
+    "with a different tokenizer).  Pure per-row expressions: tokenize "
+    "once, explode the window starts, slice per start — no shuffle at "
+    "all until a downstream consumer aggregates; tail windows shorter "
+    "than the width are kept (standard chunker behavior).",
+    tags=("llm", "text", "chunking"),
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens_col().alias("t")).where(
+        F.size("t") > 0
+    )
+    exploded = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), _CHUNK_WIDTH)
+    return exploded.select(
+        "doc_id",
+        (((F.col("s") - 1) / _CHUNK_STRIDE).cast("int")).alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
