@@ -393,3 +393,63 @@ def warehouse_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part_df if out is None else out.unionByName(part_df)
     return out
+
+
+_Z_THRESHOLD = 3.0
+
+
+@register(
+    "value_outliers_zscore",
+    oracle=f"""
+WITH stats AS (
+  SELECT
+    event_type,
+    CAST(SUM(CAST("value" AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mu,
+    sqrt(
+      CAST(SUM(CAST("value" * "value" AS DECIMAL(28,10))) AS DOUBLE)
+        / COUNT(*)
+      - pow(CAST(SUM(CAST("value" AS DECIMAL(28,10))) AS DOUBLE)
+            / COUNT(*), 2)
+    ) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT
+  e.event_id,
+  e.event_type,
+  e."value",
+  round((e."value" - s.mu) / NULLIF(s.sigma, 0), 6) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((e."value" - s.mu) / NULLIF(s.sigma, 0)) > {_Z_THRESHOLD}
+""",
+    doc=f"Per-group z-score outlier detection (|z| > {_Z_THRESHOLD}): "
+    "group moments computed ONCE as decimal-exact sums/sum-of-squares "
+    "(partition-order invariant — stddev_pop as an expression, not the "
+    "float-accumulating builtin), broadcast back to the stream, "
+    "row-local flagging.  The anomaly gate of a data-quality pipeline; "
+    "one aggregation pass + one broadcast join regardless of scale.  "
+    "Population sigma (biased) on both sides; zero-variance groups "
+    "yield NULL z and drop out of the filter.",
+    tags=("quality", "events", "stats"),
+)
+def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(28,10)")
+    v2dec = (F.col("value") * F.col("value")).cast("decimal(28,10)")
+    stats = e.groupBy("event_type").agg(
+        (F.sum(vdec).cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.sum(v2dec).cast("double") / F.count(F.lit(1))
+            - F.pow(F.sum(vdec).cast("double") / F.count(F.lit(1)), 2)
+        ).alias("sigma"),
+    )
+    z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > _Z_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("z"),
+        )
+    )

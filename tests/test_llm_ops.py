@@ -246,3 +246,46 @@ def test_gram_matrix_matches_numpy(spark, sf_dir):
     assert len(rows) == d * (d + 1) // 2
     for r in rows:
         assert abs(r.gram - want[r.i][r.j]) <= 1e-8 * max(1.0, abs(want[r.i][r.j]))
+
+
+def test_doc_token_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunker invariants: chunks tile each document with the configured
+    stride (chunk k starts at token k*stride + 1), every token of every
+    doc appears in at least one chunk, non-tail chunks are full width,
+    and consecutive chunks overlap by width - stride tokens."""
+    from mapreducer_spark.operators.textstats import (
+        _CHUNK_STRIDE,
+        _CHUNK_WIDTH,
+        doc_token_chunks,
+        _tokens_col,
+    )
+    from mapreducer_spark.sources import load_table
+
+    chunks = {}
+    for r in doc_token_chunks(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_id] = r
+    n_tokens = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_tokens_col()).alias("n"))
+        .collect()
+    }
+    assert chunks  # corpus produces chunks
+    for doc_id, by_id in chunks.items():
+        n = n_tokens[doc_id]
+        ids = sorted(by_id)
+        # contiguous chunk ids starting at 0, covering all n tokens
+        assert ids == list(range(len(ids)))
+        assert (ids[-1] * _CHUNK_STRIDE) < n  # last chunk starts in-range
+        covered = ids[-1] * _CHUNK_STRIDE + by_id[ids[-1]].n_tokens
+        assert covered == n  # tail chunk ends exactly at the last token
+        for i in ids[:-1]:
+            assert by_id[i].n_tokens == min(
+                _CHUNK_WIDTH, n - i * _CHUNK_STRIDE
+            )
+        # overlap: chunk i and i+1 share width - stride tokens (when full)
+        for i in ids[:-1]:
+            a = by_id[i].chunk_text.split(" ")
+            b = by_id[i + 1].chunk_text.split(" ")
+            if len(a) == _CHUNK_WIDTH:
+                assert a[_CHUNK_STRIDE:] == b[: _CHUNK_WIDTH - _CHUNK_STRIDE]
