@@ -46,9 +46,10 @@ def test_minhash_lsh_finds_synthesized_neardups(spark, sf_dir):
 def test_minhash_lsh_megabucket_guard_bounds_pairs(spark):
     """A boilerplate corpus (1.2k near-identical docs -> one LSH bucket
     per band) must NOT trigger the O(m^2) in-array pair expansion: above
-    _LSH_MAX_BUCKET the bucket emits a star over its min id, so the
-    output is O(m) pairs that still span the duplicate cluster —
-    connected components recovers the full clique from the star."""
+    _LSH_MAX_BUCKET the bucket is split into <=64-member chunks (full
+    pairs within a chunk, one hub link per extra chunk), so the output is
+    O(m) pairs that still span the duplicate cluster — connected
+    components recovers the full clique."""
     n = 1200
     assert n > _LSH_MAX_BUCKET
     docs = spark.createDataFrame(
@@ -57,15 +58,34 @@ def test_minhash_lsh_megabucket_guard_bounds_pairs(spark):
         ["doc_id", "text"],
     )
     pairs = minhash_lsh_pairs(docs).collect()
-    # Identical docs share every band bucket; the star over doc 0 gives
-    # exactly n-1 distinct verified pairs — the quadratic expansion
-    # would emit m*(m-1)/2 = 719,400.
-    assert len(pairs) == n - 1, f"guard failed: {len(pairs)} pairs"
-    # Every doc is reachable from the hub -> downstream connected
-    # components still yields ONE cluster over the whole group.
+    # Identical docs share every band bucket -> 19 chunks (18x64 + 48):
+    # intra-chunk pairs 18*C(64,2) + C(48,2) plus 18 hub links = 37,434
+    # distinct verified pairs.  The unguarded quadratic expansion would
+    # emit m*(m-1)/2 = 719,400 — the guard keeps it O(m).
+    full, part = divmod(n, _LSH_MAX_BUCKET)
+    expected = (
+        full * (_LSH_MAX_BUCKET * (_LSH_MAX_BUCKET - 1) // 2)
+        + part * (part - 1) // 2
+        + full + (1 if part else 0) - 1
+    )
+    assert len(pairs) == expected, f"guard failed: {len(pairs)} pairs"
+    # Every doc is reachable from the hub via its chunk -> downstream
+    # connected components still yields ONE cluster over the whole group.
     ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
     assert ids == set(range(n))
     assert all(r.jaccard == 1.0 for r in pairs)
+    # Union-find sanity: the pair set is actually one connected component.
+    parent = {i: i for i in range(n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r.id_a)] = find(r.id_b)
+    assert len({find(i) for i in range(n)}) == 1
 
 
 def test_blocked_jaccard_finds_synthesized_neardups(spark, sf_dir):
