@@ -182,6 +182,7 @@ def salted_join(
     fact_key: str,
     dim_key: str,
     n_salts: int = 16,
+    tiebreaker: str | None = None,
 ):
     """Skew-resistant equi-join: salt the fact side, replicate the dim
     side across all salts, join on (key, salt).
@@ -194,19 +195,33 @@ def salted_join(
     a non-AQE engine); cost is dim inflated n_salts x, so keep the dim
     the small side.
 
-    Determinism contract: the salt is a hash of the FULL fact row, so a
-    task retry or AQE replan reproduces the same physical distribution
+    Determinism contract: the salt is a hash of the fact row's
+    HASHABLE (atomic-typed) columns, so a task retry or AQE replan
+    reproduces the same physical distribution
     (monotonically_increasing_id would not — it renumbers on every
-    replan).  Duplicate rows share a salt; skew relief comes from the
-    non-key columns varying across a hot key's rows.
+    replan).  Map-typed columns are excluded (xxhash64 fails analysis
+    on them).  Rows identical across all hashable columns share a salt
+    — the common skew shape where a hot key's rows are EXACT duplicates
+    gets no relief from row-hashing alone; pass ``tiebreaker`` (a
+    varying column, e.g. an upstream event id or file+offset) to
+    restrict the hash to that column and spread such rows.
     """
     from pyspark.sql import functions as F
 
+    if tiebreaker is not None:
+        hash_cols = [F.col(tiebreaker)]
+    else:
+        # simpleString substring check also catches maps NESTED inside
+        # structs/arrays, which xxhash64 rejects just the same.
+        hash_cols = [
+            F.col(f.name)
+            for f in fact.schema.fields
+            if "map<" not in f.dataType.simpleString()
+        ]
+        if not hash_cols:  # all-map schema: fall back to the key column
+            hash_cols = [F.col(fact_key)]
     salted_fact = fact.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
-        ),
+        "__salt", F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
     )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -405,12 +405,13 @@ WITH stats AS (
   SELECT
     event_type,
     CAST(SUM(CAST("value" AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mu,
-    sqrt(
+    sqrt(greatest(
       CAST(SUM(CAST("value" * "value" AS DECIMAL(28,10))) AS DOUBLE)
         / COUNT(*)
       - pow(CAST(SUM(CAST("value" AS DECIMAL(28,10))) AS DOUBLE)
-            / COUNT(*), 2)
-    ) AS sigma
+            / COUNT(*), 2),
+      0.0
+    )) AS sigma
   FROM events GROUP BY event_type
 )
 SELECT
@@ -432,14 +433,28 @@ WHERE abs((e."value" - s.mu) / NULLIF(s.sigma, 0)) > {_Z_THRESHOLD}
     tags=("quality", "events", "stats"),
 )
 def value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return outliers_zscore(load_table(spark, sf_dir, "events"))
+
+
+def outliers_zscore(e: DataFrame) -> DataFrame:
+    """Z-score gate core over any (event_id, event_type, value) frame —
+    factored from the registered query for the degenerate-group test."""
     vdec = F.col("value").cast("decimal(28,10)")
     v2dec = (F.col("value") * F.col("value")).cast("decimal(28,10)")
     stats = e.groupBy("event_type").agg(
         (F.sum(vdec).cast("double") / F.count(F.lit(1))).alias("mu"),
+        # greatest(var, 0): E[x^2]-E[x]^2 can land a hair NEGATIVE for a
+        # constant-valued group (double arithmetic), and sqrt(-eps) = NaN
+        # sorts above every number — abs(z) > 3 would then admit the
+        # whole degenerate group.  Clamped, sigma is exactly 0 and
+        # try_divide yields NULL, so such groups drop out by
+        # construction (oracle twin applies the same clamp).
         F.sqrt(
-            F.sum(v2dec).cast("double") / F.count(F.lit(1))
-            - F.pow(F.sum(vdec).cast("double") / F.count(F.lit(1)), 2)
+            F.greatest(
+                F.sum(v2dec).cast("double") / F.count(F.lit(1))
+                - F.pow(F.sum(vdec).cast("double") / F.count(F.lit(1)), 2),
+                F.lit(0.0),
+            )
         ).alias("sigma"),
     )
     z = F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))

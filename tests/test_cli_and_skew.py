@@ -208,3 +208,34 @@ def test_cli_compact(spark, sf_dir, tmp_path):
     assert rc == 0
     assert "1 file(s)" in buf.getvalue()
     assert len(glob.glob(f"{target}/part-*.parquet")) == 1
+
+
+def test_salted_join_map_columns_and_tiebreaker(spark):
+    """salted_join must (a) not fail analysis when the fact schema holds
+    a map column (xxhash64 can't hash maps — they are excluded from the
+    salt), and (b) spread EXACT-duplicate hot-key rows across salts when
+    a tiebreaker column is supplied."""
+    from mapreducer_spark.functions.agg import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i, {"k": "v"}) for i in range(200)],
+        "k long, seq long, props map<string,string>",
+    )
+    dim = spark.createDataFrame([(1, "one")], "dk long, name string")
+
+    out = salted_join(fact, dim, "k", "dk", n_salts=8)
+    assert out.count() == 200  # same result set as the plain join
+
+    # Exact-duplicate rows (seq dropped): row-hash gives ONE salt; the
+    # tiebreaker must spread them.
+    dup = fact.select("k", F.lit(0).alias("seq"), "props")
+    from pyspark.sql import functions as SF
+
+    salted = dup.withColumn(
+        "__salt", SF.pmod(SF.xxhash64("k", SF.lit(0)), SF.lit(8))
+    )
+    assert salted.select("__salt").distinct().count() == 1
+    spread = salted_join(
+        fact, dim, "k", "dk", n_salts=8, tiebreaker="seq"
+    )
+    assert spread.count() == 200

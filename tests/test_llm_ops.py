@@ -246,11 +246,16 @@ def test_approx_quantiles_bracket_exact(spark, sf_dir):
 
 
 def test_gram_matrix_matches_numpy(spark, sf_dir):
-    """Distributed X'X must equal single-node numpy to float tolerance,
-    and must be symmetric-complete (full upper triangle present)."""
+    """Distributed X'X must EXACTLY equal a single-node emulation of the
+    same 2^40 fixed-point accumulation (order-invariance is the whole
+    point), stay within rounding tolerance of plain float X'X, and be
+    symmetric-complete (full upper triangle present)."""
     import numpy as np
 
-    from mapreducer_spark.operators.similarity import embedding_gram_matrix
+    from mapreducer_spark.operators.similarity import (
+        _GRAM_SCALE,
+        embedding_gram_matrix,
+    )
     from mapreducer_spark.sources import load_table
 
     rows = embedding_gram_matrix(spark, sf_dir).collect()
@@ -262,10 +267,19 @@ def test_gram_matrix_matches_numpy(spark, sf_dir):
     ]
     x = np.array(emb, dtype=np.float64)
     want = x.T @ x
+    fixed = (
+        np.floor((x[:, :, None] * x[:, None, :]) * _GRAM_SCALE)
+        .astype(np.int64)
+        .sum(axis=0)
+    )
     d = x.shape[1]
     assert len(rows) == d * (d + 1) // 2
     for r in rows:
-        assert abs(r.gram - want[r.i][r.j]) <= 1e-8 * max(1.0, abs(want[r.i][r.j]))
+        # exact: same fixed-point value, same 6dp rounding
+        assert r.gram == round(float(fixed[r.i][r.j]) / _GRAM_SCALE, 6)
+        # and the fixed-point result is still ~the float matmul
+        # (6dp output rounding + n*2^-40 truncation bias)
+        assert abs(r.gram - want[r.i][r.j]) <= 5.1e-7 + 1e-8 * abs(want[r.i][r.j])
 
 
 def test_doc_token_chunks_cover_and_overlap(spark, sf_dir):

@@ -157,3 +157,21 @@ def test_compact_parquet_dir(spark, sf_dir, tmp_path):
         if p.startswith("smallfiles.")
     ]
     assert not leftovers, leftovers
+
+
+def test_zscore_gate_excludes_constant_valued_groups(spark):
+    """A constant-valued group's E[x^2]-E[x]^2 can be a tiny NEGATIVE
+    double; unclamped, sqrt gives NaN and NaN z-scores sort above the
+    threshold, admitting the whole degenerate group.  The greatest(var,0)
+    clamp must exclude such groups by construction while leaving real
+    outliers in other groups detectable."""
+    from mapreducer_spark.operators.profiling import outliers_zscore
+
+    rows = [(i, "const", 0.1) for i in range(100)]
+    rows += [(1000 + i, "spread", float(i % 10)) for i in range(100)]
+    rows += [(2000, "spread", 1e6)]  # blatant outlier
+    e = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = outliers_zscore(e).collect()
+    assert all(r.event_type != "const" for r in out)
+    assert any(r.event_id == 2000 for r in out)
+    assert all(r.z == r.z for r in out)  # no NaN survives

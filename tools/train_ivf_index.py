@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Offline IVF index training — the 'build the index' half of the ANN
+serving split.
+
+Trains seeded MLlib KMeans coarse centroids per scale-factor fixture and
+freezes them into ``mapreducer_spark/data/ivf_centroids.json``.  The
+serving query (``ann_ivf_topk``) loads the frozen artifact instead of
+re-training per query — exactly how a production IVF deployment works
+(train once on a sample, persist the quantizer, serve against it), and
+what makes the query hash-checkable: the DuckDB oracle renders the SAME
+literal centroids, so both engines run the identical index.
+
+Re-run after a fixture regeneration:
+
+    python tools/train_ivf_index.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+_DEFAULT_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+_OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..",
+    "mapreducer_spark",
+    "data",
+    "ivf_centroids.json",
+)
+
+
+def main() -> None:
+    from mapreducer_spark.operators.similarity import kmeans_centroids
+    from mapreducer_spark.session import get_spark
+    from mapreducer_spark.sources import load_table
+
+    dirs = sys.argv[1:] or _DEFAULT_DIRS
+    spark = get_spark(app_name="ivf-train", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("WARN")
+    index: dict[str, list[list[float]]] = {}
+    for d in dirs:
+        key = os.path.basename(d.rstrip("/"))
+        em = load_table(spark, d, "embeddings")
+        cents = kmeans_centroids(em).orderBy("cent_id").collect()
+        index[key] = [[float(x) for x in r.cent_v] for r in cents]
+        print(f"{key}: {len(index[key])} centroids x {len(index[key][0])} dims")
+    os.makedirs(os.path.dirname(_OUT), exist_ok=True)
+    with open(_OUT, "w") as f:
+        json.dump(index, f)
+    print(f"wrote {_OUT}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
