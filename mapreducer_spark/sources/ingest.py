@@ -131,7 +131,7 @@ def compact_parquet_dir(
     spark: SparkSession, path: str, target_file_mb: int = 128
 ) -> int:
     """Small-files compaction: rewrite a parquet directory into
-    ceil(total_bytes / target) files and atomically swap it in.
+    ceil(total_bytes / target) files and swap it in via rename.
 
     Streaming sinks and incremental batch appends accumulate files far
     below the efficient scan size; at 100 TB the resulting task-per-file
@@ -139,6 +139,17 @@ def compact_parquet_dir(
     maintenance pass a table format runs as 'OPTIMIZE' — here over plain
     parquet with the same temp-dir + rename generation swap as
     merge_upsert (old data intact until the new generation is complete).
+
+    Swap semantics (NOT atomic, local-FS only — same contract as
+    merge_upsert): the visible name changes via TWO sequential
+    os.renames, so a crash between them leaves the dataset reachable
+    only under its ``.old-*`` generation name (data is never lost, but
+    ``path`` is briefly absent and a concurrent reader can fail
+    mid-swap).  POSIX rename also doesn't exist on object stores (S3
+    "rename" is copy+delete).  Single-writer maintenance windows are
+    the intended use; a production deployment on shared/object storage
+    should use a table format (Delta/Iceberg) whose manifest commit IS
+    atomic, or a versioned-generation directory plus a manifest flip.
 
     Returns the number of files written.
     """
