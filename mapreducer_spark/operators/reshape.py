@@ -338,3 +338,88 @@ def corpus_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rnk") <= F.col("quota")).select(
         "doc_id", "source", "rnk"
     )
+
+
+def _quota_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, rnk, quota) for the band-weighted exact-quota
+    selection — the corpus_mixture_quota CTE factored for reuse by the
+    interleave stage."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    band = (F.substring("source", 4, 10).cast("int") / 5).cast("int")
+    weight = F.lit(float(_MIX_BAND_WEIGHTS[-1]))
+    for i, w in reversed(list(enumerate(_MIX_BAND_WEIGHTS))):
+        weight = F.when(band == i, F.lit(w)).otherwise(weight)
+    w_src = Window.partitionBy("source")
+    w_rnk = Window.partitionBy("source").orderBy(
+        md5_int64(F.col("text")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.floor(weight * F.count(F.lit(1)).over(w_src)).alias("quota"),
+        F.row_number().over(w_rnk).alias("rnk"),
+    )
+    return ranked.where(F.col("rnk") <= F.col("quota"))
+
+
+_ORACLE_QUOTA_SELECTED = f"""
+ranked AS (
+  SELECT
+    doc_id,
+    source,
+    CAST(floor(
+      (CASE CAST(substr(source, 4) AS INTEGER) // 5
+         {" ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(_MIX_BAND_WEIGHTS))}
+         ELSE {_MIX_BAND_WEIGHTS[-1]} END)
+      * COUNT(*) OVER (PARTITION BY source)
+    ) AS BIGINT) AS quota,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY {oracle_md5_int64("text")}, doc_id
+    ) AS rnk
+  FROM documents
+),
+sel AS (SELECT doc_id, source, rnk, quota FROM ranked WHERE rnk <= quota)
+"""
+
+
+@register(
+    "corpus_weighted_interleave",
+    oracle=f"""
+WITH {_ORACLE_QUOTA_SELECTED}
+SELECT
+  ROW_NUMBER() OVER (
+    ORDER BY CAST(2 * rnk - 1 AS DOUBLE) / (2 * quota), source
+  ) AS global_pos,
+  doc_id, source, rnk
+FROM sel
+""",
+    doc="Weighted multi-source interleave with exact quotas (VERDICT r3 "
+    "#5): after the exact-quota selection, each source's r-th document "
+    "gets the stride-scheduling key (2r-1)/(2*quota), and the single "
+    "global training order is the sort over that key — any prefix of "
+    "the stream holds each source in ~quota proportion (within one doc "
+    "per source), which is what curriculum/mixture training loops "
+    "need from a corpus shuffle.  The key is an exact IEEE double "
+    "division identical across engines; the global order is produced "
+    "by the two-phase distributed ranking (range partition + offsets), "
+    "never a single-partition window.",
+    tags=("sampling", "llm", "window"),
+)
+def corpus_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.agg import global_row_number
+
+    sel = _quota_selected(spark, sf_dir).withColumn(
+        "__ikey", (2 * F.col("rnk") - 1) / (2 * F.col("quota"))
+    )
+    ordered = global_row_number(
+        sel, ["__ikey", "source"], out_name="global_pos"
+    )
+    return ordered.select(
+        F.col("global_pos").cast("long").alias("global_pos"),
+        "doc_id",
+        "source",
+        "rnk",
+    )

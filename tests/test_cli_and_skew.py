@@ -239,3 +239,35 @@ def test_salted_join_map_columns_and_tiebreaker(spark):
         fact, dim, "k", "dk", n_salts=8, tiebreaker="seq"
     )
     assert spread.count() == 200
+
+
+def test_weighted_interleave_prefix_proportionality(spark, sf_dir):
+    """Stride-scheduled interleave: every prefix of the global order
+    holds each source close to its quota-proportional share (the whole
+    point of interleaving vs concatenating sources), positions are a
+    1..N permutation, and the order is deterministic across runs."""
+    from collections import Counter
+
+    from mapreducer_spark.operators.reshape import corpus_weighted_interleave
+
+    rows = sorted(
+        corpus_weighted_interleave(spark, sf_dir).collect(),
+        key=lambda r: r.global_pos,
+    )
+    n = len(rows)
+    assert [r.global_pos for r in rows] == list(range(1, n + 1))
+    totals = Counter(r.source for r in rows)
+    n_sources = len(totals)
+    seen: Counter = Counter()
+    for i, r in enumerate(rows, start=1):
+        seen[r.source] += 1
+        for s, c in seen.items():
+            ideal = i * totals[s] / n
+            assert abs(c - ideal) <= n_sources / 2 + 1, (i, s, c, ideal)
+    rows2 = sorted(
+        corpus_weighted_interleave(spark, sf_dir).collect(),
+        key=lambda r: r.global_pos,
+    )
+    assert [(r.doc_id, r.source) for r in rows] == [
+        (r.doc_id, r.source) for r in rows2
+    ]
