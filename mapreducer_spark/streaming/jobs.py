@@ -292,6 +292,62 @@ def click_purchase_join_stream(
     )
 
 
+def click_abandonment_stream(
+    clicks: DataFrame, purchases: DataFrame, horizon_minutes: int = 30
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    attributed purchase if one arrived within ``horizon_minutes``, else
+    NULLs — the abandonment feed (SURVEY.md §2.9 depth, VERDICT r3 #4).
+
+    The outer side exercises the subtle half of stream-stream join
+    state: a NULL-extended row may only be emitted once the purchase
+    WATERMARK has passed the click's whole join window (until then a
+    matching purchase could still arrive).  Spark holds the click in
+    state and emits it from the no-data batch that follows the
+    watermark advance; with an AvailableNow drain over a finite source,
+    clicks younger than (final watermark - horizon) legitimately stay
+    unflushed — the batch-parity test states exactly that bound.
+    Join condition and watermarks mirror click_purchase_join_stream, so
+    matched rows are identical to the inner join's.
+    """
+    c = (
+        clicks.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return c.join(
+        p,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("secs_to_purchase"),
+    )
+
+
 def top_value_per_user_stream(events: DataFrame) -> DataFrame:
     """Spark 4 stateful API (transformWithStateInPandas): running maximum
     event value per user, kept in an explicit ValueState.
@@ -430,6 +486,13 @@ class BatchMetricsListener:
                         "num_input_rows": p.numInputRows,
                         "duration_ms": (p.durationMs or {}).get("triggerExecution"),
                         "sink": p.sink.description if p.sink else None,
+                        # df.observe(...) metrics evaluated inside THIS
+                        # batch's plan — the per-query custom counters a
+                        # production pipeline alerts on (plans/metrics.py
+                        # is the batch-side reader of the same API).
+                        "observed": {
+                            k: r.asDict() for k, r in (p.observedMetrics or {}).items()
+                        },
                     }
                 )
 

@@ -162,3 +162,91 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_left_outer_join_equals_batch_up_to_watermark(spark, sf_dir):
+    """Left-outer stream-stream join parity: matched rows equal the
+    batch twin exactly; NULL-extended (abandoned) clicks equal the batch
+    twin's unmatched set RESTRICTED to clicks whose join window fully
+    expired before the final watermark — younger clicks legitimately
+    stay buffered when the source drains (a purchase could still have
+    arrived), so asserting full equality would be asserting the wrong
+    semantics."""
+    import datetime as dt
+
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import click_abandonment_stream
+
+    stream = click_abandonment_stream(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    name, _ = run_stream_to_memory(stream, output_mode="append")
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    got_matched = {
+        (r.user_id, r.click_id, r.purchase_id, r.secs_to_purchase)
+        for r in got
+        if r.purchase_id is not None
+    }
+    got_abandoned = {r.click_id for r in got if r.purchase_id is None}
+
+    e = load_table(spark, sf_dir, "events")
+    want = click_abandonment_stream(e, e).collect()
+    want_matched = {
+        (r.user_id, r.click_id, r.purchase_id, r.secs_to_purchase)
+        for r in want
+        if r.purchase_id is not None
+    }
+    assert got_matched == want_matched and len(got_matched) > 0
+
+    # Global join watermark = min over BOTH inputs' (max event time -
+    # delay); a click/view event later than the last purchase does not
+    # advance the purchase side.
+    max_click = max(
+        r.ts for r in e.where(F.col("event_type") == "click").select("ts").collect()
+    )
+    max_purch = max(
+        r.ts
+        for r in e.where(F.col("event_type") == "purchase").select("ts").collect()
+    )
+    final_wm = min(max_click, max_purch) - dt.timedelta(hours=1)
+    horizon = dt.timedelta(minutes=30)
+    want_abandoned_flushed = {
+        r.click_id
+        for r in want
+        if r.purchase_id is None and r.click_ts + horizon < final_wm
+    }
+    assert want_abandoned_flushed  # the bound must actually bite
+    assert got_abandoned >= want_abandoned_flushed
+    # and nothing emitted as abandoned that the batch twin matched
+    assert not (got_abandoned & {c for (_, c, _, _) in want_matched})
+
+
+def test_streaming_observed_metrics_reach_listener(spark, sf_dir):
+    """df.observe(...) on a streaming frame must surface its per-batch
+    metric rows through StreamingQueryListener progress — the wiring a
+    production job uses for custom counters (batch side of the same
+    API: plans/metrics.py::observe_counts)."""
+    from mapreducer_spark.streaming.jobs import BatchMetricsListener
+
+    listener = BatchMetricsListener().attach(spark)
+    try:
+        src = read_events_stream(spark, sf_dir).observe(
+            "event_counters",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value")).alias("total_value"),
+        )
+        agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        name, _ = run_stream_to_memory(agg, output_mode="complete")
+        batches = listener.wait_for_batches(1)
+        observed = [
+            b["observed"]["event_counters"]
+            for b in batches
+            if b["observed"].get("event_counters")
+            and b["observed"]["event_counters"].get("n_rows")
+        ]
+        assert observed, batches
+        total_rows = sum(o["n_rows"] for o in observed)
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert total_rows == n_events
+    finally:
+        listener.detach(spark)
