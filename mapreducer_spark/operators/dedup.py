@@ -346,24 +346,30 @@ WHERE containment >= {_CONTAINMENT_THRESHOLD}
     tags=("llm", "dedup", "neardup"),
 )
 def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialized: the two direction branches below would otherwise each
-    # re-run the whole overlap join pipeline.
-    overlap = _blocked_pair_overlap(spark, sf_dir).localCheckpoint(eager=True)
+    # Both directions of each pair emitted in ONE pass over the overlap
+    # relation (explode of a 2-struct array), instead of a union whose
+    # branches each scan the pipeline — no materialization needed at all.
+    overlap = _blocked_pair_overlap(spark, sf_dir)
     dirs = overlap.select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
-        F.round(
-            F.try_divide(F.col("inter"), F.col("sz_a")), 6
-        ).alias("containment"),
-    ).unionByName(
-        overlap.select(
-            F.col("id_b").alias("contained_id"),
-            F.col("id_a").alias("container_id"),
-            F.round(
-                F.try_divide(F.col("inter"), F.col("sz_b")), 6
-            ).alias("containment"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.round(F.try_divide(F.col("inter"), F.col("sz_a")), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.round(F.try_divide(F.col("inter"), F.col("sz_b")), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d")
+    ).select("d.contained_id", "d.container_id", "d.containment")
     return dirs.where(F.col("containment") >= _CONTAINMENT_THRESHOLD)
 
 
@@ -401,7 +407,9 @@ def shingle_col(t, width: int = 3):
     )
 
 
-def minhash_signatures(corpus: DataFrame, shingle_width: int = 3) -> DataFrame:
+def minhash_signatures(
+    corpus: DataFrame, shingle_width: int = 3, use_md5: bool = False
+) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) MinHash signature over token shingles.
 
     Fully map-side: shingle -> xxhash64 array -> k x array_min of affine
@@ -428,9 +436,13 @@ def minhash_signatures(corpus: DataFrame, shingle_width: int = 3) -> DataFrame:
         F.size("toks") > 0
     )
     shingles = shingle_col(F.col("toks"), shingle_width)
+    # use_md5 swaps the shingle hash for the cross-engine md5_int64 so
+    # the WHOLE pipeline becomes DuckDB-expressible (hash-checked twin);
+    # the production default stays xxhash64 (much cheaper per shingle).
+    shash = md5_int64 if use_md5 else F.xxhash64
     hashed = with_toks.select(
         "doc_id",
-        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))).alias(
+        F.transform(shingles, lambda s: F.pmod(shash(s), F.lit(_MINHASH_P))).alias(
             "hs"
         ),
     )
@@ -460,17 +472,142 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs_with_near_dups(spark, sf_dir))
 
 
-def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+def _lsh_md5_oracle_sql() -> str:
+    f"""DuckDB twin of the ENTIRE MinHash+LSH pipeline — shingling, 16
+    affine permutations over the md5_int64 shingle hash, 4-band
+    bucketing, chunked mega-bucket pair expansion (row_number chunks of
+    {_LSH_MAX_BUCKET} + hub links, mirroring minhash_lsh_pairs), and
+    the exact-Jaccard verify.  Only expressible because use_md5 swaps
+    xxhash64 (no DuckDB twin) for the shared md5-based hash."""
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    mins = ",\n    ".join(
+        f"list_min(list_transform(hv, h -> (h * {_MINHASH_A[i]} + {_MINHASH_B[i]})"
+        f" % {_MINHASH_P})) AS mh{i}"
+        for i in range(_MINHASH_K)
+    )
+    bands = "\n    UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {h} AS bucket FROM sig".format(
+            j=j,
+            h=oracle_md5_int64(
+                "concat_ws('|', "
+                + ", ".join(
+                    f"mh{j * rows_per_band + r}" for r in range(rows_per_band)
+                )
+                + ")"
+            ),
+        )
+        for j in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+tok AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS toks FROM corpus
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(n - 2, 1) + 1),
+           i -> concat_ws(' ', toks[least(i, n)],
+                          toks[least(i + 1, n)], toks[least(i + 2, n)])
+         ) AS shingles
+  FROM nz
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {oracle_md5_int64("s")} % {_MINHASH_P}) AS hv
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM hs
+),
+b AS (
+    {bands}
+),
+mem AS (
+  SELECT doc_id, band, bucket,
+         ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY band, bucket) AS m,
+         MIN(doc_id) OVER (PARTITION BY band, bucket) AS hub
+  FROM b
+),
+memc AS (
+  SELECT *, CAST((rn - 1) // {_LSH_MAX_BUCKET} AS INT) AS chunk
+  FROM mem WHERE m > 1
+),
+intra AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM memc a JOIN memc b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.chunk = b2.chunk
+   AND a.doc_id < b2.doc_id
+),
+links AS (
+  SELECT hub AS id_a, MIN(doc_id) AS id_b
+  FROM memc WHERE chunk > 0
+  GROUP BY band, bucket, hub, chunk
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b
+  FROM (SELECT * FROM intra UNION ALL SELECT * FROM links)
+  WHERE id_a <> id_b
+),
+tsets AS (
+  SELECT doc_id, list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
+  FROM corpus
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+             / (len(ta.tok_set) + len(tb.tok_set)
+                - len(list_intersect(ta.tok_set, tb.tok_set))), 6) AS jaccard
+FROM cand
+JOIN tsets ta ON cand.id_a = ta.doc_id
+JOIN tsets tb ON cand.id_b = tb.doc_id
+WHERE CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+      / (len(ta.tok_set) + len(tb.tok_set)
+         - len(list_intersect(ta.tok_set, tb.tok_set))) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle=_lsh_md5_oracle_sql(),
+    doc="Hash-checked twin of dedup_minhash_lsh: the IDENTICAL pipeline "
+    "(shingle -> 16-perm minhash -> 4 banded buckets -> chunk-guarded "
+    "pair expansion -> exact-Jaccard verify) with both hash points "
+    "swapped from xxhash64 to the cross-engine md5_int64, which makes "
+    "every stage DuckDB-expressible — the oracle replays shingling, "
+    "permutations, banding, chunking, and verify end to end.  "
+    "Production dedup keeps the xxhash64 variant (~2x cheaper "
+    "hashing); this twin pins the LSH MATH itself to a green "
+    "correctness signal (VERDICT r3 #1/#2 pattern).",
+    tags=("llm", "dedup", "neardup"),
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(docs_with_near_dups(spark, sf_dir), use_md5=True)
+
+
+def minhash_lsh_pairs(corpus: DataFrame, use_md5: bool = False) -> DataFrame:
     """Verified near-dup pairs over any (doc_id, text) corpus — the
     dedup_minhash_lsh pipeline factored for reuse and for the
-    mega-bucket guard test."""
-    sigs = minhash_signatures(corpus)
+    mega-bucket guard test.  ``use_md5`` swaps both hash points
+    (shingle hash, band-bucket hash) for the cross-engine md5_int64,
+    which makes the output DuckDB-reproducible at ~2x the hashing cost
+    — the hash-checked twin; production keeps xxhash64."""
+    sigs = minhash_signatures(corpus, use_md5=use_md5)
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
+
+    def band_hash(cols):
+        if use_md5:
+            return md5_int64(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),
-            F.xxhash64(
-                *[f"mh{j * rows_per_band + r}" for r in range(rows_per_band)]
+            band_hash(
+                [f"mh{j * rows_per_band + r}" for r in range(rows_per_band)]
             ).alias("bucket"),
         )
         for j in range(_MINHASH_BANDS)

@@ -169,14 +169,14 @@ def frozen_centroids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     return spark.createDataFrame(rows, "cent_id int, cent_v array<double>")
 
 
-def _ivf_oracle_sql() -> str | None:
-    """DuckDB twin of the full IVF pipeline — assignment, nprobe
-    routing, probed top-k — over the frozen sf0.01 centroids rendered as
-    literal DOUBLE[] arrays (the driver's correctness gate runs at
-    sf0.01; repr() round-trips float64 exactly on both engines).
-    Tie-breaks mirror the Spark side: assignment = highest sim then
-    lowest cent_id (max_by struct(csim, -cent_id)); top-k = sim desc
-    then vec_id."""
+def _ivf_oracle_ctes() -> str | None:
+    """Shared DuckDB CTE chain for the frozen-index IVF pipeline —
+    assignment, nprobe routing, probed scoring — over the frozen sf0.01
+    centroids rendered as literal DOUBLE[] arrays (the driver's
+    correctness gate runs at sf0.01; repr() round-trips float64 exactly
+    on both engines).  Tie-breaks mirror the Spark side: assignment =
+    highest sim then lowest cent_id (max_by struct(csim, -cent_id));
+    top-k = sim desc then vec_id."""
     idx = _frozen_ivf_index().get("sf0.01")
     if idx is None:
         return None
@@ -184,8 +184,7 @@ def _ivf_oracle_sql() -> str | None:
         f"({i}, CAST([{', '.join(repr(x) for x in v)}] AS DOUBLE[]))"
         for i, v in enumerate(idx)
     )
-    return f"""
-WITH cents(cent_id, cent_v) AS (
+    return f"""cents(cent_id, cent_v) AS (
   VALUES {values}
 ),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -217,14 +216,52 @@ scored AS (
          round(list_cosine_similarity(p.qv, a.v), 6) AS sim
   FROM probes p JOIN assigned a ON p.cluster = a.cluster
   WHERE p.q_id <> a.vec_id
+),
+ivf_topk AS (
+  SELECT q_id, vec_id, sim, rnk FROM (
+    SELECT q_id, vec_id, sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY sim DESC, vec_id
+           ) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_TOP_K}
+)"""
+
+
+def _ivf_oracle_sql() -> str | None:
+    ctes = _ivf_oracle_ctes()
+    if ctes is None:
+        return None
+    return f"WITH {ctes}\nSELECT q_id, vec_id, sim, rnk FROM ivf_topk"
+
+
+def _ivf_recall_oracle_sql() -> str | None:
+    """Recall@k of the frozen IVF index vs exact brute force, entirely
+    in SQL: the ivf_topk CTE chain plus the similarity_topk exact scan,
+    left-joined per (q_id, vec_id)."""
+    ctes = _ivf_oracle_ctes()
+    if ctes is None:
+        return None
+    return f"""
+WITH {ctes},
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT eq.q_id, ec.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY eq.q_id
+             ORDER BY round(list_cosine_similarity(eq.qv, ec.cv), 6) DESC,
+                      ec.vec_id
+           ) AS rnk
+    FROM (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}) eq
+    CROSS JOIN (SELECT vec_id, v AS cv FROM e) ec
+    WHERE eq.q_id <> ec.vec_id
+  ) WHERE rnk <= {_TOP_K}
 )
-SELECT q_id, vec_id, sim, rnk FROM (
-  SELECT q_id, vec_id, sim,
-         ROW_NUMBER() OVER (
-           PARTITION BY q_id ORDER BY sim DESC, vec_id
-         ) AS rnk
-  FROM scored
-) WHERE rnk <= {_TOP_K}
+SELECT x.q_id,
+       CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall_at_10
+FROM exact x
+LEFT JOIN ivf_topk a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+GROUP BY x.q_id
 """
 
 
@@ -272,16 +309,21 @@ def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> Da
 
 @register(
     "ann_ivf_kmeans_recall",
-    oracle=None,  # self-measuring quality report; rows-only
-    doc="ANN quality report: IVF with KMeans-trained centroids (seeded), "
-    "recall@10 vs exact brute force per query — one row per query with "
-    "its recall. The quality gauge a 100 TB ANN deployment runs on a "
-    "sample before trusting the index.",
-    tags=("llm", "similarity", "rows-only", "mllib"),
+    oracle=_ivf_recall_oracle_sql(),
+    doc="ANN quality report: recall@10 of the FROZEN trained IVF index "
+    "(the one ann_ivf_topk serves) vs exact brute force, one row per "
+    "query — the gauge a 100 TB ANN deployment runs on a sample before "
+    "trusting the index.  Hash-checked end to end: the oracle composes "
+    "the frozen-centroid IVF chain with the exact-scan SQL and takes "
+    "the same per-query hit ratio.",
+    tags=("llm", "similarity"),
 )
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    approx = _ivf_topk(em, kmeans_centroids(em)).select("q_id", "vec_id")
+    cents = frozen_centroids(spark, sf_dir)
+    if cents is None:
+        cents = kmeans_centroids(em)
+    approx = _ivf_topk(em, cents).select("q_id", "vec_id")
     exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (
