@@ -84,48 +84,99 @@ _N_CENTROIDS = 16
 _N_PROBE = 2
 
 
+def _cos_to_literal(vcol, vnorm_col, cvec: list[float]):
+    """Cosine of a vector COLUMN against a driver-side literal centroid,
+    preserving functions/vectors.cosine's exact fold order (so the
+    DuckDB list_cosine_similarity twin keeps matching bit-for-bit):
+    dot = left-to-right zip_with/aggregate fold; centroid norm = the
+    same left-to-right sum of squares in Python float64.  (An unrolled
+    element_at chain was tried for codegen and measured 5x SLOWER —
+    1024-node expression trees defeat whole-stage codegen; the
+    interpreted HOF at ~50us/cosine is the better constant factor, and
+    the map-side plan keeps the scale win: zero shuffles.)"""
+    import math
+
+    acc = 0.0
+    for x in cvec:
+        acc += x * x
+    cn = math.sqrt(acc)
+    d = F.aggregate(
+        F.zip_with(
+            vcol,
+            F.array(*[F.lit(float(x)) for x in cvec]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return F.try_divide(d, vnorm_col * F.lit(cn))
+
+
 def _ivf_topk(
-    em: DataFrame, centroids: DataFrame, nprobe: int = _N_PROBE
+    em: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int = _N_PROBE,
 ) -> DataFrame:
     """IVF search core shared by the declared query and the recall
-    report: cluster-assign all vectors to broadcast centroids, route
-    each query to its ``nprobe`` nearest clusters, exact top-k within
-    the probed clusters only."""
-    # Assign every vector to its nearest centroid: broadcast NL join +
-    # per-vector argmax.  max_by over a (sim, -cent_id) struct instead of
-    # a row_number window: one partial-aggregating shuffle of tiny rows
-    # rather than a full sort per vec_id partition.
-    sim_to_cent = cosine(F.col("embedding"), F.col("cent_v"))
-    scored = em.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "cent_id",
-        F.round(sim_to_cent, 9).alias("csim"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("nc"))
-        ).alias("cluster")
-    )
-    assigned = em.join(best, "vec_id").select("vec_id", "embedding", "cluster")
+    report: cluster-assign all vectors, route each query to its
+    ``nprobe`` nearest clusters, exact top-k within the probed clusters
+    only.
 
-    # Route each query to its nprobe nearest clusters.
-    q = em.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    The index is a driver-side literal (frozen artifact or collected
+    KMeans centers), so BOTH assignment and routing are pure map-side
+    expressions: per-row argmax (array_max over (csim, -cent_id, id)
+    structs) replaces the earlier broadcast-NL-join + groupBy-argmax +
+    re-join — two whole shuffles of the vector table gone, which is the
+    difference that matters when the table is 100 TB."""
+    from mapreducer_spark.functions.vectors import norm
+
+    with_norm = em.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("__vn")
     )
-    w_probe = Window.partitionBy("q_id").orderBy(
-        F.col("qsim").desc(), F.col("cent_id")
+    cand_structs = [
+        F.struct(
+            F.round(_cos_to_literal(F.col("embedding"), F.col("__vn"), cv), 9).alias(
+                "csim"
+            ),
+            F.lit(-cid).alias("nc"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cents
+    ]
+    assigned = with_norm.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.array(*cand_structs)).getField("cid").alias("cluster"),
     )
+
+    # Route each query to its nprobe nearest clusters: sort the same
+    # per-row struct array ascending on (-csim, cent_id), slice nprobe,
+    # explode.  Negating a double is exact, so the ordering mirrors the
+    # oracle's (csim DESC, cent_id).
+    probe_structs = [
+        F.struct(
+            (-F.round(_cos_to_literal(F.col("qv"), F.col("__qn"), cv), 9)).alias(
+                "neg_qsim"
+            ),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cents
+    ]
     probes = (
-        q.crossJoin(F.broadcast(centroids))
+        em.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("__qn"),
+        )
         .select(
             "q_id",
             "qv",
-            "cent_id",
-            F.round(cosine(F.col("qv"), F.col("cent_v")), 9).alias("qsim"),
+            F.explode(
+                F.slice(F.sort_array(F.array(*probe_structs)), 1, nprobe)
+            ).alias("p"),
         )
-        .withColumn("prank", F.row_number().over(w_probe))
-        .where(F.col("prank") <= nprobe)
-        .select("q_id", "qv", F.col("cent_id").alias("cluster"))
+        .select("q_id", "qv", F.col("p.cid").alias("cluster"))
     )
 
     # Search only the probed clusters.
@@ -167,6 +218,19 @@ def frozen_centroids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         return None
     rows = [(i, v) for i, v in enumerate(idx)]
     return spark.createDataFrame(rows, "cent_id int, cent_v array<double>")
+
+
+def _centroid_list(em: DataFrame, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Serving index as driver-side literals: the frozen artifact for a
+    known fixture, else a live seeded-KMeans train (collected — 16x64
+    doubles, metadata-sized)."""
+    idx = _frozen_ivf_index().get(os.path.basename(sf_dir.rstrip("/")))
+    if idx is not None:
+        return [(i, v) for i, v in enumerate(idx)]
+    return [
+        (r.cent_id, list(r.cent_v))
+        for r in kmeans_centroids(em).orderBy("cent_id").collect()
+    ]
 
 
 def _ivf_oracle_ctes() -> str | None:
@@ -281,13 +345,7 @@ GROUP BY x.q_id
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    cents = frozen_centroids(spark, sf_dir)
-    if cents is None:
-        # Unknown fixture — no frozen artifact; train live (serving
-        # result is identical when the artifact was trained on the same
-        # data, but only the frozen path is oracle-comparable).
-        cents = kmeans_centroids(em)
-    return _ivf_topk(em, cents)
+    return _ivf_topk(em, _centroid_list(em, sf_dir))
 
 
 def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> DataFrame:
@@ -320,10 +378,7 @@ def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> Da
 )
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    cents = frozen_centroids(spark, sf_dir)
-    if cents is None:
-        cents = kmeans_centroids(em)
-    approx = _ivf_topk(em, cents).select("q_id", "vec_id")
+    approx = _ivf_topk(em, _centroid_list(em, sf_dir)).select("q_id", "vec_id")
     exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (

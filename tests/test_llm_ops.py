@@ -139,13 +139,13 @@ def test_ann_full_probe_equals_exact(spark, sf_dir):
     approximation artifact."""
     from mapreducer_spark.operators.similarity import (
         _N_CENTROIDS,
+        _centroid_list,
         _ivf_topk,
-        kmeans_centroids,
     )
     from mapreducer_spark.sources import load_table
 
     em = load_table(spark, sf_dir, "embeddings")
-    full = _ivf_topk(em, kmeans_centroids(em), nprobe=_N_CENTROIDS)
+    full = _ivf_topk(em, _centroid_list(em, sf_dir), nprobe=_N_CENTROIDS)
     exact = similarity_topk(spark, sf_dir)
     got = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in full.collect()}
     want = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in exact.collect()}
