@@ -576,3 +576,41 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle=f"""
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+),
+first AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id)
+SELECT
+  strftime(first.cohort, '{_FMT_DUCK}') AS cohort_week,
+  CAST(floor(date_diff('day', first.cohort, wk.wk) / 7) AS INT) AS week_offset,
+  COUNT(DISTINCT wk.user_id) AS n_active
+FROM wk JOIN first ON wk.user_id = first.user_id
+GROUP BY 1, 2
+""",
+    doc="Retention cohort matrix: users grouped by first-seen week, "
+    "distinct actives per (cohort, week offset) — THE standard "
+    "engagement/retention analysis.  Two aggregations sharing the "
+    "user_id shuffle key (Spark reuses the exchange), then a "
+    "count-distinct re-keyed by (cohort, offset); no windows, no "
+    "per-user state.",
+    tags=("events", "agg", "retention"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    weeks = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        weeks.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", _FMT_SPARK).alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -5,14 +5,16 @@
   a map-side nested loop + per-query top-k (TakeOrdered-like via window),
   no shuffle of the candidate table.  At 100 TB of vectors this is the
   "scan everything once" exact path.
-- ``ann_ivf_topk``: IVF-style approximate path — assign every vector to
-  its nearest coarse centroid (broadcast centroids), then search only
-  the ``nprobe`` closest clusters per query.  Scan cost drops by
-  ~n_clusters/nprobe; recall traded accordingly.  Centroid "training"
-  here is a deterministic stand-in (first 16 vectors); production would
-  k-means a sample.
+- ``ann_ivf_topk``: IVF approximate path — vectors assigned to their
+  nearest coarse centroid by a map-side argmax over the FROZEN trained
+  index (seeded KMeans, tools/train_ivf_index.py), then only the
+  ``nprobe`` closest clusters searched per query.  Scan cost drops by
+  ~n_clusters/nprobe; recall traded accordingly and gauged by
+  ``ann_ivf_kmeans_recall``.
 - ``embedding_neardup``: near-duplicate vectors via sign-bit LSH
   blocking + exact cosine within buckets (no global cross join).
+- ``semdedup_clusters``: SemDeDup-shape semantic dedup — the quadratic
+  pair stage bounded by IVF cluster size, never corpus size.
 
 All vector math is JVM higher-order functions (functions/vectors.py).
 """
@@ -28,7 +30,7 @@ from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.vectors import cosine, oracle_sign_bucket, sign_bucket
 from mapreducer_spark.registry import register
-from mapreducer_spark.sources import load_table
+from mapreducer_spark.sources import fan_out, load_table
 
 _N_QUERIES = 5
 _TOP_K = 10
@@ -84,32 +86,63 @@ _N_CENTROIDS = 16
 _N_PROBE = 2
 
 
-def _cos_to_literal(vcol, vnorm_col, cvec: list[float]):
-    """Cosine of a vector COLUMN against a driver-side literal centroid,
-    preserving functions/vectors.cosine's exact fold order (so the
-    DuckDB list_cosine_similarity twin keeps matching bit-for-bit):
-    dot = left-to-right zip_with/aggregate fold; centroid norm = the
-    same left-to-right sum of squares in Python float64.  (An unrolled
-    element_at chain was tried for codegen and measured 5x SLOWER —
-    1024-node expression trees defeat whole-stage codegen; the
-    interpreted HOF at ~50us/cosine is the better constant factor, and
-    the map-side plan keeps the scale win: zero shuffles.)"""
+def _index_frame(
+    spark: SparkSession, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """The serving index as a ONE-ROW broadcastable frame: centroid
+    matrix (cent_id order) plus their precomputed norms.
+
+    Why not inline the centroids as literal arrays in the expressions?
+    Plan-time: 16 x 64-literal arrays per cosine made a ~4k-node tree
+    that cost ~2 s of Catalyst analysis PER INVOCATION (and an unrolled
+    element_at chain was 5x worse at runtime — huge trees also defeat
+    whole-stage codegen).  A 1-row crossJoin(broadcast) keeps the plan
+    tiny and the per-row math identical.  Norms are computed here with
+    the same left-to-right float64 fold the engines use, so cosine =
+    dot/(vn*cn) matches DuckDB's list_cosine_similarity bit-for-bit."""
     import math
 
-    acc = 0.0
-    for x in cvec:
-        acc += x * x
-    cn = math.sqrt(acc)
-    d = F.aggregate(
-        F.zip_with(
-            vcol,
-            F.array(*[F.lit(float(x)) for x in cvec]),
-            lambda x, y: x.cast("double") * y,
-        ),
-        F.lit(0.0),
-        lambda a, v: a + v,
+    norms = []
+    for _, cv in cents:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        norms.append(math.sqrt(acc))
+    # range(1) + literal arrays, NOT createDataFrame: a Python-object
+    # createDataFrame materializes through a pyspark worker task (~1 s
+    # of interpreter spin-up PER QUERY INVOCATION); the literal
+    # projection is JVM-only and constant-folded.
+    return spark.range(1).select(
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents]
+        ).alias("__cents"),
+        F.array(*[F.lit(n) for n in norms]).alias("__cnorms"),
     )
-    return F.try_divide(d, vnorm_col * F.lit(cn))
+
+
+def _cluster_sims(vcol, vnorm_col):
+    """Per-row (csim, -cent_id, cent_id) structs against every centroid
+    of the broadcast index columns — csim preserves
+    functions/vectors.cosine's exact zip_with/aggregate fold order and
+    the round-9 tie-break the oracles replicate."""
+    return F.transform(
+        F.col("__cents"),
+        lambda c, i: F.struct(
+            F.round(
+                F.try_divide(
+                    F.aggregate(
+                        F.zip_with(vcol, c, lambda x, y: x.cast("double") * y),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    ),
+                    vnorm_col * F.element_at(F.col("__cnorms"), i + 1),
+                ),
+                9,
+            ).alias("csim"),
+            (-i).alias("nc"),
+            i.alias("cid"),
+        ),
+    )
 
 
 def _ivf_topk(
@@ -122,46 +155,34 @@ def _ivf_topk(
     ``nprobe`` nearest clusters, exact top-k within the probed clusters
     only.
 
-    The index is a driver-side literal (frozen artifact or collected
-    KMeans centers), so BOTH assignment and routing are pure map-side
-    expressions: per-row argmax (array_max over (csim, -cent_id, id)
-    structs) replaces the earlier broadcast-NL-join + groupBy-argmax +
-    re-join — two whole shuffles of the vector table gone, which is the
-    difference that matters when the table is 100 TB."""
+    The index rides along as a ONE-ROW broadcast (see _index_frame), so
+    BOTH assignment and routing are pure map-side expressions: per-row
+    argmax (array_max over (csim, -cent_id, id) structs) replaces the
+    earlier broadcast-NL-join + groupBy-argmax + re-join — two whole
+    shuffles of the vector table gone, which is the difference that
+    matters when the table is 100 TB."""
     from mapreducer_spark.functions.vectors import norm
 
-    with_norm = em.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("__vn")
+    index = _index_frame(em.sparkSession, cents)
+    # fan_out: assignment costs n_clusters HOF cosines per row; a
+    # single-split fixture scan would run them all on one core (no-op at
+    # scale where the scan has real splits).
+    with_norm = (
+        fan_out(em)
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("__vn"))
+        .crossJoin(F.broadcast(index))
     )
-    cand_structs = [
-        F.struct(
-            F.round(_cos_to_literal(F.col("embedding"), F.col("__vn"), cv), 9).alias(
-                "csim"
-            ),
-            F.lit(-cid).alias("nc"),
-            F.lit(cid).alias("cid"),
-        )
-        for cid, cv in cents
-    ]
     assigned = with_norm.select(
         "vec_id",
         "embedding",
-        F.array_max(F.array(*cand_structs)).getField("cid").alias("cluster"),
+        F.array_max(_cluster_sims(F.col("embedding"), F.col("__vn")))
+        .getField("cid")
+        .alias("cluster"),
     )
 
     # Route each query to its nprobe nearest clusters: sort the same
-    # per-row struct array ascending on (-csim, cent_id), slice nprobe,
-    # explode.  Negating a double is exact, so the ordering mirrors the
-    # oracle's (csim DESC, cent_id).
-    probe_structs = [
-        F.struct(
-            (-F.round(_cos_to_literal(F.col("qv"), F.col("__qn"), cv), 9)).alias(
-                "neg_qsim"
-            ),
-            F.lit(cid).alias("cid"),
-        )
-        for cid, cv in cents
-    ]
+    # per-row struct array DESC on (csim, -cent_id) — i.e. take the last
+    # nprobe of the ascending sort — then explode.
     probes = (
         em.where(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -169,11 +190,18 @@ def _ivf_topk(
             F.col("embedding").alias("qv"),
             norm(F.col("embedding")).alias("__qn"),
         )
+        .crossJoin(F.broadcast(index))
         .select(
             "q_id",
             "qv",
             F.explode(
-                F.slice(F.sort_array(F.array(*probe_structs)), 1, nprobe)
+                F.slice(
+                    F.reverse(
+                        F.sort_array(_cluster_sims(F.col("qv"), F.col("__qn")))
+                    ),
+                    1,
+                    nprobe,
+                )
             ).alias("p"),
         )
         .select("q_id", "qv", F.col("p.cid").alias("cluster"))
@@ -648,4 +676,139 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             9,
         ).alias("rel_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — cluster-bounded semantic dedup (Abbas et al. 2023 shape)
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_COS = 0.999
+
+
+def _semdedup_oracle_sql() -> str | None:
+    """DuckDB twin: same corpus (base + scaled copies), assignment to
+    the frozen centroid literals (csim DESC, cent_id tie-break — the
+    map-side argmax's ordering), pairwise cosine WITHIN clusters only,
+    keeper = lowest-id neighbor over the threshold."""
+    idx = _frozen_ivf_index().get("sf0.01")
+    if idx is None:
+        return None
+    values = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in v)}] AS DOUBLE[]))"
+        for i, v in enumerate(idx)
+    )
+    return f"""
+WITH cents(cent_id, cent_v) AS (
+  VALUES {values}
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT corpus.vec_id, corpus.v, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY corpus.vec_id
+             ORDER BY round(list_cosine_similarity(corpus.v, c.cent_v), 9) DESC,
+                      c.cent_id
+           ) AS arn
+    FROM corpus CROSS JOIN cents c
+  ) WHERE arn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS keep_candidate, b.vec_id AS dropped_id, a.cluster,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {_SEMDEDUP_COS}
+)
+SELECT dropped_id, MIN(keep_candidate) AS keeper_id,
+       MIN(cluster) AS cluster,
+       MIN(cos_sim) FILTER (
+         WHERE keep_candidate = (
+           SELECT MIN(p2.keep_candidate) FROM pairs p2
+           WHERE p2.dropped_id = pairs.dropped_id
+         )
+       ) AS cos_to_keeper
+FROM pairs GROUP BY dropped_id
+"""
+
+
+@register(
+    "semdedup_clusters",
+    oracle=_semdedup_oracle_sql(),
+    doc="SemDeDup-style semantic dedup (public method: cluster the "
+    "embedding space, then search duplicates only WITHIN clusters so "
+    "the quadratic stage is bounded by cluster size, never corpus "
+    "size): vectors assigned to the frozen IVF centroids by the same "
+    "map-side argmax the ANN path uses, per-cluster self-join on "
+    "cosine >= 0.999, each duplicate reported once with its lowest-id "
+    "keeper.  Synthesized scaled copies (same direction -> same "
+    "cluster, cosine 1) must all be caught — asserted in tests.  The "
+    "oracle replays assignment + pairing over the same centroid "
+    "literals.",
+    tags=("llm", "dedup", "similarity"),
+)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    base = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = em.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("v"),
+    )
+    # fan_out: the argmax evaluates n_clusters HOF cosines per row —
+    # CPU-bound work that a single-split fixture scan would serialize
+    # onto one core.  localCheckpoint: BOTH sides of the self-join read
+    # `assigned`; without pinning, each side re-runs the whole
+    # assignment.  Together with the literal _index_frame and the
+    # repartition below: 6.8 -> 1.4 s at sf0.1.
+    corpus = fan_out(base.unionByName(scaled))
+    index = _index_frame(spark, _centroid_list(em, sf_dir))
+
+    from mapreducer_spark.functions.vectors import norm
+
+    assigned = (
+        corpus.withColumn("__vn", norm(F.col("v")))
+        .crossJoin(F.broadcast(index))
+        .select(
+            "vec_id",
+            "v",
+            F.array_max(_cluster_sims(F.col("v"), F.col("__vn")))
+            .getField("cid")
+            .alias("cluster"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    # The join key has only n_clusters distinct values, so AQE coalesces
+    # the joined pairs into a couple of partitions — and the expensive
+    # per-pair cosine (interpreted HOF) would run on 2 cores.  Spread
+    # the raw pair rows round-robin BEFORE evaluating the cosine filter
+    # (measured 6.1 -> 1.6 s at sf0.1); the narrow (ids, cluster,
+    # vectors) rows are cheap to move compared to 64-dim cosine math.
+    raw_pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).repartition(64)
+    pairs = raw_pairs.where(cos >= _SEMDEDUP_COS).select(
+        F.col("a.vec_id").alias("keep_candidate"),
+        F.col("b.vec_id").alias("dropped_id"),
+        F.col("a.cluster").alias("cluster"),
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    return pairs.groupBy("dropped_id").agg(
+        F.min("keep_candidate").alias("keeper_id"),
+        F.min("cluster").alias("cluster"),
+        F.min_by("cos_sim", "keep_candidate").alias("cos_to_keeper"),
     )

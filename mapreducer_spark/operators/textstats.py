@@ -616,3 +616,128 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (L4 family — the lexical scorer of curation pipelines)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "scan", "window", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # Constants are rendered via repr() of the PYTHON-evaluated values so
+    # both engines parse the identical doubles (1.2 + 1 is
+    # 2.2000000000000002, not 2.2).
+    k1 = repr(_BM25_K1)
+    k1p1 = repr(_BM25_K1 + 1)
+    one_minus_b = repr(1 - _BM25_B)
+    b = repr(_BM25_B)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, {ORACLE_TOKENS_SNIPPET} AS tok FROM documents
+  ) WHERE length(tok) > 0
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+),
+idf AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+comp AS (
+  SELECT tf.doc_id,
+         round(ln((s.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1.0), 9)
+         * (tf.tf * {k1p1})
+         / (tf.tf + {k1} * ({one_minus_b} + {b} * dl.dl / s.avgdl)) AS c
+  FROM tf
+  JOIN idf USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(round(c, 9) AS DECIMAL(28,12))) AS DOUBLE), 6)
+           AS score
+  FROM comp GROUP BY doc_id
+)
+SELECT doc_id, score, rnk FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_BM25_TOPK}
+"""
+
+
+@register(
+    "bm25_retrieval",
+    oracle=_bm25_oracle_sql(),
+    doc=f"BM25 lexical retrieval over the corpus for a fixed term set "
+    f"{_BM25_TERMS}: tf per (doc, term), document length vs decimal-"
+    "exact average length, idf = ln(1 + (N-df+.5)/(df+.5)) rounded at "
+    "9dp, per-term components decimal-summed (partition-order "
+    "invariant), top-20 by score.  The scorer behind decontamination "
+    "lookups and retrieval-based quality filters in training-data "
+    "pipelines; the heavy ranking is TakeOrderedAndProject "
+    "(distributed top-k), with the rnk window applied only to the 20 "
+    "survivors.",
+    tags=("llm", "text", "retrieval"),
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = (
+        d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf_df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        9,
+    )
+    comp = (
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf_df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(comp, 9).cast("decimal(28,12)").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+    )
+    # Distributed top-k (TakeOrderedAndProject), THEN the rank window on
+    # the 20 survivors only — never a global single-partition window.
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w))

@@ -323,3 +323,19 @@ def test_doc_token_chunks_cover_and_overlap(spark, sf_dir):
             b = by_id[i + 1].chunk_text.split(" ")
             if len(a) == _CHUNK_WIDTH:
                 assert a[_CHUNK_STRIDE:] == b[: _CHUNK_WIDTH - _CHUNK_STRIDE]
+
+
+def test_semdedup_catches_scaled_copies(spark, sf_dir):
+    """Every synthesized scaled copy (same direction as its base ->
+    same cluster, cosine exactly 1) must be reported dropped with its
+    base as keeper; nothing may be dropped at cosine < threshold."""
+    from mapreducer_spark.operators.similarity import semdedup_clusters
+
+    rows = semdedup_clusters(spark, sf_dir).collect()
+    dropped = {r.dropped_id: r for r in rows}
+    for base in range(0, 500, 20):
+        copy = base + 1000000
+        assert copy in dropped, f"scaled copy {copy} not deduped"
+        assert dropped[copy].keeper_id == base
+        assert abs(dropped[copy].cos_to_keeper - 1.0) < 1e-6
+    assert all(r.cos_to_keeper >= 0.999 for r in rows)
