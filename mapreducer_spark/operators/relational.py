@@ -920,13 +920,20 @@ def quantity_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             boundary.append((q, off))
         off += c
 
+    from mapreducer_spark.functions.inline import inline_rows
+
     spark = li.sparkSession
-    whole_df = spark.createDataFrame(whole, ["l_quantity", "decile"])
-    in_decile = li.join(F.broadcast(whole_df), "l_quantity").select(
-        "l_quantity", "l_extendedprice", "decile"
-    )
+    if whole:
+        whole_df = inline_rows(spark, whole, ["l_quantity", "decile"])
+        in_decile = li.join(F.broadcast(whole_df), "l_quantity").select(
+            "l_quantity", "l_extendedprice", "decile"
+        )
+    else:  # every value straddles an edge (degenerate tiny input)
+        in_decile = li.where(F.lit(False)).select(
+            "l_quantity", "l_extendedprice", F.lit(1).alias("decile")
+        )
     if boundary:
-        bound_df = spark.createDataFrame(boundary, ["l_quantity", "q_off"])
+        bound_df = inline_rows(spark, boundary, ["l_quantity", "q_off"])
         w = Window.partitionBy("l_quantity").orderBy("l_orderkey", "l_linenumber")
         # Each boundary value's rows rank within ONE task — bounded by
         # the largest single-value group (~n/50 here).  If such a group

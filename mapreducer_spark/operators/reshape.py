@@ -205,9 +205,13 @@ GROUP BY tier
     tags=("join", "range"),
 )
 def event_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.inline import inline_rows
+
     e = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        list(_VALUE_TIERS), schema="tier string, lo double, hi double"
+    tiers = inline_rows(
+        spark,
+        [(t, float(lo), float(hi)) for t, lo, hi in _VALUE_TIERS],
+        ["tier", "lo", "hi"],
     )
     return (
         e.join(
