@@ -239,15 +239,6 @@ def _frozen_ivf_index() -> dict[str, list[list[float]]]:
         return json.load(f)
 
 
-def frozen_centroids(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    key = os.path.basename(sf_dir.rstrip("/"))
-    idx = _frozen_ivf_index().get(key)
-    if idx is None:
-        return None
-    rows = [(i, v) for i, v in enumerate(idx)]
-    return spark.createDataFrame(rows, "cent_id int, cent_v array<double>")
-
-
 def _centroid_list(em: DataFrame, sf_dir: str) -> list[tuple[int, list[float]]]:
     """Serving index as driver-side literals: the frozen artifact for a
     known fixture, else a live seeded-KMeans train (collected — 16x64
