@@ -271,3 +271,63 @@ def test_weighted_interleave_prefix_proportionality(spark, sf_dir):
     assert [(r.doc_id, r.source) for r in rows] == [
         (r.doc_id, r.source) for r in rows2
     ]
+
+
+@given(
+    total=st.integers(min_value=1, max_value=5000),
+    n_tiles=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_ntile_from_rn_matches_spec(total, n_tiles):
+    """ntile_from_rn's pure arithmetic must reproduce SQL NTILE exactly
+    for any (total, n_tiles): the first total % n buckets get one extra
+    row, buckets are contiguous and ordered.  (Checked against a pure
+    Python spec, not Spark, so hypothesis can sweep widely.)"""
+    q, r = divmod(total, n_tiles)
+
+    def spec(rn: int) -> int:
+        # rows 1..total distributed: first r buckets size q+1, rest q.
+        big = r * (q + 1)
+        if q == 0:
+            return rn  # fewer rows than tiles: bucket == row number
+        if rn <= big:
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - big - 1) // q + 1
+
+    sizes: dict[int, int] = {}
+    prev = 0
+    for rn in range(1, total + 1):
+        b = spec(rn)
+        assert b >= prev  # monotone, contiguous
+        prev = b
+        sizes[b] = sizes.get(b, 0) + 1
+    expect_sizes = sorted(sizes.values(), reverse=True)
+    # NTILE contract: sizes differ by at most 1, larger buckets first.
+    assert expect_sizes == [q + 1] * r + [q] * (len(sizes) - r)
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n,tiles",
+    [(457, 10), (1, 10), (9, 10), (10, 10), (11, 10), (100, 7), (5000, 32)],
+)
+def test_ntile_from_rn_matches_spark_ntile(spark, n, tiles):
+    """The column expression itself vs Spark's NTILE across edge cases
+    (fewer rows than tiles, exact multiples, off-by-one) — the spec test
+    above sweeps the arithmetic; this pins the Spark expression to the
+    builtin."""
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.agg import ntile_from_rn
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+    w = Window.orderBy("rn")
+    got = (
+        df.withColumn("ours", ntile_from_rn(F.col("rn"), n, tiles))
+        .withColumn("builtin", F.ntile(tiles).over(w))
+        .where(F.col("ours") != F.col("builtin"))
+        .count()
+    )
+    assert got == 0
