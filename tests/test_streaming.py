@@ -250,3 +250,66 @@ def test_streaming_observed_metrics_reach_listener(spark, sf_dir):
         assert total_rows == n_events
     finally:
         listener.detach(spark)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time semantics under LATE data, including the subtlety the
+    docs gloss over: the watermark is a LOWER BOUND on dropping, not an
+    instant cutoff.  A late row that arrives while its window's state is
+    still alive (batch 2 here — eviction for window W happens in the
+    state-cleanup phase of the batch whose watermark passed W.end) is
+    STILL MERGED; only rows arriving after eviction are discarded.  The
+    test pins both halves: the pre-eviction late row counts, the
+    post-eviction one does not.  (The driver's batch oracles can't see
+    this — it is pure streaming-state behavior.)"""
+    import datetime as dt
+    import time
+
+    src = str(tmp_path / "late_src")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long"
+        )
+
+    # File 1: two rows in window 00:00 plus a 12:00 row -> watermark
+    # becomes 11:00 after this batch.
+    mk(
+        [
+            (1, base + dt.timedelta(minutes=10), 1),
+            (2, base + dt.timedelta(minutes=20), 2),
+            (3, base + dt.timedelta(hours=12), 3),
+        ]
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # distinct mod-times keep file order deterministic
+    # File 2: a late row for window 00:00 arriving BEFORE that window's
+    # state eviction -> merged (watermark 11:00 already, state alive).
+    mk([(4, base + dt.timedelta(minutes=30), 4)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    # File 3: another late row for window 00:00 arriving AFTER batch 2's
+    # cleanup evicted it -> dropped.
+    mk(
+        [
+            (5, base + dt.timedelta(minutes=40), 5),
+            (6, base + dt.timedelta(hours=13), 6),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    name, _ = run_stream_to_memory(stream, output_mode="append")
+    got = {r.w_start: r.n for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # Window 00:00 closed with rows 1, 2 and the pre-eviction late row 4;
+    # the post-eviction late row 5 must NOT appear (a batch groupBy
+    # would count 4).
+    assert got.get(base) == 3, got
