@@ -477,105 +477,3 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum(_revenue_col(), 4).alias("revenue"))
     )
 
-
-@register(
-    "small_order_revenue_q17ish",
-    oracle="""
-WITH pavg AS (
-  SELECT l_partkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-           AS avg_qty
-  FROM lineitem GROUP BY l_partkey
-)
-SELECT
-  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        / 7.0, 4) AS avg_yearly
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN pavg ON lineitem.l_partkey = pavg.l_partkey
-WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
-""",
-    doc="Q17 shape (small-quantity revenue): the correlated scalar "
-    "subquery 'quantity below 20% of this part's average' DECORRELATED "
-    "into a per-part aggregate joined back — the standard rewrite "
-    "Catalyst applies and the one you write by hand at scale (the agg "
-    "side is |parts|-sized, broadcastable; the fact table never "
-    "shuffles twice).  Decimal-exact per-part averages keep the strict "
-    "< comparison engine-stable.",
-    tags=("tpch", "join", "agg", "decorrelation"),
-)
-def small_order_revenue_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    pavg = li.groupBy("l_partkey").agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_qty")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(pavg, "l_partkey")
-        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                )
-                / 7.0,
-                4,
-            ).alias("avg_yearly")
-        )
-    )
-
-
-@register(
-    "idle_rich_customers_q22ish",
-    oracle="""
-WITH seg_avg AS (
-  SELECT c_mktsegment,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-           AS avg_bal
-  FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
-)
-SELECT
-  c.c_mktsegment,
-  COUNT(*) AS n_custs,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-FROM customer c
-JOIN seg_avg s ON c.c_mktsegment = s.c_mktsegment
-WHERE c.c_acctbal > s.avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-GROUP BY c.c_mktsegment
-""",
-    doc="Q22 shape (idle high-balance customers): scalar-average "
-    "decorrelation (per-segment positive-balance average broadcast "
-    "back) combined with NOT EXISTS as a LEFT ANTI join against "
-    "orders — the two classic rewrites of TPC-H's final query.  The "
-    "anti join's build side is the distinct order customer keys; the "
-    "customer table never shuffles twice.",
-    tags=("tpch", "join", "anti", "decorrelation"),
-)
-def idle_rich_customers_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    seg_avg = (
-        c.where(F.col("c_acctbal") > 0)
-        .groupBy("c_mktsegment")
-        .agg(
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_bal")
-        )
-    )
-    return (
-        c.join(F.broadcast(seg_avg), "c_mktsegment")
-        .where(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_custs"),
-            dec_sum("c_acctbal").alias("total_acctbal"),
-        )
-    )
