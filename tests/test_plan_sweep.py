@@ -1,0 +1,35 @@
+"""Repo-wide physical-plan sweep: EVERY registered query's plan is held
+to the scale invariants the per-query plan tests assert piecemeal —
+
+1. no CartesianProduct except documented broadcast-scalar/tiny-side
+   sites (each whitelisted entry is a deliberate design, not an
+   accident Catalyst fell into);
+2. no row-at-a-time Python evaluation (BatchEvalPython) anywhere —
+   Python only enters via Arrow (ArrowEvalPython / mapInPandas /
+   FlatMapGroupsInPandas).
+
+A new query that accidentally plans a cartesian join or a per-row UDF
+fails here before it ever reaches a bench or the driver."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducer_spark.plans.inspect import formatted_plan
+from mapreducer_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_invariants(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # No whitelist: even the deliberate all-pairs/broadcast-scalar sites
+    # (user_activity_similarity, similarity_topk, gram matrix) plan as
+    # BroadcastNestedLoopJoin, never CartesianProduct — a CartesianProduct
+    # node means neither side was broadcastable, which is always a bug
+    # at 100 TB.
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    assert "BatchEvalPython" not in plan, (
+        f"{name} uses row-at-a-time Python eval"
+    )
