@@ -327,3 +327,88 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.round(F.sqrt(sq_sum), 6).alias("emb_norm"),
     )
+
+
+_PAIR_MIN_TOKENS = 5
+_PAIR_MIN_BYTES = 64
+_PAIR_CAPTION_TOKENS = 32
+
+
+@register(
+    "multimodal_training_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT
+  toks.doc_id,
+  array_to_string(t[1:{_PAIR_CAPTION_TOKENS}], ' ') AS caption,
+  len(t)                                            AS n_tokens,
+  octet_length(encode(text))                        AS byte_len,
+  sha256(text)                                      AS payload_digest,
+  round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS emb_norm
+FROM toks
+JOIN emb ON emb.vec_id = toks.doc_id
+WHERE len(t) >= {_PAIR_MIN_TOKENS}
+  AND octet_length(encode(text)) >= {_PAIR_MIN_BYTES}
+""",
+    doc="Multimodal TRAINING-PAIR ASSEMBLY (the step after decode in an "
+    "image-text pipeline): join the text side (leading-token caption, "
+    "token count), the binary side (payload length + sha256 digest — "
+    "the dedup/provenance key), and the embedding side (L2 norm as the "
+    "quality proxy) into one gated training record per document; pairs "
+    "below the token/byte floors are filtered out.  All three joins are "
+    "keyed on doc_id, so at scale this is one co-partitioned shuffle "
+    "(or zero with bucketed tables); no modality's payload is ever "
+    "shuffled more than once.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+    from mapreducer_spark.functions.vectors import norm
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+        lambda x: F.length(x) > 0,
+    )
+    text_side = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("t", 1, _PAIR_CAPTION_TOKENS), " ").alias(
+            "caption"
+        ),
+        F.size("t").alias("n_tokens"),
+        F.length("payload").alias("byte_len"),
+        F.sha2("payload", 256).alias("payload_digest"),
+    )
+    em = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            norm(F.transform("embedding", lambda x: x.cast("double"))), 6
+        ).alias("emb_norm"),
+    )
+    return (
+        text_side.join(em, "doc_id")
+        .where(
+            (F.col("n_tokens") >= _PAIR_MIN_TOKENS)
+            & (F.col("byte_len") >= _PAIR_MIN_BYTES)
+        )
+        .select(
+            "doc_id",
+            "caption",
+            "n_tokens",
+            "byte_len",
+            "payload_digest",
+            "emb_norm",
+        )
+    )
