@@ -432,3 +432,78 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_doc_id",
         (F.col("source") == F.col("neg_source")).alias("same_source"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (curation primitive: scrub before training)
+# --------------------------------------------------------------------------
+
+# Dialect-portable patterns: identical semantics in Java regex (Spark)
+# and RE2 (DuckDB) — char classes, +, bounded repetition, \b only.
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+_ORACLE_DOCS_WITH_PII = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-867-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_PII})
+SELECT
+  doc_id,
+  regexp_replace(
+    regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{_PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+  len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS n_phones
+FROM corpus
+""",
+    doc="PII redaction (the scrub-before-training curation primitive): "
+    "emails and phone numbers replaced with typed placeholders, with "
+    "per-document match counts for audit/reporting.  Synthesized PII "
+    "(every 7th doc gets an email + phone appended) guarantees the "
+    "patterns bite; patterns restricted to the Java-regex/RE2 common "
+    "dialect so Spark and DuckDB replace identically.  Pure per-row "
+    "expressions — zero shuffle at any scale.",
+    tags=("llm", "curation", "text"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    with_pii = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return with_pii.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )
