@@ -176,6 +176,31 @@ def ntile_from_rn(rn_col, total: int, n_tiles: int):
     )
 
 
+def fact_salt(
+    fact: "DataFrame",
+    fact_key: str,
+    n_salts: int,
+    tiebreaker: str | None = None,
+):
+    """The deterministic fact-side salt column salted_join applies —
+    factored out so its spreading behavior is directly testable."""
+    from pyspark.sql import functions as F
+
+    if tiebreaker is not None:
+        hash_cols = [F.col(tiebreaker)]
+    else:
+        # simpleString substring check also catches maps NESTED inside
+        # structs/arrays, which xxhash64 rejects just the same.
+        hash_cols = [
+            F.col(f.name)
+            for f in fact.schema.fields
+            if "map<" not in f.dataType.simpleString()
+        ]
+        if not hash_cols:  # all-map schema: fall back to the key column
+            hash_cols = [F.col(fact_key)]
+    return F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
+
+
 def salted_join(
     fact: "DataFrame",
     dim: "DataFrame",
@@ -208,20 +233,8 @@ def salted_join(
     """
     from pyspark.sql import functions as F
 
-    if tiebreaker is not None:
-        hash_cols = [F.col(tiebreaker)]
-    else:
-        # simpleString substring check also catches maps NESTED inside
-        # structs/arrays, which xxhash64 rejects just the same.
-        hash_cols = [
-            F.col(f.name)
-            for f in fact.schema.fields
-            if "map<" not in f.dataType.simpleString()
-        ]
-        if not hash_cols:  # all-map schema: fall back to the key column
-            hash_cols = [F.col(fact_key)]
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
+        "__salt", fact_salt(fact, fact_key, n_salts, tiebreaker)
     )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -22,6 +22,12 @@ def inline_rows(
     Intended for METADATA-sized relations (tens to a few thousand rows
     of scalars) that join/broadcast into a query; every value becomes a
     plan literal, so don't feed it actual data."""
+    if not rows:
+        # explode(array()) is NullType and the field extraction below
+        # would die with an opaque AnalysisException — fail clearly; an
+        # empty constant relation has no inferable schema, so callers
+        # must branch (see quantity_decile_stats).
+        raise ValueError("inline_rows requires at least one row")
     structs = [
         F.struct(*[F.lit(v).alias(n) for v, n in zip(row, names)])
         for row in rows

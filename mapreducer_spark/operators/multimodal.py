@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from mapreducer_spark.functions.text import ORACLE_TOKEN_LIST_SNIPPET
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
@@ -339,8 +340,7 @@ _PAIR_CAPTION_TOKENS = 32
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                     x -> length(x) > 0) AS t
+         {ORACLE_TOKEN_LIST_SNIPPET} AS t
   FROM documents
 ),
 emb AS (

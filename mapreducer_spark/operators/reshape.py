@@ -288,62 +288,6 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_BAND_WEIGHTS = (1.0, 0.5, 0.25, 0.1)
 
 
-@register(
-    "corpus_mixture_quota",
-    oracle=f"""
-WITH ranked AS (
-  SELECT
-    doc_id,
-    source,
-    CAST(floor(
-      (CASE CAST(substr(source, 4) AS INTEGER) // 5
-         {" ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(_MIX_BAND_WEIGHTS))}
-         ELSE {_MIX_BAND_WEIGHTS[-1]} END)
-      * COUNT(*) OVER (PARTITION BY source)
-    ) AS BIGINT) AS quota,
-    ROW_NUMBER() OVER (
-      PARTITION BY source
-      ORDER BY {oracle_md5_int64("text")}, doc_id
-    ) AS rnk
-  FROM documents
-)
-SELECT doc_id, source, rnk FROM ranked WHERE rnk <= quota
-""",
-    doc="EXACT-quota corpus mixing: each source contributes exactly "
-    "floor(weight x |source|) documents, selected by a deterministic "
-    "content-hash order — the data-mixing primitive when the training "
-    "recipe specifies hard per-source budgets (rate-based "
-    "stratified_sample_orders hits quotas only in expectation).  "
-    "Content-hash ordering makes the selection reproducible across "
-    "engines, runs, and partitionings.  The per-source sort is the "
-    "scale cost: at 100 TB with few huge sources, swap the window for "
-    "the two-phase global ranking in functions/agg.py::global_row_number "
-    "applied per source (same output, distributed sort).",
-    tags=("sampling", "llm", "window"),
-)
-def corpus_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    band = (F.substring("source", 4, 10).cast("int") / 5).cast("int")
-    weight = F.lit(float(_MIX_BAND_WEIGHTS[-1]))
-    for i, w in reversed(list(enumerate(_MIX_BAND_WEIGHTS))):
-        weight = F.when(band == i, F.lit(w)).otherwise(weight)
-    w_src = Window.partitionBy("source")
-    w_rnk = Window.partitionBy("source").orderBy(
-        md5_int64(F.col("text")), F.col("doc_id")
-    )
-    ranked = d.select(
-        "doc_id",
-        "source",
-        F.floor(weight * F.count(F.lit(1)).over(w_src)).alias("quota"),
-        F.row_number().over(w_rnk).alias("rnk"),
-    )
-    return ranked.where(F.col("rnk") <= F.col("quota")).select(
-        "doc_id", "source", "rnk"
-    )
-
-
 def _quota_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, rnk, quota) for the band-weighted exact-quota
     selection — the corpus_mixture_quota CTE factored for reuse by the
@@ -387,6 +331,28 @@ ranked AS (
 ),
 sel AS (SELECT doc_id, source, rnk, quota FROM ranked WHERE rnk <= quota)
 """
+
+
+@register(
+    "corpus_mixture_quota",
+    oracle=f"""
+WITH {_ORACLE_QUOTA_SELECTED}
+SELECT doc_id, source, rnk FROM sel
+""",
+    doc="EXACT-quota corpus mixing: each source contributes exactly "
+    "floor(weight x |source|) documents, selected by a deterministic "
+    "content-hash order — the data-mixing primitive when the training "
+    "recipe specifies hard per-source budgets (rate-based "
+    "stratified_sample_orders hits quotas only in expectation).  "
+    "Content-hash ordering makes the selection reproducible across "
+    "engines, runs, and partitionings.  The per-source sort is the "
+    "scale cost: at 100 TB with few huge sources, swap the window for "
+    "the two-phase global ranking in functions/agg.py::global_row_number "
+    "applied per source (same output, distributed sort).",
+    tags=("sampling", "llm", "window"),
+)
+def corpus_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quota_selected(spark, sf_dir).select("doc_id", "source", "rnk")
 
 
 @register(

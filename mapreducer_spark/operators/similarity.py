@@ -234,9 +234,19 @@ def _frozen_ivf_index() -> dict[str, list[list[float]]]:
     tools/train_ivf_index.py and frozen as a repo artifact.  Serving
     from a persisted quantizer (instead of re-training per query) is
     both how production IVF works and what makes the query
-    hash-checkable: the DuckDB oracle renders the SAME literals."""
-    with open(_IVF_INDEX_PATH) as f:
-        return json.load(f)
+    hash-checkable: the DuckDB oracle renders the SAME literals.
+
+    A missing/corrupt artifact degrades to an EMPTY index ({}) rather
+    than raising: this function runs at module import time (the oracle
+    strings are built during register()), and an exception here would
+    take down the whole registry import — every query, not just the
+    ANN pair.  With an empty index the ANN queries register with
+    oracle=None and fall back to live training."""
+    try:
+        with open(_IVF_INDEX_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
 
 
 def _centroid_list(em: DataFrame, sf_dir: str) -> list[tuple[int, list[float]]]:
@@ -358,8 +368,12 @@ GROUP BY x.q_id
     "only the nprobe nearest clusters per query, exact top-k within "
     "probed clusters (L3 scale path).  Hash-checked: the DuckDB "
     "oracle replicates assignment + routing + top-k over the same "
-    "centroid literals (VERDICT r3 #2).  Recall vs exact is reported "
-    "by ann_ivf_kmeans_recall and floor-asserted in tests.",
+    "centroid literals (VERDICT r3 #2).  ORACLE SCOPE: the literals "
+    "are the sf0.01 index (both correctness gates run there); the "
+    "Spark side resolves its index per sf_dir, so comparing at another "
+    "scale needs the oracle re-rendered for that scale's centroids.  "
+    "Recall vs exact is reported by ann_ivf_kmeans_recall and "
+    "floor-asserted in tests.",
     tags=("llm", "similarity"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

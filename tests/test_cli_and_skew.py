@@ -213,9 +213,11 @@ def test_cli_compact(spark, sf_dir, tmp_path):
 def test_salted_join_map_columns_and_tiebreaker(spark):
     """salted_join must (a) not fail analysis when the fact schema holds
     a map column (xxhash64 can't hash maps — they are excluded from the
-    salt), and (b) spread EXACT-duplicate hot-key rows across salts when
-    a tiebreaker column is supplied."""
-    from mapreducer_spark.functions.agg import salted_join
+    salt), (b) collapse EXACT-duplicate rows to one salt by default (the
+    documented limitation), and (c) spread those same rows across salts
+    when a varying tiebreaker column is supplied — all observed through
+    the REAL salt expression (fact_salt), not a reimplementation."""
+    from mapreducer_spark.functions.agg import fact_salt, salted_join
 
     fact = spark.createDataFrame(
         [(1, i, {"k": "v"}) for i in range(200)],
@@ -226,19 +228,24 @@ def test_salted_join_map_columns_and_tiebreaker(spark):
     out = salted_join(fact, dim, "k", "dk", n_salts=8)
     assert out.count() == 200  # same result set as the plain join
 
-    # Exact-duplicate rows (seq dropped): row-hash gives ONE salt; the
-    # tiebreaker must spread them.
+    # Exact duplicates (seq constant): the default row-hash gives ONE
+    # salt — zero skew relief, as documented.
     dup = fact.select("k", F.lit(0).alias("seq"), "props")
-    from pyspark.sql import functions as SF
+    n_dup_salts = (
+        dup.select(fact_salt(dup, "k", 8).alias("s")).distinct().count()
+    )
+    assert n_dup_salts == 1
 
-    salted = dup.withColumn(
-        "__salt", SF.pmod(SF.xxhash64("k", SF.lit(0)), SF.lit(8))
+    # A varying tiebreaker spreads the same hot key over many salts.
+    n_tb_salts = (
+        fact.select(fact_salt(fact, "k", 8, tiebreaker="seq").alias("s"))
+        .distinct()
+        .count()
     )
-    assert salted.select("__salt").distinct().count() == 1
-    spread = salted_join(
-        fact, dim, "k", "dk", n_salts=8, tiebreaker="seq"
-    )
-    assert spread.count() == 200
+    assert n_tb_salts == 8
+    # and the join result is unchanged by the tiebreaker
+    assert salted_join(fact, dim, "k", "dk", n_salts=8, tiebreaker="seq").count() == 200
+
 
 
 def test_weighted_interleave_prefix_proportionality(spark, sf_dir):
