@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.agg import dec_sum
 from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
+from mapreducer_spark.functions.layout import oracle_morton_code
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
@@ -392,4 +393,55 @@ def corpus_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "rnk",
+    )
+
+
+@register(
+    "zorder_codes",
+    oracle=f"""
+WITH s AS (
+  SELECT MIN(o_custkey) AS xmin, MAX(o_custkey) AS xmax,
+         MIN(o_totalprice) AS ymin, MAX(o_totalprice) AS ymax
+  FROM orders
+)
+SELECT
+  o_orderkey,
+  {oracle_morton_code(
+      "COALESCE(CAST(floor((CAST(o_custkey AS DOUBLE) - xmin) * 65535.0"
+      " / NULLIF(CAST(xmax AS DOUBLE) - xmin, 0)) AS BIGINT), 0)",
+      "COALESCE(CAST(floor((o_totalprice - ymin) * 65535.0"
+      " / NULLIF(ymax - ymin, 0)) AS BIGINT), 0)",
+  )} AS zcode
+FROM orders, s
+""",
+    doc="Z-order (Morton) interleave codes over min-max-NORMALIZED "
+    "(custkey, totalprice) — the sort key behind multi-dimensional "
+    "data clustering (OPTIMIZE ZORDER).  Normalization matters: raw "
+    "columns of different bit-widths let one dimension dominate the "
+    "sort and the other gets zero locality (caught by the layout "
+    "test).  Rows sorted by this code land in files narrow in BOTH "
+    "dimensions, so predicates on either column prune row groups via "
+    "parquet min/max statistics (write path: sources/ingest.py::"
+    "write_zordered).  One tiny stats agg broadcast back + per-row bit "
+    "arithmetic; identical in DuckDB.",
+    tags=("layout", "reshape"),
+)
+def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.layout import morton_code, normalize_16bit
+
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").alias("xmin"),
+        F.max("o_custkey").alias("xmax"),
+        F.min("o_totalprice").alias("ymin"),
+        F.max("o_totalprice").alias("ymax"),
+    )
+    return o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        morton_code(
+            normalize_16bit(F.col("o_custkey"), F.col("xmin"), F.col("xmax")),
+            normalize_16bit(
+                F.col("o_totalprice"), F.col("ymin"), F.col("ymax")
+            ),
+        ).alias("zcode"),
     )

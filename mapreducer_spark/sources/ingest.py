@@ -174,3 +174,46 @@ def compact_parquet_dir(
     os.rename(tmp_dir, path)
     shutil.rmtree(old_dir, ignore_errors=True)
     return n_files
+
+
+def write_zordered(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    n_files: int = 8,
+) -> None:
+    """Z-order clustered parquet layout (the OPTIMIZE ZORDER primitive):
+    range-partition + sort the frame by the Morton interleave of two key
+    columns, so every output file's min/max range is narrow in BOTH
+    dimensions and a predicate on EITHER column prunes row groups via
+    parquet statistics.  At 100 TB this is the difference between a
+    full scan and touching a handful of files for a 2-D selective
+    query; the write itself is one range shuffle."""
+    from mapreducer_spark.functions.layout import morton_code, normalize_16bit
+
+    # Normalize BOTH dimensions to the full 16-bit range first (min-max
+    # scaling, one tiny agg broadcast back).  Unnormalized columns are
+    # the classic Z-order failure: whichever column uses higher bit
+    # positions dominates the sort and the other dimension gets no
+    # locality at all (caught by the layout test before this fix).
+    # Production table formats do the same via per-column range ids.
+    stats = df.agg(
+        F.min(x_col).alias("__xmin"),
+        F.max(x_col).alias("__xmax"),
+        F.min(y_col).alias("__ymin"),
+        F.max(y_col).alias("__ymax"),
+    )
+    with_stats = df.crossJoin(F.broadcast(stats))
+    zc = morton_code(
+        normalize_16bit(F.col(x_col), F.col("__xmin"), F.col("__xmax")),
+        normalize_16bit(F.col(y_col), F.col("__ymin"), F.col("__ymax")),
+    )
+    (
+        with_stats.withColumn("__z", zc)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "__xmin", "__xmax", "__ymin", "__ymax")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

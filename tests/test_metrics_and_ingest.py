@@ -175,3 +175,51 @@ def test_zscore_gate_excludes_constant_valued_groups(spark):
     assert all(r.event_type != "const" for r in out)
     assert any(r.event_id == 2000 for r in out)
     assert all(r.z == r.z for r in out)  # no NaN survives
+
+
+def test_zorder_layout_narrows_per_file_ranges(spark, sf_dir, tmp_path):
+    """Z-order clustering must give every output file a bounded range in
+    BOTH sort dimensions: after write_zordered(orders, custkey, price),
+    the mean per-file custkey span must be well under the global span
+    (an unsorted layout gives every file ~the full span), which is what
+    lets parquet min/max statistics prune row groups for 2-D selective
+    predicates."""
+    import pyarrow.parquet as pq
+
+    from mapreducer_spark.sources.ingest import write_zordered
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "orders_z")
+    write_zordered(o, "o_custkey", "o_totalprice", zpath, n_files=8)
+
+    import glob
+
+    spans = []
+    for f in sorted(glob.glob(f"{zpath}/part-*.parquet")):
+        md = pq.read_metadata(f)
+        lo = min(
+            md.row_group(i).column(1).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(1).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+    rows = [
+        (r["mn"], r["mx"])
+        for r in o.agg(
+            F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx")
+        ).collect()
+    ]
+    global_span = rows[0][1] - rows[0][0]
+    assert len(spans) >= 4
+    mean_span = sum(spans) / len(spans)
+    # With 16-bit z-interleave over ~2k distinct custkeys, each of 8
+    # files should cover a small slice of the key space; unsorted files
+    # each cover ~the whole span.
+    assert mean_span < global_span * 0.6, (mean_span, global_span)
+    # round-trip: layout changes bytes, never rows
+    assert spark.read.parquet(zpath).count() == o.count()
