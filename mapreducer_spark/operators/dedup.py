@@ -473,10 +473,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_md5_oracle_sql() -> str:
-    f"""DuckDB twin of the ENTIRE MinHash+LSH pipeline — shingling, 16
+    """DuckDB twin of the ENTIRE MinHash+LSH pipeline — shingling, 16
     affine permutations over the md5_int64 shingle hash, 4-band
     bucketing, chunked mega-bucket pair expansion (row_number chunks of
-    {_LSH_MAX_BUCKET} + hub links, mirroring minhash_lsh_pairs), and
+    _LSH_MAX_BUCKET + hub links, mirroring minhash_lsh_pairs), and
     the exact-Jaccard verify.  Only expressible because use_md5 swaps
     xxhash64 (no DuckDB twin) for the shared md5-based hash."""
     rows_per_band = _MINHASH_K // _MINHASH_BANDS

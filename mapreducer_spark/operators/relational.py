@@ -879,7 +879,13 @@ GROUP BY decile
     "a decile edge) need intra-value ranking — a window PARTITIONED by "
     "quantity over ~1/5 of the rows, never a single-partition global "
     "window (VERDICT r3 #6: replaced the range-repartition + "
-    "checkpoint + offset two-phase ranking, 2.5 s -> ~1 s at sf0.1).",
+    "checkpoint + offset two-phase ranking, 2.5 s -> ~1 s at sf0.1). "
+    "SNAPSHOT ASSUMPTION (ADVICE r4): the histogram is collected "
+    "eagerly at CONSTRUCTION time and baked into the plan as decile "
+    "literals — correct for immutable fixtures/warehouse snapshots; a "
+    "mutable input could drift between construction and execution (the "
+    "fix, if ever needed: derive the histogram in-plan via a broadcast "
+    "agg).",
     tags=("window", "agg"),
 )
 def quantity_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

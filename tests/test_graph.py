@@ -1,0 +1,48 @@
+"""Graph-operator structure tests (beyond the oracle hash checks).
+
+The headline here is the PageRank rank-vector size switch (VERDICT r4
+#2): above _PR_BROADCAST_MAX_V vertices the per-round join falls back
+from a broadcast of the rank vector to a keyed shuffle.  The fallback
+branch can never trigger on fixture-sized graphs, so it is forced by
+patching the cap to zero and asserted EQUAL to the broadcast path —
+the per-edge decimal-rounded contributions make both partitionings
+bit-identical, which is exactly what lets a 100 TB run switch plans
+without changing answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreducer_spark.operators import graph
+
+
+def _collect_ranks(spark, sf_dir):
+    rows = graph.part_copurchase_pagerank(spark, sf_dir).collect()
+    return sorted((r.v, r.pagerank) for r in rows)
+
+
+def test_pagerank_shuffle_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
+    broadcast_ranks = _collect_ranks(spark, sf_dir)
+    assert broadcast_ranks, "graph should be non-empty at fixture scale"
+    monkeypatch.setattr(graph, "_PR_BROADCAST_MAX_V", 0)
+    shuffle_ranks = _collect_ranks(spark, sf_dir)
+    assert shuffle_ranks == broadcast_ranks
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """Sum of ranks stays ~1 on a dangling-free symmetric graph: the
+    (1-d)/n teleport plus d * (full contribution mass) is a probability
+    distribution at every round."""
+    rows = graph.part_copurchase_pagerank(spark, sf_dir).collect()
+    total = sum(r.pagerank for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-4)
+
+
+def test_triangles_counts_each_corner(spark, sf_dir):
+    """Every triangle credits exactly 3 corners, so sum(n_triangles) is
+    divisible by 3 and positive on the fixture's synthesized near-dups
+    only if triangles exist at all (structure check, not an oracle)."""
+    rows = graph.neardup_triangles(spark, sf_dir).collect()
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0

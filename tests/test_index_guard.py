@@ -1,0 +1,120 @@
+"""Frozen-ANN-index drift guard (VERDICT r4 #1).
+
+The ann_ivf_topk / ann_ivf_kmeans_recall / semdedup_clusters oracles are
+rendered from centroids trained OFFLINE on a specific fixture; if the
+driver ever regenerates /root/testdata, a stale index would silently
+flip those queries red.  The guard has three layers, each proven here:
+
+1. Fingerprint freshness: serving + oracle rendering require the
+   fixture's embeddings.parquet to hash to the training-time md5.  The
+   freshness test below turns drift into a HARD failure naming the fix
+   (re-run tools/train_ivf_index.py) instead of an opaque hash mismatch.
+2. Fallback: on a stale/missing index the query path live-trains
+   seeded KMeans (similarity._centroid_list) — serving keeps working.
+3. Degradation: a corrupt/missing artifact never takes down registry
+   import; the ANN oracles drop to None (rows-only at the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mapreducer_spark.operators import similarity as sim
+
+TESTDATA = "/root/testdata"
+
+
+def _clear_caches():
+    for fn in (sim._frozen_ivf_index, sim._frozen_fingerprints, sim._embeddings_md5):
+        if hasattr(fn, "cache_clear"):  # may be monkeypatched to a plain lambda
+            fn.cache_clear()
+
+
+@pytest.fixture
+def restore_caches():
+    yield
+    _clear_caches()
+
+
+def test_frozen_index_fingerprints_fresh():
+    """LOUD drift detector: every fixture the frozen index covers must
+    still hash to its training-time fingerprint."""
+    index = sim._frozen_ivf_index()
+    assert index, f"frozen IVF index missing/corrupt at {sim._IVF_INDEX_PATH}"
+    fps = sim._frozen_fingerprints()
+    for key in index:
+        sf_dir = os.path.join(TESTDATA, key)
+        if not os.path.isdir(sf_dir):
+            continue
+        assert fps.get(key) == sim._embeddings_md5(sf_dir), (
+            f"FIXTURE DRIFT: {key}/embeddings.parquet no longer matches the "
+            "fingerprint recorded when the frozen IVF index was trained. "
+            "The ANN queries have fallen back to live training and their "
+            "oracles to rows-only; re-run tools/train_ivf_index.py to "
+            "refreeze the index + fingerprints."
+        )
+
+
+def test_fresh_index_serves_frozen_and_oracles_render():
+    assert sim.frozen_index_for(os.path.join(TESTDATA, "sf0.01")) is not None
+    # With a fresh index at the gate scale the three oracles must be SQL.
+    from mapreducer_spark.registry import all_queries
+
+    q = all_queries()
+    for name in ("ann_ivf_topk", "ann_ivf_kmeans_recall", "semdedup_clusters"):
+        assert q[name].oracle is not None, f"{name}: oracle should be rendered"
+
+
+def test_stale_fingerprint_detected_and_refused(monkeypatch, restore_caches):
+    sf_dir = os.path.join(TESTDATA, "sf0.01")
+    monkeypatch.setattr(sim, "_frozen_fingerprints", lambda: {"sf0.01": "bogus"})
+    with pytest.warns(RuntimeWarning, match="STALE"):
+        assert sim.frozen_index_for(sf_dir) is None
+
+
+def test_missing_fingerprint_refused(monkeypatch, restore_caches):
+    """No fingerprint record at all (e.g. an index frozen by an older
+    trainer) is treated as unverifiable — refuse, don't trust."""
+    sf_dir = os.path.join(TESTDATA, "sf0.01")
+    monkeypatch.setattr(sim, "_frozen_fingerprints", lambda: {})
+    with pytest.warns(RuntimeWarning, match="STALE"):
+        assert sim.frozen_index_for(sf_dir) is None
+
+
+def test_corrupt_artifact_degrades_to_empty(tmp_path, monkeypatch, restore_caches):
+    bad = tmp_path / "ivf_centroids.json"
+    bad.write_text("{ not json")
+    monkeypatch.setattr(sim, "_IVF_INDEX_PATH", str(bad))
+    _clear_caches()
+    assert sim._frozen_ivf_index() == {}
+    # Oracle renderers degrade to None rather than raising.
+    assert sim._ivf_oracle_sql() is None
+    assert sim._ivf_recall_oracle_sql() is None
+    assert sim._semdedup_oracle_sql() is None
+
+
+def test_drift_falls_back_to_live_training(spark, monkeypatch, restore_caches):
+    """End-to-end fallback: with the fingerprint invalidated, the ANN
+    query must live-train seeded KMeans and still produce a valid top-k
+    (serving survives a fixture regeneration; only the hash-check
+    degrades)."""
+    from mapreducer_spark.sources import load_table
+
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    monkeypatch.setattr(sim, "_frozen_fingerprints", lambda: {})
+    em = load_table(spark, sf_dir, "embeddings")
+    with pytest.warns(RuntimeWarning, match="STALE"):
+        cents = sim._centroid_list(em, sf_dir)
+    assert len(cents) == sim._N_CENTROIDS
+    assert [c for c, _ in cents] == list(range(sim._N_CENTROIDS))
+    rows = sim._ivf_topk(em, cents).collect()
+    assert len(rows) == sim._N_QUERIES * sim._TOP_K
+    # Live-trained centroids on the SAME data equal the frozen ones
+    # (same seed, same maxIter) — the fallback is a true re-derivation.
+    frozen = sim._frozen_ivf_index().get("sf0.001")
+    assert frozen is not None
+    live = [v for _, v in cents]
+    assert json.dumps(live) == json.dumps(frozen)

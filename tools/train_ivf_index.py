@@ -29,17 +29,21 @@ _DEFAULT_DIRS = [
     "/root/testdata/sf0.1",
 ]
 
-_OUT = os.path.join(
+_DATA_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "..",
     "mapreducer_spark",
     "data",
-    "ivf_centroids.json",
 )
+_OUT = os.path.join(_DATA_DIR, "ivf_centroids.json")
+_FP_OUT = os.path.join(_DATA_DIR, "ivf_fingerprints.json")
 
 
 def main() -> None:
-    from mapreducer_spark.operators.similarity import kmeans_centroids
+    from mapreducer_spark.operators.similarity import (
+        _embeddings_md5,
+        kmeans_centroids,
+    )
     from mapreducer_spark.session import get_spark
     from mapreducer_spark.sources import load_table
 
@@ -47,16 +51,22 @@ def main() -> None:
     spark = get_spark(app_name="ivf-train", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("WARN")
     index: dict[str, list[list[float]]] = {}
+    fingerprints: dict[str, str] = {}
     for d in dirs:
         key = os.path.basename(d.rstrip("/"))
         em = load_table(spark, d, "embeddings")
         cents = kmeans_centroids(em).orderBy("cent_id").collect()
         index[key] = [[float(x) for x in r.cent_v] for r in cents]
+        # Fingerprint the training input so serving can detect a later
+        # fixture regeneration and refuse the stale index (VERDICT r4 #1).
+        fingerprints[key] = _embeddings_md5(d)
         print(f"{key}: {len(index[key])} centroids x {len(index[key][0])} dims")
-    os.makedirs(os.path.dirname(_OUT), exist_ok=True)
+    os.makedirs(_DATA_DIR, exist_ok=True)
     with open(_OUT, "w") as f:
         json.dump(index, f)
-    print(f"wrote {_OUT}")
+    with open(_FP_OUT, "w") as f:
+        json.dump(fingerprints, f, indent=1)
+    print(f"wrote {_OUT} and {_FP_OUT}")
     spark.stop()
 
 
