@@ -262,13 +262,42 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_price_quantiles",
-    oracle=None,  # approx_percentile's sketch has no DuckDB twin ->
-    # rows-only; tests bound its error against the exact quantiles.
+    # The GK sketch IS hash-checkable at the gate scale (VERDICT r4 #5):
+    # accuracy 10000 => rank error eps = 1e-4, and the sf0.01 groups are
+    # ~3000 rows, so eps*n = 0.3 < 1 rank — the sketch's error band is
+    # narrower than one order statistic and the returned value is
+    # EXACTLY the ceil(q*n)-th value (verified equal to DuckDB's
+    # quantile_disc as well).  The oracle pins that order statistic via
+    # ROW_NUMBER, engine-neutrally.  Validity domain: exact only while
+    # every group has < 1/eps rows; beyond it (e.g. sf>=0.1, where the
+    # gate never hash-checks) the query stays approximate and
+    # tests/test_llm_ops.py::test_approx_quantiles_bracket_exact bounds
+    # the error instead.
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                THEN o_totalprice END) AS median_approx,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN o_totalprice END) AS p90_approx,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM r GROUP BY o_orderpriority
+""",
     doc="Approximate percentiles via approx_percentile (Greenwald-Khanna "
     "sketch: one pass, mergeable partials — the 100 TB path where exact "
     "per-group sorts are unaffordable). Accuracy 10000 => max rank error "
-    "1e-4; tests assert the result brackets the exact quantile.",
-    tags=("agg", "quantile", "sketch", "rows-only"),
+    "1e-4, which at the sf0.01 gate scale is tighter than one rank — so "
+    "the oracle checks the exact ceil(q*n) order statistic and the "
+    "sketch must hit it exactly (VERDICT r4 #5: promoted from "
+    "rows-only). Tests additionally bracket the value at other scales.",
+    tags=("agg", "quantile", "sketch"),
 )
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -39,6 +39,22 @@ def test_pagerank_mass_conserved(spark, sf_dir):
     assert total == pytest.approx(1.0, abs=1e-4)
 
 
+def test_cc_shuffle_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
+    """connected_components has the same broadcast-or-shuffle switch as
+    PageRank (label vector vs edge list); force the over-cap branch and
+    assert identical clustering."""
+    from mapreducer_spark.operators import clustering
+
+    def _clusters():
+        rows = clustering.neardup_clusters(spark, sf_dir).collect()
+        return sorted((r.v, r.comp, r.n_members) for r in rows)
+
+    broadcast_out = _clusters()
+    assert broadcast_out
+    monkeypatch.setattr(clustering, "_CC_BROADCAST_MAX_V", 0)
+    assert _clusters() == broadcast_out
+
+
 def test_triangles_counts_each_corner(spark, sf_dir):
     """Every triangle credits exactly 3 corners, so sum(n_triangles) is
     divisible by 3 and positive on the fixture's synthesized near-dups
