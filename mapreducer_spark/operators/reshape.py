@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.agg import dec_sum
 from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
-from mapreducer_spark.functions.layout import oracle_morton_code
+from mapreducer_spark.functions.layout import (
+    oracle_morton_code,
+    oracle_morton_code_nd,
+)
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
@@ -472,5 +475,66 @@ def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             normalize_16bit(
                 F.col("o_totalprice"), F.col("ymin"), F.col("ymax")
             ),
+        ).alias("zcode"),
+    )
+
+
+def _z3_norm_sql(col: str, i: int) -> str:
+    return (
+        f"COALESCE(CAST(floor((CAST({col} AS DOUBLE) - mn{i}) * 65535.0"
+        f" / NULLIF(CAST(mx{i} AS DOUBLE) - mn{i}, 0)) AS BIGINT), 0)"
+    )
+
+
+@register(
+    "zorder_codes_3d",
+    oracle=f"""
+WITH s AS (
+  SELECT MIN(l_partkey) AS mn0, MAX(l_partkey) AS mx0,
+         MIN(l_suppkey) AS mn1, MAX(l_suppkey) AS mx1,
+         MIN(l_quantity) AS mn2, MAX(l_quantity) AS mx2
+  FROM lineitem
+)
+SELECT
+  l_orderkey,
+  l_linenumber,
+  {oracle_morton_code_nd(
+      [_z3_norm_sql("l_partkey", 0),
+       _z3_norm_sql("l_suppkey", 1),
+       _z3_norm_sql("l_quantity", 2)],
+      16,
+  )} AS zcode
+FROM lineitem, s
+""",
+    doc="3-D Z-order (Morton) codes over min-max-normalized (partkey, "
+    "suppkey, quantity) — the n-dimensional generalization of "
+    "zorder_codes (VERDICT r4 #4): dimension-major bit interleave, 16 "
+    "bits per dimension in a 48-bit code.  Write path: "
+    "sources/ingest.py::ingest_warehouse_zordered clusters lineitem by "
+    "exactly this code; per-file range narrowing in all three "
+    "dimensions is asserted in tests/test_metrics_and_ingest.py.",
+    tags=("layout", "reshape"),
+)
+def zorder_codes_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.layout import morton_code_nd, normalize_bits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_partkey", "l_suppkey", "l_quantity"]
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"mn{i}"))
+        aggs.append(F.max(c).alias(f"mx{i}"))
+    stats = li.agg(*aggs)
+    return li.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_code_nd(
+            [
+                normalize_bits(
+                    F.col(c), F.col(f"mn{i}"), F.col(f"mx{i}"), 16
+                )
+                for i, c in enumerate(cols)
+            ],
+            16,
         ).alias("zcode"),
     )

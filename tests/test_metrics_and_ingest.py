@@ -192,7 +192,7 @@ def test_zorder_layout_narrows_per_file_ranges(spark, sf_dir, tmp_path):
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     zpath = str(tmp_path / "orders_z")
-    write_zordered(o, "o_custkey", "o_totalprice", zpath, n_files=8)
+    write_zordered(o, ["o_custkey", "o_totalprice"], zpath, n_files=8)
 
     import glob
 
@@ -223,3 +223,124 @@ def test_zorder_layout_narrows_per_file_ranges(spark, sf_dir, tmp_path):
     assert mean_span < global_span * 0.6, (mean_span, global_span)
     # round-trip: layout changes bytes, never rows
     assert spark.read.parquet(zpath).count() == o.count()
+
+
+def _file_spans(path: str, col):
+    """Per-file (min, max) of a column (by name or index) from parquet
+    footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.read_metadata(f)
+        idx = (
+            col
+            if isinstance(col, int)
+            else [md.schema.column(i).name for i in range(md.num_columns)].index(
+                col
+            )
+        )
+        lo = min(
+            md.row_group(i).column(idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    return spans
+
+
+def test_zordered_warehouse_prunes_2d_predicate(spark, sf_dir, tmp_path):
+    """MEASURED pruning benefit (VERDICT r4 #4): the same selective 2-D
+    box predicate against (a) a round-robin unordered layout and (b)
+    the z-ordered warehouse variant.  The z layout must let parquet
+    row-group statistics skip most files — fewer scan-emitted rows and
+    fewer candidate files — where the unordered layout reads everything.
+    """
+    from mapreducer_spark.plans.metrics import scan_output_rows
+    from mapreducer_spark.sources.ingest import ingest_warehouse_zordered
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 8
+    plain = str(tmp_path / "orders_plain")
+    o.repartition(n_files).write.parquet(plain)
+    zpaths = ingest_warehouse_zordered(
+        spark, sf_dir, str(tmp_path / "wh"), n_files=n_files
+    )
+
+    # A ~20%-per-dimension box around the middle of both distributions.
+    ck_lo, ck_hi, tp_lo, tp_hi = o.select(
+        F.percentile_approx("o_custkey", 0.4).alias("a"),
+        F.percentile_approx("o_custkey", 0.6).alias("b"),
+        F.percentile_approx("o_totalprice", 0.4).alias("c"),
+        F.percentile_approx("o_totalprice", 0.6).alias("d"),
+    ).collect()[0]
+    box = (
+        (F.col("o_custkey") >= ck_lo)
+        & (F.col("o_custkey") <= ck_hi)
+        & (F.col("o_totalprice") >= tp_lo)
+        & (F.col("o_totalprice") <= tp_hi)
+    )
+
+    plain_rows = scan_output_rows(spark.read.parquet(plain).where(box))
+    z_rows = scan_output_rows(spark.read.parquet(zpaths["orders"]).where(box))
+    total = o.count()
+    # Unordered: every file overlaps the box -> no skipping.
+    assert plain_rows == total, (plain_rows, total)
+    # Z-ordered: most row groups skipped.
+    assert z_rows <= total * 0.5, (z_rows, total)
+
+    # File-skip view of the same fact, from the footers: candidate
+    # files = those whose (custkey, totalprice) ranges BOTH overlap the
+    # box.  The z layout must skip >= 50% of its files.
+    def candidates(path):
+        ck = _file_spans(path, "o_custkey")
+        tp = _file_spans(path, "o_totalprice")
+        return sum(
+            1
+            for (cl, ch), (tl, th) in zip(ck, tp)
+            if not (ch < ck_lo or cl > ck_hi or th < tp_lo or tl > tp_hi)
+        ), len(ck)
+
+    z_cand, z_total = candidates(zpaths["orders"])
+    p_cand, p_total = candidates(plain)
+    assert p_cand == p_total  # unordered layout: nothing skippable
+    assert z_cand <= z_total * 0.5, (z_cand, z_total)
+
+
+def test_zorder_3d_narrows_all_dimensions(spark, sf_dir, tmp_path):
+    """The 3-D Morton layout (lineitem by partkey/suppkey/quantity) must
+    bound per-file ranges in ALL THREE dimensions — the n-D
+    generalization of the 2-D span test."""
+    from mapreducer_spark.sources.ingest import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "li_z")
+    write_zordered(li, ["l_partkey", "l_suppkey", "l_quantity"], zpath, n_files=8)
+
+    ratios = []
+    for col in ["l_partkey", "l_suppkey", "l_quantity"]:
+        spans = _file_spans(zpath, col)
+        gl = li.agg(F.min(col), F.max(col)).collect()[0]
+        global_span = float(gl[1]) - float(gl[0])
+        mean_span = sum(float(hi) - float(lo) for lo, hi in spans) / len(spans)
+        ratios.append(mean_span / global_span)
+        # Per-dimension: clearly narrower than an unordered layout
+        # (whose every file spans ~the full range).  Loose because
+        # range-partitioning splits at code QUANTILES, which can
+        # straddle octant boundaries on skewed/correlated columns.
+        assert mean_span < global_span * 0.9, (col, mean_span, global_span)
+    # Joint volume: an 8-file Z-layout should give each file roughly an
+    # octant of the 3-D box (product of normalized spans ~= 1/8); an
+    # unordered layout's product is ~1.  Allow 2x slack over the ideal.
+    vol = ratios[0] * ratios[1] * ratios[2]
+    assert vol <= 0.25, (ratios, vol)
+    assert spark.read.parquet(zpath).count() == li.count()
