@@ -160,6 +160,58 @@ def _global_row_number_impl(
     return ranked, acc
 
 
+def global_running_sum(
+    df,
+    order_cols: list,
+    value_col: str,
+    n_partitions: int = 32,
+    out_name: str = "running_sum",
+):
+    """Distributed global cumulative sum over a UNIQUE total order —
+    the running-sum sibling of global_row_number, same two-phase shape:
+
+    1. range-partition by the sort keys,
+    2. collect per-partition VALUE TOTALS (one long per partition —
+       metadata, not data),
+    3. running_sum = (prefix total of earlier partitions) + the
+       intra-partition cumulative sum, whose window is partitioned by
+       the physical partition id so every window fits in one task.
+
+    Identical to ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` for any unique ordering, with no single-partition
+    global window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # Same pinning rationale as _global_row_number_impl: the totals job
+    # and the final job must see the SAME sampled range bounds.
+    ranged = ranged.localCheckpoint(eager=True)
+    totals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offset_expr = F.lit(0).cast("long")
+    acc = 0
+    for pid in sorted(totals):
+        offset_expr = F.when(F.col("__pid") == pid, F.lit(acc)).otherwise(
+            offset_expr
+        )
+        acc += totals[pid] or 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out_name, (offset_expr + F.sum(value_col).over(w)).cast("long")
+    ).drop("__pid")
+
+
 def ntile_from_rn(rn_col, total: int, n_tiles: int):
     """NTILE(n) bucket from a 1-based global row number — the exact
     semantics of the window function (first ``total % n`` buckets get

@@ -13,6 +13,7 @@ from mapreducer_spark.functions.layout import (
     oracle_morton_code,
     oracle_morton_code_nd,
 )
+from mapreducer_spark.functions.text import ORACLE_TOKEN_LIST_SNIPPET
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
@@ -476,6 +477,68 @@ def zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_totalprice"), F.col("ymin"), F.col("ymax")
             ),
         ).alias("zcode"),
+    )
+
+
+_PACK_CONTEXT = 2048  # tokens per training sequence
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({ORACLE_TOKEN_LIST_SNIPPET}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(start // {_PACK_CONTEXT} AS BIGINT) AS seq_id,
+       CAST(start % {_PACK_CONTEXT} AS BIGINT) AS seq_offset,
+       (start % {_PACK_CONTEXT}) + n_tokens > {_PACK_CONTEXT}
+         AS crosses_boundary
+FROM c
+""",
+    doc=f"Training-sequence packing (the concat-and-split recipe real "
+    f"LLM pipelines use): documents concatenated in doc_id order into a "
+    f"single token stream cut every {_PACK_CONTEXT} tokens; each doc "
+    "reports the sequence its first token lands in, its offset there, "
+    "and whether it straddles a cut.  The global running token sum is "
+    "the scale-critical part — computed with the two-phase "
+    "range-partition + per-partition-totals pattern "
+    "(functions/agg.py::global_running_sum), NEVER a single-partition "
+    "global window; the oracle is the equivalent SQL running-sum "
+    "window.  Token counts use the pinned Unicode tokenizer.",
+    tags=("llm", "reshape", "window"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.agg import global_running_sum
+    from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), SPARK_TOKEN_SPLIT_RE)
+    n_tokens = F.size(F.filter(toks, lambda t: F.length(t) > 0)).cast("long")
+    counted = d.select("doc_id", n_tokens.alias("n_tokens"))
+    summed = global_running_sum(
+        counted, ["doc_id"], "n_tokens", out_name="__cum"
+    )
+    start = F.col("__cum") - F.col("n_tokens")
+    c = F.lit(_PACK_CONTEXT).cast("long")
+    return summed.select(
+        "doc_id",
+        "n_tokens",
+        # floor-div, not double-div + cast: Spark's long/long is double
+        # division and DuckDB's CAST(double AS BIGINT) rounds — floor on
+        # one side and // on the other pin the same integer semantics.
+        F.floor(start / c).cast("long").alias("seq_id"),
+        F.pmod(start, c).cast("long").alias("seq_offset"),
+        (F.pmod(start, c) + F.col("n_tokens") > c).alias("crosses_boundary"),
     )
 
 

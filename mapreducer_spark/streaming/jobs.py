@@ -493,6 +493,21 @@ class BatchMetricsListener:
                         "observed": {
                             k: r.asDict() for k, r in (p.observedMetrics or {}).items()
                         },
+                        # State-store footprint per stateful operator
+                        # (VERDICT r4 #7) — rows held, rows touched this
+                        # batch, bytes in the store.  THE capacity metric
+                        # for long-running stateful jobs: unbounded
+                        # numRowsTotal growth is how watermark
+                        # misconfiguration shows up in production.
+                        "state_operators": [
+                            {
+                                "operator": getattr(s, "operatorName", None),
+                                "num_rows_total": s.numRowsTotal,
+                                "num_rows_updated": s.numRowsUpdated,
+                                "memory_used_bytes": s.memoryUsedBytes,
+                            }
+                            for s in (p.stateOperators or [])
+                        ],
                     }
                 )
 

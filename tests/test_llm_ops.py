@@ -339,3 +339,38 @@ def test_semdedup_catches_scaled_copies(spark, sf_dir):
         assert dropped[copy].keeper_id == base
         assert abs(dropped[copy].cos_to_keeper - 1.0) < 1e-6
     assert all(r.cos_to_keeper >= 0.999 for r in rows)
+
+
+def test_exact_profile_similarity_refuses_past_cap(spark, sf_dir, monkeypatch):
+    """The O(U^2) exact reference must refuse loudly past its user cap
+    (VERDICT r4: scale-killer guardrail) instead of silently launching
+    a quadratic plan; the blocked variant is the scale path."""
+    import pytest as _pytest
+
+    from mapreducer_spark.operators import events_time as et
+
+    monkeypatch.setattr(et, "_MAX_EXACT_PROFILE_USERS", 1)
+    with _pytest.raises(RuntimeError, match="blocked"):
+        et.user_activity_similarity(spark, sf_dir)
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing structure: offsets stay inside the context window, the
+    stream is gapless (each doc starts exactly where the previous one
+    ended, modulo the window), and sequence ids are non-decreasing in
+    doc order."""
+    from mapreducer_spark.operators.reshape import _PACK_CONTEXT, sequence_packing
+
+    rows = sorted(
+        sequence_packing(spark, sf_dir).collect(), key=lambda r: r.doc_id
+    )
+    assert rows
+    stream_pos = 0
+    prev_seq = 0
+    for r in rows:
+        assert 0 <= r.seq_offset < _PACK_CONTEXT
+        assert r.seq_id * _PACK_CONTEXT + r.seq_offset == stream_pos
+        assert r.crosses_boundary == (r.seq_offset + r.n_tokens > _PACK_CONTEXT)
+        assert r.seq_id >= prev_seq
+        prev_seq = r.seq_id
+        stream_pos += r.n_tokens
