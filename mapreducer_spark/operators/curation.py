@@ -507,3 +507,81 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phones"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# fasttext-style hashed linear quality classifier
+# --------------------------------------------------------------------------
+
+_QC_BUCKETS = 1024  # hashed feature space (fasttext's bucket trick)
+_QC_WMOD = 1001  # deterministic stand-in weights: w(b) = (b % 1001) - 500
+_QC_WSCALE = 500  # weight magnitude bound -> logit = s / (500 * n_tokens)
+
+
+@register(
+    "quality_classifier_linear",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         (({oracle_md5_int64("tok")} % {_QC_BUCKETS}) % {_QC_WMOD})
+           - {_QC_WSCALE} AS w
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(w) AS BIGINT) AS s
+  FROM feats GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(s AS DOUBLE) / ({_QC_WSCALE}.0 * n_tokens), 6) AS logit,
+       ROUND(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
+             / ({_QC_WSCALE}.0 * n_tokens)))), 6) AS score,
+       CAST(s AS DOUBLE) / ({_QC_WSCALE}.0 * n_tokens) > 0 AS keep
+FROM scored
+""",
+    doc="fasttext-shaped hashed linear quality classifier: token -> "
+    "md5_int64 hash -> one of 1024 feature buckets (the fasttext "
+    "hashing trick), bucket -> fixed integer weight (deterministic "
+    "stand-in for trained weights: w(b) = (b % 1001) - 500), per-doc "
+    "logit = exact BIGINT weight sum / (500 * n_tokens), score = "
+    "sigmoid(logit).  The weight sum is an exact integer aggregation, "
+    "so the only float ops are the final two expressions — partition- "
+    "order invariant by construction, which is what makes a learned "
+    "scorer hash-checkable.  Scale shape: pure map + one groupBy with "
+    "map-side partial sums; swapping the stand-in weights for trained "
+    "ones is a broadcast-join of a 1024-row weight table (or a literal "
+    "array lookup) and changes nothing structural.  This is the "
+    "CCNet/DCLM 'model-based quality filter' slot in the curation "
+    "pipeline.",
+    tags=("llm", "curation", "text"),
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.hashes import md5_int64
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
+    )
+    feats = d.select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).select(
+        "doc_id",
+        ((md5_int64(F.col("tok")) % _QC_BUCKETS) % _QC_WMOD - _QC_WSCALE).alias(
+            "w"
+        ),
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("s")
+    )
+    logit = F.col("s").cast("double") / (F.lit(float(_QC_WSCALE)) * F.col("n_tokens"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (logit > 0).alias("keep"),
+    )

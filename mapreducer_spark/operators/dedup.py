@@ -828,3 +828,103 @@ def part_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L1/L2 — sub-document (chunk-level) dedup, the CCNet paragraph-dedup shape
+# --------------------------------------------------------------------------
+
+_DCHUNK_W = 16  # tokens per non-overlapping chunk ("paragraph" surrogate)
+
+
+@register(
+    "chunk_level_dedup",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM corpus
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t), {_DCHUNK_W})) AS s
+  FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         (s - 1) // {_DCHUNK_W} AS chunk_idx,
+         list_slice(t, s, least(s + {_DCHUNK_W} - 1, len(t))) AS c
+  FROM starts
+),
+hashed AS (
+  SELECT doc_id, chunk_idx, len(c) AS c_len,
+         {oracle_md5_int64("array_to_string(c, ' ')")} AS h
+  FROM chunks
+),
+flagged AS (
+  SELECT doc_id, c_len,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM hashed
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac,
+       CAST(SUM(CASE WHEN rn = 1 THEN c_len ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM flagged
+GROUP BY doc_id
+""",
+    doc="Sub-document dedup at chunk granularity — the CCNet/RefinedWeb "
+    "'paragraph dedup' shape restated for the fixture's unstructured "
+    "word-soup: tokenize, cut into non-overlapping 16-token chunks, hash "
+    "each chunk (cross-engine md5_int64), keep only the FIRST occurrence "
+    "corpus-wide (ordered by doc_id, chunk_idx), and report per-doc "
+    "duplication: chunk count, duplicated-chunk count/fraction, and the "
+    "token count that survives chunk-level dedup.  Scale shape: explode "
+    "to chunk rows (narrow: hash + ids + len), ONE shuffle keyed by "
+    "chunk hash for the first-occurrence window, then a per-doc agg — "
+    "shuffle volume is O(total chunks), never pairwise, and the hash key "
+    "is near-uniform so no skew.  At 100 TB swap md5_int64 for xxhash64 "
+    "exactly like the LSH path.",
+    tags=("llm", "dedup", "text"),
+)
+def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    corpus = docs_with_near_dups(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
+    )
+    d = corpus.select("doc_id", toks.alias("t")).where(F.size("t") > 0)
+    starts = d.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_DCHUNK_W))
+        ).alias("s"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        F.floor((F.col("s") - 1) / _DCHUNK_W).alias("chunk_idx"),
+        F.slice("t", F.col("s"), _DCHUNK_W).alias("c"),
+    )
+    hashed = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("c").alias("c_len"),
+        md5_int64(F.concat_ws(" ", "c")).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    flagged = hashed.withColumn("rn", F.row_number().over(w))
+    dup = F.when(F.col("rn") > 1, F.lit(1)).otherwise(F.lit(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup).alias("n_dup_chunks"),
+        F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias(
+            "dup_frac"
+        ),
+        F.sum(
+            F.when(F.col("rn") == 1, F.col("c_len")).otherwise(F.lit(0))
+        ).alias("kept_tokens"),
+    )

@@ -601,3 +601,60 @@ def zorder_codes_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
         ).alias("zcode"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-Res)
+# --------------------------------------------------------------------------
+
+_WRS_N = 100
+_WRS_UMOD = 1 << 30  # 30-bit uniform from the cross-engine hash
+
+
+@register(
+    "weighted_sample_orders",
+    oracle=f"""
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         round(
+           ln(CAST(({oracle_md5_int64("CAST(o_orderkey AS VARCHAR)")}
+                    % {_WRS_UMOD}) + 1 AS DOUBLE) / {_WRS_UMOD + 1})
+           / CAST(o_totalprice AS DOUBLE), 9) + 0.0 AS sample_key
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, sample_key FROM (
+  SELECT o_orderkey, o_totalprice, sample_key,
+         ROW_NUMBER() OVER (ORDER BY sample_key DESC, o_orderkey) AS rn
+  FROM keyed
+) WHERE rn <= {_WRS_N}
+""",
+    doc="Weighted sampling WITHOUT replacement (Efraimidis & Spirakis "
+    "2006, A-Res): each order draws a deterministic uniform "
+    "u = (md5_int64(orderkey) mod 2^30 + 1)/(2^30+1) and competes with "
+    "key = ln(u)/weight (monotone twin of u^(1/w)); the top-N keys ARE "
+    "the weighted sample, here weighted by o_totalprice so expensive "
+    "orders are proportionally likelier — the exact primitive used to "
+    "build importance-weighted training mixtures (DSIR resampling, "
+    "domain upweighting) at corpus scale.  Scale shape: key assignment "
+    "is a pure map; top-N is orderBy+limit = TakeOrderedAndProject "
+    "(per-partition heaps of N, driver merges N*partitions rows — no "
+    "global sort, no single-partition window); deterministic reruns "
+    "because the 'randomness' is a content hash, exactly like "
+    "hash_sampled_orders.  Keys round to 9 dp before ranking (ties -> "
+    "orderkey) so the float ln/divide can't flip the cross-engine "
+    "order.",
+    tags=("sample", "llm"),
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        (md5_int64(F.col("o_orderkey").cast("string")) % _WRS_UMOD) + 1
+    ).cast("double") / F.lit(float(_WRS_UMOD + 1))
+    # + 0.0 canonicalizes IEEE negative zero (round(-1e-12, 9) -> -0.0 in
+    # one engine, 0.0 in the other; -0.0 + 0.0 == +0.0 in both).
+    key = F.round(F.log(u) / F.col("o_totalprice").cast("double"), 9) + F.lit(0.0)
+    return (
+        o.select("o_orderkey", "o_totalprice", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), "o_orderkey")
+        .limit(_WRS_N)
+    )

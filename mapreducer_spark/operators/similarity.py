@@ -903,3 +903,121 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cluster").alias("cluster"),
         F.min_by("cos_sim", "keep_candidate").alias("cos_to_keeper"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization — the vector-compression half of a 100 TB ANN stack
+# --------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
+_PQ_SUBDIM = 8
+_PQ_K = 16  # codes per subspace -> 8 x 4 bits = 4 bytes per vector
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+cb AS (
+  SELECT ms.m, e.vec_id AS k,
+         list_slice(e.v, ms.m * {_PQ_SUBDIM} + 1,
+                    ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS cv
+  FROM e CROSS JOIN ms WHERE e.vec_id < {_PQ_K}
+),
+subs AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.v, ms.m * {_PQ_SUBDIM} + 1,
+                    ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+  FROM e CROSS JOIN ms
+),
+dists AS (
+  SELECT s.vec_id, s.m, cb.k,
+         round(list_reduce(
+           list_transform(generate_series(1, {_PQ_SUBDIM}),
+                          i -> (s.sub[i] - cb.cv[i]) * (s.sub[i] - cb.cv[i])),
+           (a, b) -> a + b), 9) AS d2
+  FROM subs s JOIN cb ON s.m = cb.m
+),
+assigned AS (
+  SELECT vec_id, m, k, d2 FROM (
+    SELECT vec_id, m, k, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS codes,
+       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(20,9))) AS DOUBLE), 6) AS recon_err
+FROM assigned
+GROUP BY vec_id
+""",
+    doc="Product quantization (Jegou et al., PAMI 2011) — compress each "
+    "64-dim embedding to 8 x 4-bit codes by splitting it into 8 "
+    "subvectors and snapping each to the nearest of 16 per-subspace "
+    "codewords; report the code string and the exact reconstruction "
+    "error (sum of squared subspace residuals).  The codebook is the "
+    "deterministic first-16-vectors stand-in (same pattern the IVF index "
+    "used before KMeans training — swapping in trained sub-centroids is "
+    "a broadcast-table swap).  Determinism contract: per-subspace "
+    "distance is an explicit LEFT-FOLD sum (F.aggregate / list_reduce) "
+    "of exactly-rounded double products, rounded to 9 dp before the "
+    "argmin (ties -> lowest code), and the recon sum aggregates as "
+    "DECIMAL so partition order can't move it.  Scale shape: codebook "
+    "is 128 tiny rows BROADCAST to an exploded (vector, subspace) "
+    "stream; per-vector work is O(M*K*subdim); one shuffle to regroup "
+    "codes per vector.  PQ is what makes 100 TB of vectors fit an ANN "
+    "index: 256 B float32 -> 4 B codes (64x), scanned via "
+    "asymmetric-distance lookup tables.",
+    tags=("llm", "similarity"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subspaces = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+        )
+    )
+    subs = em.select("vec_id", subspaces.alias("m", "sub"))
+    cb = (
+        em.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("k"), subspaces.alias("m", "cv"))
+        .select("m", "k", "cv")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("sub"), F.col("cv"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    dists = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "k", d2.alias("d2")
+    )
+    best = dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "k")).alias("b")
+    )
+    return (
+        best.select("vec_id", "m", F.col("b.k").alias("k"), F.col("b.d2").alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("m", "k"))),
+                    lambda s: s["k"].cast("string"),
+                ),
+                "-",
+            ).alias("codes"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(20,9)")).cast("double"), 6
+            ).alias("recon_err"),
+        )
+    )
