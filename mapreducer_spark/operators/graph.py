@@ -134,20 +134,14 @@ SELECT v, round(rank, 8) AS pagerank FROM r{_PR_ITERS}
 """
 
 
-@register(
-    "part_copurchase_pagerank",
-    oracle=_oracle_pagerank_sql(),
-    doc=f"PageRank ({_PR_ITERS} fixed rounds, damping {_PR_DAMP}) on the "
-    "part co-purchase graph (parts sharing an order, symmetric distinct "
-    "edges, so no dangling vertices). Spark = iterative join+agg with "
-    "per-round localCheckpoint (bounded lineage, the connected-"
-    "components recipe); oracle = the same rounds unrolled as chained "
-    "CTEs. Per-edge contributions round to 10 dp and sum as DECIMAL, "
-    "making every round — and therefore the fixpoint trajectory — "
-    "identical across engines and partitionings.",
-    tags=("graph", "join", "agg"),
-)
-def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct symmetric (src, dst) co-purchase part edges for
+    ``_PR_YEAR``.  Edge generation without a fact-fact self-join:
+    per-order part sets (one shuffle), in-array i<j pair expansion (the
+    dedup.py LSH-bucket trick — order groups are tiny so m^2 structs
+    beat streaming a self-join), distinct on UNORDERED pairs (half the
+    shuffle volume), then a free symmetrizing union.  Shared by
+    part_copurchase_pagerank and copurchase_bfs_recursive (sqlfront)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = (
         load_table(spark, sf_dir, "orders")
@@ -157,12 +151,6 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_partkey"
     )
-    # Edge generation without a fact-fact self-join: per-order part sets
-    # (one shuffle), in-array i<j pair expansion (the dedup.py LSH-bucket
-    # trick — order groups are tiny so m^2 structs beat streaming a self-
-    # join), distinct on UNORDERED pairs (half the shuffle volume), then
-    # a free symmetrizing union.  Materialized once: deg and the deg-
-    # annotated edge list are two consumers.
     sets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -183,6 +171,25 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.src", "p.dst")
         .distinct()
     )
+    return up.unionByName(
+        up.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@register(
+    "part_copurchase_pagerank",
+    oracle=_oracle_pagerank_sql(),
+    doc=f"PageRank ({_PR_ITERS} fixed rounds, damping {_PR_DAMP}) on the "
+    "part co-purchase graph (parts sharing an order, symmetric distinct "
+    "edges, so no dangling vertices). Spark = iterative join+agg with "
+    "per-round localCheckpoint (bounded lineage, the connected-"
+    "components recipe); oracle = the same rounds unrolled as chained "
+    "CTEs. Per-edge contributions round to 10 dp and sum as DECIMAL, "
+    "making every round — and therefore the fixpoint trajectory — "
+    "identical across engines and partitionings.",
+    tags=("graph", "join", "agg"),
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # Degree via a window over the symmetric edge list — ONE shuffle
@@ -192,9 +199,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UNCONDITIONAL broadcast of the |V|-row deg vector that would have
     # violated the rank-vector cap's own memory argument at >5M
     # vertices.  (VERDICT r4 #3: setup was 1.8 s of the 3.2 s warm run.)
-    sym = up.unionByName(
-        up.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = copurchase_sym_edges(spark, sf_dir)
     edges = sym.select(
         "src",
         "dst",

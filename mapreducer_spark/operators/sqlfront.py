@@ -130,3 +130,78 @@ def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
     )
+
+
+# BFS over a data-dependent graph via WITH RECURSIVE — the second
+# recursion shape (monthly_gap_fill's spine is linear, one row per step;
+# this one fans out through a join against an edge table).  Spark 4
+# recursion supports UNION ALL only, so termination comes from the
+# explicit depth bound, not row dedup; the walk multiset is then
+# collapsed by MIN(depth).  Seeds are the 3 highest-degree parts
+# (deterministic tiebreak); depth <= 2 keeps the walk count at
+# ~sum-of-neighbor-degrees.
+#
+# The traversal text below is shared verbatim by both engines; the EDGE
+# table is where they deliberately differ.  A recursive CTE's
+# non-recursive CTEs are inlined into every iteration, so deriving the
+# edge list inside the recursion re-ran the lineitem self-join per step
+# (~15 s at sf0.1).  The Spark side therefore materializes the edge
+# list ONCE (graph.py's set-expansion builder + localCheckpoint, ~1 s)
+# and recurses over the materialized view — the same "iterate over a
+# pinned edge list" discipline every iterative operator in this repo
+# uses (clustering.py, graph.py).  DuckDB, whose optimizer materializes
+# the CTE, keeps the fully-inline ANSI derivation as the oracle.
+_BFS_TRAVERSAL_SQL = """
+seeds AS (
+  SELECT src AS seed FROM edges
+  GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT 3
+),
+walks(seed, node, depth) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION ALL
+  SELECT w.seed, e.dst, w.depth + 1
+  FROM walks w JOIN edges e ON w.node = e.src
+  WHERE w.depth < 2
+),
+reach AS (
+  SELECT seed, node, MIN(depth) AS hops
+  FROM walks GROUP BY seed, node
+)
+SELECT seed,
+       CAST(SUM(CASE WHEN hops = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1hop,
+       CAST(SUM(CASE WHEN hops = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2hop
+FROM reach
+GROUP BY seed
+"""
+
+
+@register(
+    "copurchase_bfs_recursive",
+    oracle=(
+        "WITH RECURSIVE edges AS (\n"
+        "  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst\n"
+        "  FROM lineitem a\n"
+        "  JOIN lineitem b ON a.l_orderkey = b.l_orderkey\n"
+        "                 AND a.l_partkey <> b.l_partkey\n"
+        "  JOIN orders ON o_orderkey = a.l_orderkey\n"
+        "  WHERE year(o_orderdate) = 1997\n"
+        "),\n" + _BFS_TRAVERSAL_SQL
+    ),
+    doc="Bounded-depth BFS reachability over the 1997 co-purchase part "
+    "graph via WITH RECURSIVE: from the 3 highest-degree parts, how "
+    "many parts sit exactly 1 and exactly 2 hops away (MIN(depth) "
+    "collapses the UNION ALL walk multiset — Spark 4 recursion has no "
+    "UNION-distinct yet).  The recursive traversal text is shared "
+    "verbatim with the DuckDB oracle; the edge list is materialized "
+    "once on the Spark side because non-recursive CTEs inline into "
+    "every recursion step (see module comment).  Complements "
+    "part_copurchase_pagerank (fixed-round DataFrame iteration) with "
+    "the declarative recursive-SQL formulation of graph traversal.",
+    tags=("sql", "recursive", "graph"),
+)
+def copurchase_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.operators.graph import copurchase_sym_edges
+
+    edges = copurchase_sym_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("edges")
+    return spark.sql("WITH RECURSIVE " + _BFS_TRAVERSAL_SQL)
