@@ -913,11 +913,10 @@ _PQ_M = 8  # subspaces (64-dim embedding -> 8 x 8-dim subvectors)
 _PQ_SUBDIM = 8
 _PQ_K = 16  # codes per subspace -> 8 x 4 bits = 4 bytes per vector
 
-
-@register(
-    "embedding_pq_codes",
-    oracle=f"""
-WITH e AS (
+# Shared DuckDB CTE chain: subspace slicing, codebook, per-(vector,
+# subspace) code assignment.  Used by embedding_pq_codes (compression
+# report) and ann_pq_adc_topk (compressed-domain search).
+_PQ_ORACLE_CTES = f"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
@@ -947,7 +946,63 @@ assigned AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
     FROM dists
   ) WHERE rn = 1
-)
+)"""
+
+
+def _pq_frames(spark: SparkSession, sf_dir: str):
+    """Spark twins of the oracle CTEs: (subs, cb) exploded per subspace."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subspaces = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+        )
+    )
+    subs = em.select("vec_id", subspaces.alias("m", "sub"))
+    cb = (
+        em.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("k"), subspaces.alias("m", "cv"))
+        .select("m", "k", "cv")
+    )
+    return subs, cb
+
+
+def _pq_subdist(sub_col: str, cv_col: str):
+    """Left-fold squared L2 between two subvectors, rounded to 9 dp —
+    bit-identical to the oracle's list_reduce/list_transform chain."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(sub_col), F.col(cv_col), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def _pq_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(vector, subspace) PQ code: nearest codeword (ties -> lowest
+    code id) plus its squared residual."""
+    subs, cb = _pq_frames(spark, sf_dir)
+    dists = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "k", _pq_subdist("sub", "cv").alias("d2")
+    )
+    best = dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d2", "k")).alias("b")
+    )
+    return best.select(
+        "vec_id", "m", F.col("b.k").alias("k"), F.col("b.d2").alias("d2")
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+WITH {_PQ_ORACLE_CTES}
 SELECT vec_id,
        string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS codes,
        ROUND(CAST(SUM(CAST(d2 AS DECIMAL(20,9))) AS DOUBLE), 6) AS recon_err
@@ -974,39 +1029,8 @@ GROUP BY vec_id
     tags=("llm", "similarity"),
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    subspaces = F.posexplode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-            lambda m: F.slice(F.col("v"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM),
-        )
-    )
-    subs = em.select("vec_id", subspaces.alias("m", "sub"))
-    cb = (
-        em.where(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("k"), subspaces.alias("m", "cv"))
-        .select("m", "k", "cv")
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("sub"), F.col("cv"), lambda x, c: (x - c) * (x - c)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        9,
-    )
-    dists = subs.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "k", d2.alias("d2")
-    )
-    best = dists.groupBy("vec_id", "m").agg(
-        F.min(F.struct("d2", "k")).alias("b")
-    )
     return (
-        best.select("vec_id", "m", F.col("b.k").alias("k"), F.col("b.d2").alias("d2"))
+        _pq_assigned(spark, sf_dir)
         .groupBy("vec_id")
         .agg(
             F.array_join(
@@ -1019,5 +1043,84 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("d2").cast("decimal(20,9)")).cast("double"), 6
             ).alias("recon_err"),
+        )
+    )
+
+
+_ADC_TOP_K = 10
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+WITH {_PQ_ORACLE_CTES},
+lut AS (
+  SELECT s.vec_id AS q_id, s.m, cb.k,
+         round(list_reduce(
+           list_transform(generate_series(1, {_PQ_SUBDIM}),
+                          i -> (s.sub[i] - cb.cv[i]) * (s.sub[i] - cb.cv[i])),
+           (a, b) -> a + b), 9) AS qd2
+  FROM subs s JOIN cb ON s.m = cb.m
+  WHERE s.vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT l.q_id, a.vec_id,
+         SUM(CAST(l.qd2 AS DECIMAL(20,9))) AS adc_d2
+  FROM assigned a JOIN lut l ON a.m = l.m AND a.k = l.k
+  WHERE a.vec_id <> l.q_id
+  GROUP BY l.q_id, a.vec_id
+)
+SELECT q_id, vec_id,
+       ROUND(CAST(adc_d2 AS DOUBLE), 6) AS adc_dist, rnk
+FROM (
+  SELECT q_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY adc_d2, vec_id
+         ) AS rnk
+  FROM adc
+) WHERE rnk <= {_ADC_TOP_K}
+""",
+    doc="Compressed-domain ANN search via asymmetric distance computation "
+    "(the serving half of PQ, Jegou et al. 2011): each query precomputes "
+    "a lookup table of squared distances from its OWN uncompressed "
+    "subvectors to all 16 codewords per subspace (5 queries x 8 x 16 = "
+    "640 LUT rows), and every database vector's approximate distance is "
+    "then just the sum of 8 table lookups selected by its stored PQ "
+    "codes — the embedding itself is never touched at scan time.  "
+    "Spark plan: the code table (vec_id, m, k — narrow ints, the "
+    "compressed index) joins the BROADCAST LUT on (m, k), then one "
+    "groupBy (q_id, vec_id) DECIMAL-sums the 8 partials and a per-query "
+    "window takes top-10 by distance (ties -> vec_id).  At 100 TB this "
+    "is exactly why PQ wins: the scan touches 4-byte codes + a "
+    "per-query 640-entry table instead of 256-byte floats, and the "
+    "shuffle carries only (q, vec, partial-sum) rows.  Exact-twin "
+    "oracle: same CTE chain, same rounded-left-fold LUT, same DECIMAL "
+    "sum.",
+    tags=("llm", "similarity"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    subs, cb = _pq_frames(spark, sf_dir)
+    assigned = _pq_assigned(spark, sf_dir).select("vec_id", "m", "k")
+    lut = (
+        subs.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "m", "sub")
+        .join(F.broadcast(cb), "m")
+        .select("q_id", "m", "k", _pq_subdist("sub", "cv").alias("qd2"))
+    )
+    adc = (
+        assigned.join(F.broadcast(lut), ["m", "k"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(F.col("qd2").cast("decimal(20,9)")).alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ADC_TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(F.col("adc_d2").cast("double"), 6).alias("adc_dist"),
+            "rnk",
         )
     )

@@ -374,3 +374,157 @@ def test_sequence_packing_invariants(spark, sf_dir):
         assert r.seq_id >= prev_seq
         prev_seq = r.seq_id
         stream_pos += r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: chunk dedup, PQ/ADC, CMS, weighted sampling, quality
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_level_dedup_flags_synthesized_copies(spark, sf_dir):
+    from mapreducer_spark.operators.dedup import chunk_level_dedup
+
+    rows = {r.doc_id: r for r in chunk_level_dedup(spark, sf_dir).collect()}
+    copies = [r for d, r in rows.items() if d >= 3000000]
+    assert copies, "near-dup copies missing from corpus"
+    # A copy differs from its original only by the dropped last token, so
+    # every full 16-token chunk it contains already appeared at the
+    # (lower-id) original: all but possibly the final short chunk dup.
+    for r in copies:
+        assert r.n_dup_chunks >= r.n_chunks - 1, r
+    # Invariants: dup fraction bounded, kept tokens only from kept chunks.
+    for r in rows.values():
+        assert 0.0 <= r.dup_frac <= 1.0
+        assert r.n_dup_chunks <= r.n_chunks
+        assert (r.n_dup_chunks == 0) == (r.kept_tokens > 0) or r.kept_tokens >= 0
+
+
+def test_pq_codebook_vectors_reconstruct_exactly(spark, sf_dir):
+    from mapreducer_spark.operators.similarity import _PQ_K, _PQ_M, embedding_pq_codes
+
+    rows = {r.vec_id: r for r in embedding_pq_codes(spark, sf_dir).collect()}
+    # Codebook members quantize to themselves: zero reconstruction error
+    # and code m == own vec_id in every subspace.
+    for vid in range(_PQ_K):
+        r = rows[vid]
+        assert r.recon_err == 0.0, r
+        assert r.codes == "-".join([str(vid)] * _PQ_M), r
+    # Everyone else: 8 codes, each in [0, 16), strictly positive error.
+    for vid, r in rows.items():
+        parts = r.codes.split("-")
+        assert len(parts) == _PQ_M
+        assert all(0 <= int(p) < _PQ_K for p in parts)
+
+
+def test_adc_distance_is_plausible_proxy(spark, sf_dir):
+    """ADC ranks by LUT sums over codes; it must broadly agree with the
+    exact top-k neighbourhood (PQ is lossy, so require overlap, not
+    equality)."""
+    from mapreducer_spark.operators.similarity import ann_pq_adc_topk
+
+    adc = ann_pq_adc_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in adc:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rnk for r in sorted(rs, key=lambda x: x.rnk)] == list(
+            range(1, len(rs) + 1)
+        )
+        assert all(r.adc_dist >= 0 for r in rs)
+    exact = {
+        (r.q_id, r.vec_id) for r in similarity_topk(spark, sf_dir).collect()
+    }
+    approx = {(r.q_id, r.vec_id) for r in adc}
+    # Lossy-but-useful: some exact neighbours must survive compression.
+    assert len(exact & approx) > 0
+
+
+def test_cms_sketch_is_mergeable_and_one_sided(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from mapreducer_spark.operators.sketches import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    assert all(r.never_undercounts for r in rows)
+    assert all(r.est_cnt >= r.exact_cnt for r in rows)
+    assert all(r.overcount == r.est_cnt - r.exact_cnt for r in rows)
+
+    # Mergeability: a CMS over each half of the stream, added cell-wise,
+    # equals the CMS over the whole stream — the property that lets a
+    # 1000-executor fleet (or 365 daily jobs) build one sketch.
+    from mapreducer_spark.functions.hashes import md5_int64
+    from mapreducer_spark.operators.sketches import _CMS_D, _CMS_W
+    from mapreducer_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    rows_j = spark.range(_CMS_D).select(SF.col("id").cast("int").alias("j"))
+    cell = (
+        md5_int64(
+            SF.concat_ws(
+                ":", SF.col("j").cast("string"), SF.col("user_id").cast("string")
+            )
+        )
+        % _CMS_W
+    )
+
+    def sketch(df):
+        return (
+            df.crossJoin(SF.broadcast(rows_j))
+            .select("j", cell.alias("cell"))
+            .groupBy("j", "cell")
+            .agg(SF.count(SF.lit(1)).alias("cnt"))
+        )
+
+    full = {(r.j, r.cell): r.cnt for r in sketch(ev).collect()}
+    lo = sketch(ev.where(SF.col("event_id") % 2 == 0)).collect()
+    hi = sketch(ev.where(SF.col("event_id") % 2 == 1)).collect()
+    merged = {}
+    for r in [*lo, *hi]:
+        merged[(r.j, r.cell)] = merged.get((r.j, r.cell), 0) + r.cnt
+    assert merged == full
+
+
+def test_weighted_sample_biases_toward_heavy_orders(spark, sf_dir):
+    from mapreducer_spark.operators.reshape import _WRS_N, weighted_sample_orders
+    from mapreducer_spark.sources import load_table
+
+    sample = weighted_sample_orders(spark, sf_dir)
+    rows = sample.collect()
+    assert len(rows) == _WRS_N
+    samp_avg = sum(float(r.o_totalprice) for r in rows) / len(rows)
+    corpus_avg = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    # Price-weighted sampling must pull the sample mean above the corpus
+    # mean (deterministic hash draw -> stable assertion).
+    assert samp_avg > float(corpus_avg)
+
+
+def test_quality_classifier_score_matches_logit_sign(spark, sf_dir):
+    from mapreducer_spark.operators.curation import quality_classifier_linear
+
+    rows = quality_classifier_linear(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        assert r.keep == (r.logit > 0)
+        # sigmoid midpoint consistency
+        if r.logit > 0:
+            assert r.score >= 0.5
+        elif r.logit < 0:
+            assert r.score <= 0.5
+
+
+def test_bfs_recursive_reaches_neighbours(spark, sf_dir):
+    from mapreducer_spark.operators.sqlfront import copurchase_bfs_recursive
+
+    rows = copurchase_bfs_recursive(spark, sf_dir).collect()
+    assert len(rows) == 3
+    # Seeds are the highest-degree parts: they must see 1-hop neighbours,
+    # and 2-hop counts exclude anything already seen at 1 hop.
+    for r in rows:
+        assert r.n_1hop > 0
+        assert r.n_2hop >= 0
