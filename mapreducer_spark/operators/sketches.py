@@ -34,6 +34,37 @@ _CMS_W = 64  # counters per row (< 150 distinct users -> real collisions)
 _CMS_TOPN = 20
 
 
+def cms_cell_col():
+    """The (j, user_id) -> cell hash, shared by the batch sketch, the
+    probe side, and the Structured Streaming twin (streaming/jobs.py) —
+    one definition so batch and stream can never drift."""
+    return (
+        md5_int64(
+            F.concat_ws(
+                ":", F.col("j").cast("string"), F.col("user_id").cast("string")
+            )
+        )
+        % _CMS_W
+    )
+
+
+def cms_cells(ev: DataFrame) -> DataFrame:
+    """CMS counter grid over a (possibly streaming) user_id frame: one
+    wide-out crossJoin (d=4 rows) then ONE groupBy whose output is the
+    constant-size grid.  Works unchanged as a streaming aggregation
+    (complete mode) because it is a plain groupBy-count."""
+    rows_j = ev.sparkSession.range(_CMS_D).select(
+        F.col("id").cast("int").alias("j")
+    )
+    return (
+        ev.crossJoin(F.broadcast(rows_j))
+        .select("j", cms_cell_col().alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+
 @register(
     "cms_heavy_hitters",
     oracle=f"""
@@ -88,25 +119,10 @@ WHERE rn <= {_CMS_TOPN}
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
     rows_j = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
-    cell = (
-        md5_int64(
-            F.concat_ws(
-                ":", F.col("j").cast("string"), F.col("user_id").cast("string")
-            )
-        )
-        % _CMS_W
-    )
-    # The sketch: one wide-out crossJoin (d=4 rows, broadcast) then ONE
-    # groupBy whose output is the constant-size counter grid.
-    cells = (
-        ev.crossJoin(F.broadcast(rows_j))
-        .select("j", cell.alias("cell"))
-        .groupBy("j", "cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cells = cms_cells(ev)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probes = exact.crossJoin(F.broadcast(rows_j)).select(
-        "user_id", "j", cell.alias("cell")
+        "user_id", "j", cms_cell_col().alias("cell")
     )
     est = (
         probes.join(F.broadcast(cells), ["j", "cell"])

@@ -537,3 +537,17 @@ class BatchMetricsListener:
                 return self.batches
             _time.sleep(0.2)
         return self.batches
+
+
+def cms_cells_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch count-min sketch grid
+    (operators/sketches.py::cms_cells, same shared cell hash): a plain
+    streaming groupBy-count, so the state store holds exactly the d x w
+    counter grid — a CONSTANT-size state regardless of stream volume,
+    which is the whole reason CMS is the streaming heavy-hitter
+    structure.  Complete-mode output emits the current grid each batch;
+    merging day-N grids is cell-wise addition (asserted mergeable in
+    tests/test_llm_ops.py)."""
+    from mapreducer_spark.operators.sketches import cms_cells
+
+    return cms_cells(events.select("user_id"))

@@ -313,3 +313,34 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the post-eviction late row 5 must NOT appear (a batch groupBy
     # would count 4).
     assert got.get(base) == 3, got
+
+
+def test_streaming_cms_grid_equals_batch(spark, sf_dir):
+    """The streaming CMS sketch (constant-size state: the 4 x 64 counter
+    grid) drained over the fixture must equal the batch sketch cell for
+    cell — sketch-building is pure mergeable aggregation, so batch/
+    stream parity is exact, not approximate."""
+    from mapreducer_spark.operators.sketches import cms_cells
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import (
+        cms_cells_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    name, q = run_stream_to_memory(
+        cms_cells_stream(read_events_stream(spark, sf_dir))
+    )
+    try:
+        streamed = {
+            (r.j, r.cell): r.cnt for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.j, r.cell): r.cnt
+        for r in cms_cells(
+            load_table(spark, sf_dir, "events").select("user_id")
+        ).collect()
+    }
+    assert streamed == batch
