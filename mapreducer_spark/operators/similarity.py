@@ -1049,12 +1049,10 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ADC_TOP_K = 10
 
-
-@register(
-    "ann_pq_adc_topk",
-    oracle=f"""
-WITH {_PQ_ORACLE_CTES},
-lut AS (
+# ADC chain on top of _PQ_ORACLE_CTES: per-query LUT, table-lookup
+# distances, per-query top-k.  Shared by ann_pq_adc_topk and the recall
+# gauge ann_pq_adc_recall.
+_ADC_ORACLE_CTES = f"""lut AS (
   SELECT s.vec_id AS q_id, s.m, cb.k,
          round(list_reduce(
            list_transform(generate_series(1, {_PQ_SUBDIM}),
@@ -1069,16 +1067,26 @@ adc AS (
   FROM assigned a JOIN lut l ON a.m = l.m AND a.k = l.k
   WHERE a.vec_id <> l.q_id
   GROUP BY l.q_id, a.vec_id
-)
+),
+adc_topk AS (
+  SELECT q_id, vec_id, adc_d2, rnk FROM (
+    SELECT q_id, vec_id, adc_d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY adc_d2, vec_id
+           ) AS rnk
+    FROM adc
+  ) WHERE rnk <= {_ADC_TOP_K}
+)"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+WITH {_PQ_ORACLE_CTES},
+{_ADC_ORACLE_CTES}
 SELECT q_id, vec_id,
        ROUND(CAST(adc_d2 AS DOUBLE), 6) AS adc_dist, rnk
-FROM (
-  SELECT q_id, vec_id, adc_d2,
-         ROW_NUMBER() OVER (
-           PARTITION BY q_id ORDER BY adc_d2, vec_id
-         ) AS rnk
-  FROM adc
-) WHERE rnk <= {_ADC_TOP_K}
+FROM adc_topk
 """,
     doc="Compressed-domain ANN search via asymmetric distance computation "
     "(the serving half of PQ, Jegou et al. 2011): each query precomputes "
@@ -1099,6 +1107,17 @@ FROM (
     tags=("llm", "similarity"),
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adc_topk_frame(spark, sf_dir).select(
+        "q_id",
+        "vec_id",
+        F.round(F.col("adc_d2").cast("double"), 6).alias("adc_dist"),
+        "rnk",
+    )
+
+
+def _adc_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the _ADC_ORACLE_CTES chain: (q_id, vec_id, adc_d2,
+    rnk) for the top ``_ADC_TOP_K`` table-lookup distances per query."""
     subs, cb = _pq_frames(spark, sf_dir)
     assigned = _pq_assigned(spark, sf_dir).select("vec_id", "m", "k")
     lut = (
@@ -1117,10 +1136,97 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         adc.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _ADC_TOP_K)
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(F.col("adc_d2").cast("double"), 6).alias("adc_dist"),
-            "rnk",
+    )
+
+
+_PQ_DIM = _PQ_M * _PQ_SUBDIM  # 64
+
+
+@register(
+    "ann_pq_adc_recall",
+    oracle=f"""
+WITH {_PQ_ORACLE_CTES},
+{_ADC_ORACLE_CTES},
+exactd AS (
+  SELECT eq.q_id, ec.vec_id,
+         round(list_reduce(
+           list_transform(generate_series(1, {_PQ_DIM}),
+                          i -> (eq.qv[i] - ec.v[i]) * (eq.qv[i] - ec.v[i])),
+           (a, b) -> a + b), 9) AS d2
+  FROM (SELECT vec_id AS q_id, v AS qv FROM e
+        WHERE vec_id < {_N_QUERIES}) eq
+  CROSS JOIN (SELECT vec_id, v FROM e) ec
+  WHERE eq.q_id <> ec.vec_id
+),
+exact_topk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rnk
+    FROM exactd
+  ) WHERE rnk <= {_ADC_TOP_K}
+)
+SELECT x.q_id,
+       COUNT(*) AS k,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS recall
+FROM exact_topk x
+LEFT JOIN adc_topk a ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+GROUP BY x.q_id
+""",
+    doc="ADC quality report: recall@10 of the PQ table-lookup search vs "
+    "exact full-precision L2 top-10, one row per query — the gauge that "
+    "tells you whether 64x compression kept enough geometry (mirror of "
+    "ann_ivf_kmeans_recall for the compressed-domain path).  Both sides "
+    "compose the shared ADC CTE chain with an exact brute-force L2 "
+    "top-k (left-fold rounded distances, ties -> vec_id) and left-join "
+    "the two candidate sets, so the recall number itself is "
+    "hash-checked.  Scale: the exact side is the audit — it runs over "
+    "a fixed query sample, not the corpus x corpus product.",
+    tags=("llm", "similarity"),
+)
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = em.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
+    exact_topk = (
+        em.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ADC_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    adc = _adc_topk_frame(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("a_vec")
+    )
+    hit = F.when(F.col("a_vec").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        exact_topk.join(
+            adc,
+            (exact_topk.q_id == adc.q_id) & (exact_topk.vec_id == adc.a_vec),
+            "left",
+        )
+        .select(exact_topk.q_id.alias("q_id"), "vec_id", "a_vec")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(hit).alias("n_hits"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 4).alias(
+                "recall"
+            ),
         )
     )
