@@ -28,7 +28,13 @@ TESTDATA = "/root/testdata"
 
 
 def _clear_caches():
-    for fn in (sim._frozen_ivf_index, sim._frozen_fingerprints, sim._embeddings_md5):
+    for fn in (
+        sim._frozen_ivf_index,
+        sim._frozen_fingerprints,
+        sim._embeddings_md5,
+        sim._frozen_pq_codebooks,
+        sim._pq_fingerprints,
+    ):
         if hasattr(fn, "cache_clear"):  # may be monkeypatched to a plain lambda
             fn.cache_clear()
 
@@ -142,3 +148,56 @@ def test_drift_falls_back_to_live_training(spark, monkeypatch, restore_caches):
     assert frozen is not None
     live = [v for _, v in cents]
     assert json.dumps(live) == json.dumps(frozen)
+
+
+# ----- frozen trained PQ codebooks (round 5) ------------------------------
+
+
+def test_pq_codebook_fingerprints_fresh():
+    """The committed PQ artifact must match the current fixtures; if this
+    fails, re-run tools/train_pq_codebooks.py."""
+    import mapreducer_spark.operators.similarity as sim
+
+    books = sim._frozen_pq_codebooks()
+    assert books, "pq_codebooks.json missing/corrupt"
+    for key, per_m in books.items():
+        assert len(per_m) == sim._PQ_M
+        assert all(len(cw) == sim._PQ_K for cw in per_m)
+        sf_dir = f"/root/testdata/{key}"
+        assert sim.frozen_pq_for(sf_dir) is not None, (
+            f"stale PQ codebooks for {key} — re-run tools/train_pq_codebooks.py"
+        )
+
+
+def test_pq_stale_fingerprint_falls_back(monkeypatch, restore_caches):
+    import warnings
+
+    import mapreducer_spark.operators.similarity as sim
+
+    monkeypatch.setattr(
+        sim, "_pq_fingerprints", lambda: {"sf0.01": "not-the-real-hash"}
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert sim.frozen_pq_for("/root/testdata/sf0.01") is None
+    assert any("STALE" in str(x.message) for x in w)
+
+
+def test_trained_codebooks_cut_reconstruction_error(spark):
+    """KMeans codebooks must beat the first-16 stand-in on the metric
+    KMeans optimizes: total squared reconstruction error (measured ~0.72x
+    at sf0.01; require < 0.9x so retraining noise can't flip it)."""
+    from pyspark.sql import functions as F
+
+    import mapreducer_spark.operators.similarity as sim
+
+    sf = "/root/testdata/sf0.01"
+    standin = sim._pq_assigned(spark, sf).agg(F.sum("d2")).collect()[0][0]
+    cbs = sim.frozen_pq_for(sf)
+    assert cbs is not None
+    trained = (
+        sim._pq_assigned(spark, sf, sim._pq_cb_trained_frame(spark, cbs))
+        .agg(F.sum("d2"))
+        .collect()[0][0]
+    )
+    assert trained < 0.9 * standin, (trained, standin)
