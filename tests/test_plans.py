@@ -205,3 +205,76 @@ def test_blocked_profile_similarity_no_all_pairs(spark, sf_dir):
     # what ANY blocking can recover; measured 0.54 at sf0.01 with
     # Hamming<=1 multiprobe — deterministic, floored with margin.
     assert len(exact & got) / len(exact) >= 0.4
+
+
+# ----- round-5 operators: plan-shape guards -------------------------------
+
+
+def test_cms_probe_join_broadcasts(spark, sf_dir):
+    from mapreducer_spark.operators.sketches import cms_heavy_hitters
+
+    df = cms_heavy_hitters(spark, sf_dir)
+    # The 256-cell grid and the 4-row hash-row frame must broadcast; a
+    # shuffle join against a constant-size sketch would be a plan bug.
+    assert has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_pq_codebook_join_broadcasts(spark, sf_dir):
+    from mapreducer_spark.operators.similarity import (
+        ann_pq_adc_topk,
+        embedding_pq_codes,
+    )
+
+    for df in (embedding_pq_codes(spark, sf_dir), ann_pq_adc_topk(spark, sf_dir)):
+        # 128-row codebook / 640-row LUT ride as broadcasts over the
+        # exploded vector stream.
+        assert has_broadcast_hash_join(df), formatted_plan(df)[:500]
+
+
+def test_weighted_sample_uses_take_ordered(spark, sf_dir):
+    from mapreducer_spark.operators.reshape import weighted_sample_orders
+
+    plan = formatted_plan(weighted_sample_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_md5_int64_cross_engine_battery(spark):
+    """md5_int64 (the one hash every oracle-checked hash-op rests on)
+    must agree between Spark and DuckDB over adversarial inputs: empty,
+    quotes, SQL metacharacters, unicode (CJK/emoji/combining), long
+    strings, and 200 seeded random printables."""
+    import random
+
+    import duckdb
+
+    from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
+
+    rng = random.Random(42)
+    corpus = [
+        "",
+        " ",
+        "'",
+        '"',
+        "a'b--",
+        "NULL",
+        "\t\n",
+        "日本語テキスト",
+        "emoji 🎉🎊",
+        "é combining",
+        "x" * 10_000,
+    ] + [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 _-'\"")
+                for _ in range(rng.randint(1, 80)))
+        for _ in range(200)
+    ]
+    sdf = spark.createDataFrame([(s,) for s in corpus], "s string").select(
+        "s", md5_int64(F.col("s")).alias("h")
+    )
+    got = {r.s: r.h for r in sdf.collect()}
+    con = duckdb.connect()
+    for s in corpus:
+        (dh,) = con.execute(
+            f"SELECT {oracle_md5_int64('?')}", [s]
+        ).fetchone()
+        assert got[s] == dh, (s[:40], got[s], dh)
