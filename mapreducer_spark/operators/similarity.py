@@ -993,13 +993,20 @@ def _pq_subdist(sub_col: str, cv_col: str):
 
 
 def _pq_assigned(
-    spark: SparkSession, sf_dir: str, cb: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    cb: DataFrame | None = None,
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(vector, subspace) PQ code: nearest codeword (ties -> lowest
     code id) plus its squared residual.  ``cb`` overrides the stand-in
-    codebook (trained frozen codewords)."""
-    subs, standin = _pq_frames(spark, sf_dir)
-    cb = standin if cb is None else cb
+    codebook (trained frozen codewords); passing ``subs`` lets callers
+    that already built the subspace explosion share it instead of
+    re-deriving the embeddings scan (code-review r5)."""
+    if subs is None or cb is None:
+        built_subs, standin = _pq_frames(spark, sf_dir)
+        subs = built_subs if subs is None else subs
+        cb = standin if cb is None else cb
     dists = subs.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "k", _pq_subdist("sub", "cv").alias("d2")
     )
@@ -1135,7 +1142,9 @@ def _adc_topk_frame(
     ``cb`` overrides the stand-in codebook (trained frozen codewords)."""
     subs, standin = _pq_frames(spark, sf_dir)
     cb = standin if cb is None else cb
-    assigned = _pq_assigned(spark, sf_dir, cb).select("vec_id", "m", "k")
+    assigned = _pq_assigned(spark, sf_dir, cb, subs=subs).select(
+        "vec_id", "m", "k"
+    )
     lut = (
         subs.where(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), "m", "sub")

@@ -153,14 +153,14 @@ def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the CTE, keeps the fully-inline ANSI derivation as the oracle.
 _BFS_TRAVERSAL_SQL = """
 seeds AS (
-  SELECT src AS seed FROM edges
+  SELECT src AS seed FROM copurchase_edges_tmp
   GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT 3
 ),
 walks(seed, node, depth) AS (
   SELECT seed, seed, 0 FROM seeds
   UNION ALL
   SELECT w.seed, e.dst, w.depth + 1
-  FROM walks w JOIN edges e ON w.node = e.src
+  FROM walks w JOIN copurchase_edges_tmp e ON w.node = e.src
   WHERE w.depth < 2
 ),
 reach AS (
@@ -178,7 +178,7 @@ GROUP BY seed
 @register(
     "copurchase_bfs_recursive",
     oracle=(
-        "WITH RECURSIVE edges AS (\n"
+        "WITH RECURSIVE copurchase_edges_tmp AS (\n"
         "  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst\n"
         "  FROM lineitem a\n"
         "  JOIN lineitem b ON a.l_orderkey = b.l_orderkey\n"
@@ -202,6 +202,8 @@ GROUP BY seed
 def copurchase_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducer_spark.operators.graph import copurchase_sym_edges
 
+    # Suffixed view name (repo convention, cf. relational.py
+    # "li_gsets_tmp") so a session-global "edges" view can't collide.
     edges = copurchase_sym_edges(spark, sf_dir).localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("edges")
+    edges.createOrReplaceTempView("copurchase_edges_tmp")
     return spark.sql("WITH RECURSIVE " + _BFS_TRAVERSAL_SQL)

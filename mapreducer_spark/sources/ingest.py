@@ -252,15 +252,19 @@ def ingest_warehouse_zordered(
     sf_dir: str,
     warehouse_dir: str,
     n_files: int = 8,
+    tables: list[str] | None = None,
 ) -> dict[str, str]:
     """Z-order clustered variant of the warehouse fact tables
     (VERDICT r4 #4): each table in _WAREHOUSE_ZORDER is rewritten
     sorted by the Morton interleave of its recipe columns (lineitem
     demonstrates the 3-D code).  Returns {table: path}.  Dimension
     tables don't benefit (broadcast-joined, never range-scanned) and
-    are left to ingest_warehouse."""
+    are left to ingest_warehouse.  ``tables`` restricts the rewrite to
+    a subset (each table costs a stats agg + range shuffle + sort)."""
     out: dict[str, str] = {}
     for name, cols in _WAREHOUSE_ZORDER.items():
+        if tables is not None and name not in tables:
+            continue
         p = f"{warehouse_dir}/{name}_z"
         write_zordered(load_table(spark, sf_dir, name), list(cols), p, n_files)
         out[name] = p

@@ -392,11 +392,14 @@ def test_chunk_level_dedup_flags_synthesized_copies(spark, sf_dir):
     # (lower-id) original: all but possibly the final short chunk dup.
     for r in copies:
         assert r.n_dup_chunks >= r.n_chunks - 1, r
-    # Invariants: dup fraction bounded, kept tokens only from kept chunks.
+    # Invariants: dup fraction bounded, kept tokens come only from kept
+    # chunks (zero kept tokens <=> every chunk was a duplicate, and kept
+    # tokens can never exceed 16 per kept chunk).
     for r in rows.values():
         assert 0.0 <= r.dup_frac <= 1.0
         assert r.n_dup_chunks <= r.n_chunks
-        assert (r.n_dup_chunks == 0) == (r.kept_tokens > 0) or r.kept_tokens >= 0
+        assert (r.kept_tokens == 0) == (r.n_dup_chunks == r.n_chunks), r
+        assert r.kept_tokens <= 16 * (r.n_chunks - r.n_dup_chunks), r
 
 
 def test_pq_codebook_vectors_reconstruct_exactly(spark, sf_dir):
@@ -452,29 +455,16 @@ def test_cms_sketch_is_mergeable_and_one_sided(spark, sf_dir):
 
     # Mergeability: a CMS over each half of the stream, added cell-wise,
     # equals the CMS over the whole stream — the property that lets a
-    # 1000-executor fleet (or 365 daily jobs) build one sketch.
-    from mapreducer_spark.functions.hashes import md5_int64
-    from mapreducer_spark.operators.sketches import _CMS_D, _CMS_W
+    # 1000-executor fleet (or 365 daily jobs) build one sketch.  Built
+    # through the PRODUCTION grid builder (cms_cells), not an inline
+    # copy, so the test can't drift from the real sketch.
+    from mapreducer_spark.operators.sketches import cms_cells
     from mapreducer_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
-    rows_j = spark.range(_CMS_D).select(SF.col("id").cast("int").alias("j"))
-    cell = (
-        md5_int64(
-            SF.concat_ws(
-                ":", SF.col("j").cast("string"), SF.col("user_id").cast("string")
-            )
-        )
-        % _CMS_W
-    )
 
     def sketch(df):
-        return (
-            df.crossJoin(SF.broadcast(rows_j))
-            .select("j", cell.alias("cell"))
-            .groupBy("j", "cell")
-            .agg(SF.count(SF.lit(1)).alias("cnt"))
-        )
+        return cms_cells(df.select("user_id"))
 
     full = {(r.j, r.cell): r.cnt for r in sketch(ev).collect()}
     lo = sketch(ev.where(SF.col("event_id") % 2 == 0)).collect()

@@ -270,8 +270,10 @@ def test_zordered_warehouse_prunes_2d_predicate(spark, sf_dir, tmp_path):
     n_files = 8
     plain = str(tmp_path / "orders_plain")
     o.repartition(n_files).write.parquet(plain)
+    # Only the orders layout is asserted on — don't pay the events/
+    # lineitem rewrites (stats agg + range shuffle + sort each).
     zpaths = ingest_warehouse_zordered(
-        spark, sf_dir, str(tmp_path / "wh"), n_files=n_files
+        spark, sf_dir, str(tmp_path / "wh"), n_files=n_files, tables=["orders"]
     )
 
     # A ~20%-per-dimension box around the middle of both distributions.
