@@ -169,3 +169,60 @@ def word_count_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT type — semi-structured ingestion without a fixed schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_variant_stats",
+    oracle="""
+WITH corpus AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN 'x' || props ELSE props END
+           AS props
+  FROM events
+),
+parsed AS (
+  SELECT CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM corpus
+)
+SELECT CAST(FLOOR(k / 10) AS BIGINT) AS band,
+       COUNT(*) AS n,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM parsed
+GROUP BY 1
+""",
+    doc="Spark 4 VARIANT ingestion of semi-structured event payloads: "
+    "props parses through try_parse_json into the binary VARIANT type "
+    "(schema-on-read, no fixed struct), try_variant_get pulls $.k as a "
+    "typed long, and the query bands k by decade with counts/min/max.  "
+    "A deterministic 1-in-97 slice of the corpus is corrupted (leading "
+    "junk byte — Spark's Jackson parser forgives TRAILING garbage), so "
+    "the NULL band proves the TRY semantics route malformed payloads "
+    "into data instead of failing the job — the posture a 100 TB "
+    "ingest of scraped JSON needs.  The DuckDB twin uses "
+    "json_valid/json_extract_string; both engines band identically.",
+    tags=("json", "variant", "scalars"),
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 97 == 0, F.concat(F.lit("x"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props")
+    )
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -183,3 +183,52 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vec_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 collations — case-insensitive equality without lower() rewrites
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_collation_join",
+    oracle="""
+WITH cased AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE p_brand END
+           AS cased_brand
+  FROM part
+),
+canon AS (SELECT DISTINCT p_brand FROM part)
+SELECT b.p_brand AS brand, COUNT(*) AS n
+FROM cased c
+JOIN canon b ON lower(c.cased_brand) = lower(b.p_brand)
+GROUP BY b.p_brand
+""",
+    doc="Spark 4 string collations (SPARK-46830): half the part rows get "
+    "an upper-cased brand, then a join back to the canonical brand "
+    "dimension matches on UTF8_LCASE-collated equality — no lower() "
+    "rewrite on the join keys, the collation IS the comparison "
+    "semantics, and Catalyst can still broadcast-hash-join on the "
+    "collation-aware key.  The DuckDB twin states the same equality as "
+    "lower()=lower().  This is the upgrade path for case-insensitive "
+    "dimensions (emails, tags, hostnames) at scale: declare the "
+    "collation once instead of scattering lower() through every "
+    "predicate.",
+    tags=("scalars", "collation", "join"),
+)
+def brand_collation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    cased = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("cased_brand")
+    )
+    canon = p.select("p_brand").distinct()
+    lcase = lambda c: F.collate(F.col(c), "UTF8_LCASE")  # noqa: E731
+    return (
+        cased.join(
+            F.broadcast(canon), lcase("cased_brand") == lcase("p_brand")
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,95 @@
+"""`key : value` files as a first-class Spark 4 Python Data Source.
+
+text_corpus.read_kv_lines covers the reference's reducer-input format
+(reference src/reducer.c:17-21) by post-processing spark.read.text;
+this module re-expresses the SAME format as a registered custom
+connector using the Spark 4 Python Data Source API (SPARK-44076), so it
+composes like any built-in format:
+
+    spark.dataSource.register(KvLinesDataSource)
+    spark.read.format("kvlines").option("sep", " : ").load(path)
+
+Why both exist: the text+split route is the production path (JVM scan,
+codegen, pushdown); the DataSource route is the EXTENSIBILITY demo —
+the seam where a real deployment would wire a format Spark genuinely
+cannot read (proprietary binary logs, an internal RPC snapshot), with
+partition planning per file and Arrow-batched Python readers.  A parity
+test (tests/test_kv_datasource.py) pins both routes to identical rows.
+
+Scale notes: partitions() returns one InputPartition per file, so a
+directory of N files fans out to N parallel reader tasks exactly like
+the built-in file sources; each reader streams a single file
+(iterator, not a materialized list), keeping memory flat regardless of
+file size.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_KV_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("value", LongType()),
+    ]
+)
+
+
+class _KvFilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class KvLinesReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.root = options["path"]
+        self.sep = options.get("sep", " : ")
+
+    def partitions(self) -> list[InputPartition]:
+        # One partition per regular file — the reference's opendir +
+        # DT_REG filter (mapper.c:95-117) restated as partition planning.
+        if os.path.isfile(self.root):
+            return [_KvFilePartition(self.root)]
+        parts = [
+            _KvFilePartition(os.path.join(self.root, name))
+            for name in sorted(os.listdir(self.root))
+            if os.path.isfile(os.path.join(self.root, name))
+            and not name.startswith(("_", "."))
+        ]
+        if not parts:
+            raise FileNotFoundError(f"no kv files under {self.root!r}")
+        return parts
+
+    def read(self, partition: _KvFilePartition) -> Iterator[tuple]:
+        sep = self.sep
+        with open(partition.path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                # First-separator split: same contract as read_kv_lines
+                # (keys can't contain the separator; reference scanf
+                # limitation, SURVEY.md §4.4).
+                head, _, tail = line.partition(sep)
+                try:
+                    yield head, int(tail)
+                except ValueError:
+                    yield head, None
+
+
+class KvLinesDataSource(DataSource):
+    """spark.read.format("kvlines") — the reference's reducer.out format."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kvlines"
+
+    def schema(self) -> StructType:
+        return _KV_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return KvLinesReader(self.options)
