@@ -28,7 +28,13 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _KV_SCHEMA = StructType(
@@ -93,3 +99,54 @@ class KvLinesDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return KvLinesReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
+        return KvLinesWriter(self.options)
+
+
+class _KvCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class KvLinesWriter(DataSourceWriter):
+    """Per-task writer: each partition streams to a uniquely-named part
+    file under a task-temporary name; commit() renames the full set into
+    place and abort() removes stragglers — the standard two-phase file
+    sink protocol, so a failed/speculative task never leaves a partial
+    part file visible (reference src/reducer.c:23-35 wrote one sorted
+    file with no atomicity; this is the distributed restatement)."""
+
+    def __init__(self, options: dict) -> None:
+        self.root = options["path"]
+        self.sep = options.get("sep", " : ")
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.root, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(
+            self.root, f"_tmp-part-{pid:05d}-{uuid.uuid4().hex[:8]}.txt"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(f"{row[0]}{self.sep}{row[1]}\n")
+                n += 1
+        return _KvCommit(tmp, n)
+
+    def commit(self, messages: list[WriterCommitMessage]) -> None:
+        for i, m in enumerate(messages):
+            final = os.path.join(self.root, f"part-{i:05d}.txt")
+            os.replace(m.path, final)
+
+    def abort(self, messages: list[WriterCommitMessage]) -> None:
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass

@@ -65,3 +65,25 @@ def test_kv_datasource_custom_separator(spark, tmp_path):
         )
     )
     assert rows == [("alpha", 3), ("beta", 5)]
+
+
+def test_kv_datasource_write_roundtrip(spark, tmp_path):
+    """The custom sink's two-phase commit must leave only final part
+    files, and reading them back (through the same connector) must
+    reproduce the rows."""
+    import os
+
+    from mapreducer_spark.sources.kv_datasource import KvLinesDataSource
+
+    spark.dataSource.register(KvLinesDataSource)
+    out = str(tmp_path / "kvout")
+    df = spark.createDataFrame(
+        [("alpha", 3), ("beta", 5), ("gamma", 7)], "key string, value long"
+    ).repartition(2)
+    df.write.format("kvlines").mode("append").save(out)
+    names = sorted(os.listdir(out))
+    assert names and all(n.startswith("part-") for n in names), names
+    back = sorted(
+        map(tuple, spark.read.format("kvlines").load(out).collect())
+    )
+    assert back == [("alpha", 3), ("beta", 5), ("gamma", 7)]
