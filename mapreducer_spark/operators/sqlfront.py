@@ -204,6 +204,8 @@ def copurchase_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Suffixed view name (repo convention, cf. relational.py
     # "li_gsets_tmp") so a session-global "edges" view can't collide.
-    edges = copurchase_sym_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # copurchase_sym_edges is already eagerly checkpointed (and memoized
+    # per session, shared with PageRank).
+    edges = copurchase_sym_edges(spark, sf_dir)
     edges.createOrReplaceTempView("copurchase_edges_tmp")
     return spark.sql("WITH RECURSIVE " + _BFS_TRAVERSAL_SQL)
