@@ -209,3 +209,87 @@ def copurchase_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_sym_edges(spark, sf_dir)
     edges.createOrReplaceTempView("copurchase_edges_tmp")
     return spark.sql("WITH RECURSIVE " + _BFS_TRAVERSAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4.1 SQL scripting — procedural control flow inside the engine
+# ---------------------------------------------------------------------------
+
+# The scripted side: walk a threshold up a fixed ladder until at most 1%
+# of customers exceed it, then return those customers.  WHILE + DECLARE
+# + SET are SQL-scripting constructs (compound statements run atomically
+# on the session); each iteration's COUNT re-queries the pre-aggregated
+# ~|customers|-row temp view, not the orders fact.
+_THRESH_SCRIPT = """
+BEGIN
+  DECLARE t DOUBLE DEFAULT 3000000.0;
+  DECLARE lim BIGINT;
+  DECLARE n BIGINT;
+  SET lim = (SELECT CAST(CEIL(COUNT(*) * 0.01) AS BIGINT)
+             FROM cust_spend_tmp);
+  SET n = (SELECT COUNT(*) FROM cust_spend_tmp WHERE spend > t);
+  WHILE n > lim DO
+    SET t = t + 250000.0;
+    SET n = (SELECT COUNT(*) FROM cust_spend_tmp WHERE spend > t);
+  END WHILE;
+  SELECT c_custkey, spend, t AS threshold
+  FROM cust_spend_tmp WHERE spend > t;
+END
+"""
+
+
+@register(
+    "adaptive_threshold_script",
+    oracle="""
+WITH cust_spend_tmp AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+),
+lim AS (
+  SELECT CAST(CEIL(COUNT(*) * 0.01) AS BIGINT) AS lim FROM cust_spend_tmp
+),
+ladder AS (
+  SELECT CAST(3000000.0 + 250000.0 * unnest(generate_series(0, 40))
+              AS DOUBLE) AS t
+),
+counts AS (
+  SELECT t,
+         (SELECT COUNT(*) FROM cust_spend_tmp WHERE spend > t) AS n
+  FROM ladder
+),
+chosen AS (
+  SELECT MIN(t) AS t FROM counts CROSS JOIN lim WHERE n <= lim
+)
+SELECT c_custkey, spend, chosen.t AS threshold
+FROM cust_spend_tmp CROSS JOIN chosen
+WHERE spend > chosen.t
+""",
+    doc="Spark 4 SQL scripting (SPARK-48338 BEGIN/DECLARE/SET/WHILE): "
+    "an adaptive VIP-spend threshold walks up a 250k ladder until at "
+    "most 1% of customers exceed it, then returns those customers with "
+    "the discovered threshold — procedural control flow the engine "
+    "itself executes, no driver-side loop.  The loop body re-queries a "
+    "pre-aggregated, checkpointed per-customer spend view "
+    "(|customers| rows), never the orders fact.  The DuckDB twin "
+    "replaces the WHILE walk with its closed form — min ladder rung "
+    "whose exceed-count is within the limit — so the scripted and "
+    "declarative formulations are proven equivalent by hash.  "
+    "Threshold arithmetic is exact (integer-valued doubles), so the "
+    "repeated-addition walk and the k*step closed form agree "
+    "bit-for-bit.",
+    tags=("sql", "scripting", "agg"),
+)
+def adaptive_threshold_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust_spend = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cust_spend.createOrReplaceTempView("cust_spend_tmp")
+    return spark.sql(_THRESH_SCRIPT)
