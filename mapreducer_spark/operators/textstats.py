@@ -741,3 +741,138 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training — the tokenizer-training primitive
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled DuckDB twin: per round, weighted adjacent-pair counts
+    over the space-joined symbol strings, argmax merge (ties -> lexical
+    pair), then the greedy left-to-right re-segmentation as a plain
+    string replace (non-overlapping, exactly BPE's scan)."""
+    ctes = [
+        f"""wc AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT {ORACLE_TOKENS_SNIPPET} AS word FROM documents
+  ) WHERE length(word) > 0 GROUP BY word
+),
+w0 AS (
+  SELECT word, cnt,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg
+  FROM wc
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS w
+  FROM (
+    SELECT cnt,
+           list_filter(string_split(trim(seg), ' '),
+                       x -> length(x) > 0) AS s
+    FROM w{r - 1}
+  ), LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
+  WHERE len(s) >= 2
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, w FROM p{r} ORDER BY w DESC, a, b LIMIT 1),
+w{r} AS (
+  SELECT word, cnt,
+         replace(seg, ' ' || a || ' ' || b || ' ',
+                 ' ' || a || b || ' ') AS seg
+  FROM w{r - 1} CROSS JOIN m{r}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a, b, a || b AS merged, w AS pair_w FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@register(
+    "bpe_merge_rounds",
+    oracle=_bpe_oracle_sql(),
+    doc="Distributed BPE tokenizer training, 3 merge rounds (Sennrich et "
+    "al. 2016): words become space-joined symbol strings, each round "
+    "counts weighted adjacent symbol pairs with one groupBy (map-side "
+    "combined), picks the global argmax pair (ties -> lexical), and "
+    "re-segments every word by replacing that pair — the greedy "
+    "left-to-right non-overlapping merge IS string replace() on the "
+    "delimited form, identical semantics in both engines, so no UDF "
+    "and no per-word Python.  Scale shape per round: pair counting "
+    "shuffles (symbol, symbol, weight) triples; the chosen merge is a "
+    "1-row broadcast; re-segmentation is a pure map.  At 100 TB you "
+    "train on the word-frequency table (|vocab| rows, not corpus "
+    "rows) — exactly what this does — so 50k merges is 50k cheap "
+    "rounds over an ever-shrinking pair table, checkpointing every "
+    "few rounds like the repo's other iterative operators.",
+    tags=("llm", "text", "iterative"),
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_tokens_col()).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg = wc.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+        ).alias("seg"),
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = F.filter(
+            F.split(F.trim(F.col("seg")), " "), lambda x: F.length(x) > 0
+        )
+        pairs = (
+            seg.select("cnt", syms.alias("s"))
+            .where(F.size("s") >= 2)
+            .select(
+                "cnt",
+                "s",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("s") - 1)
+                ).alias("i"),
+            )
+            .select(
+                F.element_at("s", F.col("i")).alias("a"),
+                F.element_at("s", F.col("i") + 1).alias("b"),
+                "cnt",
+            )
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("w"))
+            .orderBy(F.col("w").desc(), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("rank"),
+                "a",
+                "b",
+                F.concat("a", "b").alias("merged"),
+                F.col("w").alias("pair_w"),
+            )
+        )
+        seg = seg.crossJoin(F.broadcast(best.select("a", "b"))).select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seg"),
+                F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" ")),
+                F.concat(F.lit(" "), "a", "b", F.lit(" ")),
+            ).alias("seg"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
