@@ -793,26 +793,12 @@ w{r} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
-@register(
-    "bpe_merge_rounds",
-    oracle=_bpe_oracle_sql(),
-    doc="Distributed BPE tokenizer training, 3 merge rounds (Sennrich et "
-    "al. 2016): words become space-joined symbol strings, each round "
-    "counts weighted adjacent symbol pairs with one groupBy (map-side "
-    "combined), picks the global argmax pair (ties -> lexical), and "
-    "re-segments every word by replacing that pair — the greedy "
-    "left-to-right non-overlapping merge IS string replace() on the "
-    "delimited form, identical semantics in both engines, so no UDF "
-    "and no per-word Python.  Scale shape per round: pair counting "
-    "shuffles (symbol, symbol, weight) triples; the chosen merge is a "
-    "1-row broadcast; re-segmentation is a pure map.  At 100 TB you "
-    "train on the word-frequency table (|vocab| rows, not corpus "
-    "rows) — exactly what this does — so 50k merges is 50k cheap "
-    "rounds over an ever-shrinking pair table, checkpointing every "
-    "few rounds like the repo's other iterative operators.",
-    tags=("llm", "text", "iterative"),
-)
-def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE core: word-frequency table -> (per-round merge frames,
+    final segmentation).  Each round: weighted adjacent-pair groupBy,
+    1-row argmax merge (ties -> lexical), broadcast re-segmentation via
+    delimited-string replace."""
     d = load_table(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(_tokens_col()).alias("word"))
@@ -838,9 +824,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "cnt",
                 "s",
-                F.explode(
-                    F.sequence(F.lit(1), F.size("s") - 1)
-                ).alias("i"),
+                F.explode(F.sequence(F.lit(1), F.size("s") - 1)).alias("i"),
             )
             .select(
                 F.element_at("s", F.col("i")).alias("a"),
@@ -872,7 +856,62 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(" "), "a", "b", F.lit(" ")),
             ).alias("seg"),
         )
+    return merges, seg
+
+
+@register(
+    "bpe_merge_rounds",
+    oracle=_bpe_oracle_sql(),
+    doc="Distributed BPE tokenizer training, 3 merge rounds (Sennrich et "
+    "al. 2016): words become space-joined symbol strings, each round "
+    "counts weighted adjacent symbol pairs with one groupBy (map-side "
+    "combined), picks the global argmax pair (ties -> lexical), and "
+    "re-segments every word by replacing that pair — the greedy "
+    "left-to-right non-overlapping merge IS string replace() on the "
+    "delimited form, identical semantics in both engines, so no UDF "
+    "and no per-word Python.  Scale shape per round: pair counting "
+    "shuffles (symbol, symbol, weight) triples; the chosen merge is a "
+    "1-row broadcast; re-segmentation is a pure map.  At 100 TB you "
+    "train on the word-frequency table (|vocab| rows, not corpus "
+    "rows) — exactly what this does — so 50k merges is 50k cheap "
+    "rounds over an ever-shrinking pair table, checkpointing every "
+    "few rounds like the repo's other iterative operators.",
+    tags=("llm", "text", "iterative"),
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _seg = _bpe_train(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register(
+    "bpe_encode_words",
+    oracle=_bpe_oracle_sql().rsplit("\nSELECT 1 AS rank", 1)[0]
+    + f"""
+SELECT word, cnt, trim(seg) AS encoded,
+       len(list_filter(string_split(trim(seg), ' '),
+                       x -> length(x) > 0)) AS n_symbols
+FROM w{_BPE_ROUNDS}
+""",
+    doc="The apply half of BPE: segment every vocabulary word with the "
+    "3 merges bpe_merge_rounds learned, returning the encoded "
+    "space-joined symbol string and its symbol count — train once, "
+    "encode everywhere, the same artifact split as the IVF/PQ indexes. "
+    " Pure map over the word table once the (broadcast, 1-row) merges "
+    "are chosen; at 100 TB the corpus encodes by joining words to this "
+    "|vocab|-row table.",
+    tags=("llm", "text"),
+)
+def bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, seg = _bpe_train(spark, sf_dir)
+    syms_final = F.filter(
+        F.split(F.trim(F.col("seg")), " "), lambda x: F.length(x) > 0
+    )
+    return seg.select(
+        "word",
+        "cnt",
+        F.trim(F.col("seg")).alias("encoded"),
+        F.size(syms_final).alias("n_symbols"),
+    )
