@@ -4,9 +4,12 @@ hand-rolled LSH paths in dedup.py / similarity.py.
 - MinHashLSH over HashingTF'd token shingles -> approxSimilarityJoin
 - BucketedRandomProjectionLSH over embeddings -> approxNearestNeighbors
 
-Fixed seeds make both deterministic; they're rows-only for the oracle
-gate (MLlib's hash families aren't SQL-expressible) — the custom
-implementations cover the hash-checked semantics.
+Fixed seeds make both deterministic.  These are **parity demos, not
+production paths** (the custom implementations in dedup.py /
+similarity.py carry the hash-checked semantics), so they are covered by
+``tests/test_llm_ops.py`` rather than registered as driver queries —
+MLlib's hash families aren't SQL-expressible, and a permanently
+rows-only driver row carries no information.
 """
 
 from __future__ import annotations
@@ -22,23 +25,18 @@ from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
 from mapreducer_spark.operators.dedup import docs_with_near_dups, shingle_col
-from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
 _SEED = 42
 
 
-@register(
-    "dedup_minhash_mllib",
-    oracle=None,
-    doc="MLlib MinHashLSH near-dup pairs (L2, library variant): 3-token "
-    "shingles -> HashingTF(2^18) -> MinHashLSH(8 tables), "
-    "approxSimilarityJoin at shingle-Jaccard distance <= 0.3. Shingles, "
-    "not raw tokens: token-level Jaccard saturates on small vocabularies "
-    "(68k false pairs on the fixture corpus). Deterministic (seed pinned).",
-    tags=("llm", "dedup", "mllib", "rows-only"),
-)
 def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH near-dup pairs (L2, library variant): 3-token
+    shingles -> HashingTF(2^18) -> MinHashLSH(4 tables),
+    approxSimilarityJoin at shingle-Jaccard distance <= 0.3.  Shingles,
+    not raw tokens: token-level Jaccard saturates on small vocabularies
+    (68k false pairs on the fixture corpus).  Deterministic (seed pinned).
+    Tests-only parity twin of ``dedup.minhash_lsh_pairs``."""
     corpus = docs_with_near_dups(spark, sf_dir)
     toks = F.filter(
         F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
@@ -66,15 +64,11 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_random_projection_mllib",
-    oracle=None,
-    doc="MLlib BucketedRandomProjectionLSH ANN over embeddings (L3, "
-    "library variant): Euclidean buckets, approx join within distance "
-    "1.0. Deterministic (seed pinned).",
-    tags=("llm", "similarity", "mllib", "rows-only"),
-)
 def ann_random_projection_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN over embeddings (L3,
+    library variant): Euclidean buckets, approx join within distance
+    1.45.  Deterministic (seed pinned).  Tests-only parity twin of the
+    custom IVF/sign-bucket paths in similarity.py."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
     )

@@ -752,9 +752,18 @@ _BPE_ROUNDS = 3
 
 def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
     """Unrolled DuckDB twin: per round, weighted adjacent-pair counts
-    over the space-joined symbol strings, argmax merge (ties -> lexical
-    pair), then the greedy left-to-right re-segmentation as a plain
-    string replace (non-overlapping, exactly BPE's scan)."""
+    over the symbol strings, argmax merge (ties -> lexical pair), then
+    the greedy left-to-right re-segmentation as a plain string replace.
+
+    Symbols are joined by TWO spaces (``'  a  b  c  '``).  With
+    single-space gaps, adjacent occurrences of the merge pair share the
+    delimiter character, so replace() (leftmost non-overlapping) skips
+    every second merge in runs: ``' a a a a '`` -> ``' aa a a '``
+    instead of greedy BPE's ``aa aa``.  With 2-space gaps each match
+    consumes exactly one space from each flanking gap, matches never
+    share characters, and one replace() pass IS the canonical greedy
+    left-to-right non-overlapping merge — identically in DuckDB's
+    replace() and Spark's F.replace."""
     ctes = [
         f"""wc AS (
   SELECT word, COUNT(*) AS cnt FROM (
@@ -763,7 +772,7 @@ def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
 ),
 w0 AS (
   SELECT word, cnt,
-         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg
+         '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS seg
   FROM wc
 )"""
     ]
@@ -782,7 +791,7 @@ w0 AS (
 m{r} AS (SELECT a, b, w FROM p{r} ORDER BY w DESC, a, b LIMIT 1),
 w{r} AS (
   SELECT word, cnt,
-         replace(seg, ' ' || a || ' ' || b || ' ',
+         replace(seg, ' ' || a || '  ' || b || ' ',
                  ' ' || a || b || ' ') AS seg
   FROM w{r - 1} CROSS JOIN m{r}
 )""")
@@ -798,7 +807,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     """Shared BPE core: word-frequency table -> (per-round merge frames,
     final segmentation).  Each round: weighted adjacent-pair groupBy,
     1-row argmax merge (ties -> lexical), broadcast re-segmentation via
-    delimited-string replace."""
+    delimited-string replace.
+
+    Segmentations use 2-space symbol gaps (``'  a  b  '``) so that
+    adjacent merge-pair occurrences never share a delimiter character;
+    under that encoding one non-overlapping replace() pass reproduces
+    canonical greedy left-to-right BPE exactly, including repeated-
+    symbol runs (``aaaa`` -> ``aa aa``, ``aaaaa`` -> ``aa aa a``).
+    See _bpe_oracle_sql for the single-space-encoding failure mode."""
     d = load_table(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(_tokens_col()).alias("word"))
@@ -810,7 +826,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         "word",
         "cnt",
         F.concat(
-            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+            F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")
         ).alias("seg"),
     )
     merges = []
@@ -852,7 +868,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             "cnt",
             F.replace(
                 F.col("seg"),
-                F.concat(F.lit(" "), "a", F.lit(" "), "b", F.lit(" ")),
+                F.concat(F.lit(" "), "a", F.lit("  "), "b", F.lit(" ")),
                 F.concat(F.lit(" "), "a", "b", F.lit(" ")),
             ).alias("seg"),
         )
@@ -866,9 +882,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     "al. 2016): words become space-joined symbol strings, each round "
     "counts weighted adjacent symbol pairs with one groupBy (map-side "
     "combined), picks the global argmax pair (ties -> lexical), and "
-    "re-segments every word by replacing that pair — the greedy "
-    "left-to-right non-overlapping merge IS string replace() on the "
-    "delimited form, identical semantics in both engines, so no UDF "
+    "re-segments every word by replacing that pair — on the 2-space-"
+    "delimited form (matches never share gap characters) one "
+    "non-overlapping string replace() IS the canonical greedy "
+    "left-to-right merge, identical semantics in both engines, so no UDF "
     "and no per-word Python.  Scale shape per round: pair counting "
     "shuffles (symbol, symbol, weight) triples; the chosen merge is a "
     "1-row broadcast; re-segmentation is a pure map.  At 100 TB you "
@@ -890,7 +907,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_encode_words",
     oracle=_bpe_oracle_sql().rsplit("\nSELECT 1 AS rank", 1)[0]
     + f"""
-SELECT word, cnt, trim(seg) AS encoded,
+SELECT word, cnt, replace(trim(seg), '  ', ' ') AS encoded,
        len(list_filter(string_split(trim(seg), ' '),
                        x -> length(x) > 0)) AS n_symbols
 FROM w{_BPE_ROUNDS}
@@ -912,6 +929,8 @@ def bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.select(
         "word",
         "cnt",
-        F.trim(F.col("seg")).alias("encoded"),
+        F.replace(F.trim(F.col("seg")), F.lit("  "), F.lit(" ")).alias(
+            "encoded"
+        ),
         F.size(syms_final).alias("n_symbols"),
     )

@@ -518,3 +518,150 @@ def test_bfs_recursive_reaches_neighbours(spark, sf_dir):
     for r in rows:
         assert r.n_1hop > 0
         assert r.n_2hop >= 0
+
+
+def test_mllib_minhash_parity_with_custom_lsh(spark, sf_dir):
+    """The MLlib MinHashLSH demo (tests-only, not a registered query) must
+    agree with the custom LSH path on the synthesized near-dup pairs:
+    both are 4-table/4-band MinHash over the same 3-token shingles, so
+    the planted (i, i+3000000) pairs should be recovered by both."""
+    from mapreducer_spark.operators.mllib_lsh import dedup_minhash_mllib
+
+    mllib_found = {
+        (r.id_a, r.id_b) for r in dedup_minhash_mllib(spark, sf_dir).collect()
+    }
+    expected = {(i, i + 3000000) for i in range(0, 500, 5)}
+    recall = len(mllib_found & expected) / len(expected)
+    assert recall >= 0.95, f"MLlib LSH recall too low: {recall}"
+    # And the reported distances must be genuine near-dups.
+    for r in dedup_minhash_mllib(spark, sf_dir).collect():
+        assert 0.0 <= r.jaccard_dist <= 0.3
+
+
+def test_mllib_brp_ann_parity_with_exact(spark, sf_dir):
+    """The MLlib BucketedRandomProjectionLSH demo (tests-only) must
+    return only genuine sub-threshold neighbours, verified against exact
+    Euclidean distance computed independently."""
+    import math
+
+    from mapreducer_spark.operators.mllib_lsh import ann_random_projection_mllib
+    from mapreducer_spark.sources import load_table
+
+    rows = ann_random_projection_mllib(spark, sf_dir).collect()
+    assert rows, "BRP-LSH returned no candidate pairs"
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 5000)
+        .collect()
+    }
+    checked = 0
+    for r in rows[:50]:
+        if r.q_id in vecs and r.vec_id in vecs:
+            exact = math.sqrt(
+                sum((a - b) ** 2 for a, b in zip(vecs[r.q_id], vecs[r.vec_id]))
+            )
+            assert abs(exact - r.euclid_dist) < 1e-4
+            assert r.euclid_dist <= 1.45
+            checked += 1
+    assert checked > 0
+
+
+def _canonical_bpe(wc: dict, rounds: int):
+    """Reference greedy BPE (Sennrich et al. 2016), pure Python: weighted
+    pair counts over the word-frequency table, argmax merge with
+    ties -> lexically smallest pair, greedy left-to-right non-overlapping
+    re-segmentation.  Independent of the string-replace formulation under
+    test — this is the canonical algorithm the Spark/DuckDB twins must
+    reproduce (the two engines share the encoding trick, so only an
+    outside implementation can catch a shared defect)."""
+    segs = {w: [c for c in w] for w in wc}
+    merges = []
+    for _ in range(rounds):
+        counts: dict = {}
+        for w, cnt in wc.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + cnt
+        if not counts:
+            break
+        (a, b), _w = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, _w))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_matches_canonical_greedy(spark, sf_dir):
+    """bpe_encode_words must agree exactly with canonical greedy BPE on
+    every vocabulary word — merges AND final segmentations.  Guards the
+    2-space-delimiter replace trick against the single-space failure mode
+    (' a a a a ' -> ' aa a a ': replace consumes the shared space and
+    skips every second merge in repeated-symbol runs)."""
+    from mapreducer_spark.operators.textstats import (
+        _BPE_ROUNDS,
+        bpe_encode_words,
+        bpe_merge_rounds,
+    )
+
+    enc_rows = bpe_encode_words(spark, sf_dir).collect()
+    wc = {r.word: r.cnt for r in enc_rows}
+    merges, segs = _canonical_bpe(wc, _BPE_ROUNDS)
+
+    got_merges = [
+        (r.a, r.b, r.pair_w)
+        for r in bpe_merge_rounds(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got_merges == merges
+
+    mismatches = [
+        (r.word, r.encoded, " ".join(segs[r.word]))
+        for r in enc_rows
+        if r.encoded != " ".join(segs[r.word]) or r.n_symbols != len(segs[r.word])
+    ]
+    assert not mismatches, f"BPE segmentation drift: {mismatches[:5]}"
+
+
+def test_bpe_replace_trick_handles_repeated_runs(spark):
+    """The exact ADVICE counterexamples: runs of a repeated symbol.  The
+    2-space-delimited replace must produce greedy BPE ('aaaa' -> 'aa aa',
+    'aaaaa' -> 'aa aa a', 'abab' -> 'ab ab'), where the single-space form
+    got 'aaaa' -> 'aa a a'."""
+    cases = {
+        "aaaa": "aa aa",
+        "aaaaa": "aa aa a",
+        "aaa": "aa a",
+        "abab": "ab ab",  # merge (a, b) here
+        "aabaa": "aa b aa",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], ["word"])
+    from pyspark.sql import functions as F
+
+    seg = df.select(
+        "word",
+        F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")).alias(
+            "seg"
+        ),
+    )
+    for a, b in [("a", "a"), ("a", "b")]:
+        seg = seg.select(
+            "word",
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {a}  {b} "),
+                F.lit(f" {a}{b} "),
+            ).alias("seg"),
+        )
+    got = {
+        r.word: " ".join(t for t in r.seg.split(" ") if t)
+        for r in seg.collect()
+    }
+    assert got == cases
