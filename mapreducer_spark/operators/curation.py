@@ -514,8 +514,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _QC_BUCKETS = 1024  # hashed feature space (fasttext's bucket trick)
-_QC_WMOD = 1001  # deterministic stand-in weights: w(b) = (b % 1001) - 500
-_QC_WSCALE = 500  # weight magnitude bound -> logit = s / (500 * n_tokens)
+# Deterministic stand-in weights: w(b) = b - 512, one distinct weight per
+# bucket (a second modulo smaller than the bucket count would alias the
+# top buckets onto the bottom ones and break the documented model).
+_QC_WSCALE = 512  # weight magnitude bound -> logit = s / (512 * n_tokens)
 
 
 @register(
@@ -526,8 +528,7 @@ WITH toks AS (
 ),
 feats AS (
   SELECT doc_id,
-         (({oracle_md5_int64("tok")} % {_QC_BUCKETS}) % {_QC_WMOD})
-           - {_QC_WSCALE} AS w
+         ({oracle_md5_int64("tok")} % {_QC_BUCKETS}) - {_QC_WSCALE} AS w
   FROM toks
 ),
 scored AS (
@@ -546,8 +547,9 @@ FROM scored
     doc="fasttext-shaped hashed linear quality classifier: token -> "
     "md5_int64 hash -> one of 1024 feature buckets (the fasttext "
     "hashing trick), bucket -> fixed integer weight (deterministic "
-    "stand-in for trained weights: w(b) = (b % 1001) - 500), per-doc "
-    "logit = exact BIGINT weight sum / (500 * n_tokens), score = "
+    "stand-in for trained weights: w(b) = b - 512, distinct per "
+    "bucket), per-doc "
+    "logit = exact BIGINT weight sum / (512 * n_tokens), score = "
     "sigmoid(logit).  The weight sum is an exact integer aggregation, "
     "so the only float ops are the final two expressions — partition- "
     "order invariant by construction, which is what makes a learned "
@@ -570,9 +572,7 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(toks).alias("tok")
     ).select(
         "doc_id",
-        ((md5_int64(F.col("tok")) % _QC_BUCKETS) % _QC_WMOD - _QC_WSCALE).alias(
-            "w"
-        ),
+        (md5_int64(F.col("tok")) % _QC_BUCKETS - _QC_WSCALE).alias("w"),
     )
     scored = feats.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("s")

@@ -141,7 +141,9 @@ SELECT v, round(rank, 8) AS pagerank FROM r{_PR_ITERS}
 # the driver's correctness sweep, a notebook) the second consumer gets
 # the materialized frame for free.  Keyed by applicationId so a new
 # SparkSession never sees another session's frame; fixtures are
-# immutable within a session, so no invalidation is needed.
+# immutable within a session, so no invalidation is needed.  Entries
+# from other (stopped) applications are evicted on insert, bounding the
+# cache to the live session's fixtures.
 _SYM_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -154,10 +156,17 @@ def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     beat streaming a self-join), distinct on UNORDERED pairs (half the
     shuffle volume), then a free symmetrizing union.  Shared by
     part_copurchase_pagerank and copurchase_bfs_recursive (sqlfront)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     cached = _SYM_EDGE_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict entries from other applications before adding: a long-lived
+    # process that stops and recreates SparkSessions would otherwise pin
+    # dead sessions' checkpointed frames (driver refs + checkpoint
+    # blocks) forever.  Only the current app's entries can still be hit.
+    for stale in [k for k in _SYM_EDGE_CACHE if k[0] != app_id]:
+        del _SYM_EDGE_CACHE[stale]
     sym = _build_sym_edges(spark, sf_dir).localCheckpoint(eager=True)
     _SYM_EDGE_CACHE[key] = sym
     return sym

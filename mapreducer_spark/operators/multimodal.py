@@ -67,23 +67,47 @@ def assets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+try:  # Optional dependency: real decode activates when PIL is present.
+    from PIL import Image as _PILImage
+except ImportError:  # default container has no imaging libs
+    _PILImage = None
+
+# Content types routed through the real decoder (when available); the
+# synthesized fixture assets are "image/fake" and always use the
+# deterministic stand-in, so fixture hashes never depend on PIL.
+_REAL_IMAGE_TYPES = frozenset(
+    {"image/png", "image/jpeg", "image/bmp", "image/gif"}
+)
+
+
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas decoder: Arrow-batched, one pandas frame per parquet
     row-group-ish batch — the real shape of a 100 TB media decode stage.
 
-    The actual decode is STUBBED: no imaging libs in this container.
-    ``_decode_real`` raises NotImplementedError; ``_decode_fake`` derives
-    deterministic dimensions from the payload bytes so the pipeline is
-    testable end-to-end.
+    Rows with a real image content type decode through PIL when that
+    optional dependency is importable (``_decode_real``); everything
+    else — and every row when PIL is absent — uses the deterministic
+    fake (dimensions derived from payload bytes) so the pipeline is
+    testable end-to-end in a bare container.
     """
     for pdf in batches:
         lens = pdf["payload"].map(len)
         # Deterministic fake "decode": dimensions derived from content.
+        widths = (lens % 640 + 16).astype("int64")
+        heights = (lens % 480 + 16).astype("int64")
+        if _PILImage is not None:
+            mask = pdf["content_type"].isin(_REAL_IMAGE_TYPES)
+            if mask.any():
+                dims = pdf.loc[mask, "payload"].map(_decode_real)
+                widths = widths.copy()
+                heights = heights.copy()
+                widths.loc[mask] = dims.map(lambda t: t[0])
+                heights.loc[mask] = dims.map(lambda t: t[1])
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "width": (lens % 640 + 16).astype("int32"),
-                "height": (lens % 480 + 16).astype("int32"),
+                "width": widths.astype("int32"),
+                "height": heights.astype("int32"),
                 "n_frames": pd.Series([1] * len(pdf), dtype="int32"),
                 "byte_len": lens.astype("int64"),
             }
@@ -91,10 +115,19 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def _decode_real(payload: bytes) -> tuple[int, int]:
-    raise NotImplementedError(
-        "real image decode requires PIL/ffmpeg — not available in this "
-        "container; decode_image_batch uses the deterministic fake instead"
-    )
+    """Real image decode -> (width, height) via PIL when importable;
+    loud NotImplementedError otherwise (reference contract is bytes in,
+    records out — src/mapper.c:44-66 — at the media modality)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "real image decode requires PIL — not available in this "
+            "container; decode_image_batch uses the deterministic fake "
+            "instead"
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
 
 
 def decoded_assets(spark: SparkSession, sf_dir: str) -> DataFrame:

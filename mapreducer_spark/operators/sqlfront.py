@@ -249,9 +249,18 @@ WITH cust_spend_tmp AS (
 lim AS (
   SELECT CAST(CEIL(COUNT(*) * 0.01) AS BIGINT) AS lim FROM cust_spend_tmp
 ),
+bound AS (
+  -- Ladder upper bound derived from the data: enough rungs to clear
+  -- MAX(spend), so the closed form can never run off the end of the
+  -- ladder and pick a NULL threshold while Spark's WHILE keeps walking
+  -- (floor of 40 keeps the fixture plan identical to the original).
+  SELECT GREATEST(40, CAST(CEIL((MAX(spend) - 3000000.0) / 250000.0)
+                           AS BIGINT)) AS hi
+  FROM cust_spend_tmp
+),
 ladder AS (
-  SELECT CAST(3000000.0 + 250000.0 * unnest(generate_series(0, 40))
-              AS DOUBLE) AS t
+  SELECT CAST(3000000.0 + 250000.0 * g AS DOUBLE) AS t
+  FROM bound, LATERAL unnest(generate_series(0, hi)) AS u(g)
 ),
 counts AS (
   SELECT t,

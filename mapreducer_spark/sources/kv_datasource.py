@@ -12,7 +12,7 @@ composes like any built-in format:
 Why both exist: the text+split route is the production path (JVM scan,
 codegen, pushdown); the DataSource route is the EXTENSIBILITY demo —
 the seam where a real deployment would wire a format Spark genuinely
-cannot read (proprietary binary logs, an internal RPC snapshot), with
+cannot read (a bespoke binary log layout, a service snapshot dump), with
 partition planning per file and Arrow-batched Python readers.  A parity
 test (tests/test_kv_datasource.py) pins both routes to identical rows.
 
@@ -101,7 +101,7 @@ class KvLinesDataSource(DataSource):
         return KvLinesReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
-        return KvLinesWriter(self.options)
+        return KvLinesWriter(self.options, overwrite)
 
 
 class _KvCommit(WriterCommitMessage):
@@ -116,11 +116,20 @@ class KvLinesWriter(DataSourceWriter):
     place and abort() removes stragglers — the standard two-phase file
     sink protocol, so a failed/speculative task never leaves a partial
     part file visible (reference src/reducer.c:23-35 wrote one sorted
-    file with no atomicity; this is the distributed restatement)."""
+    file with no atomicity; this is the distributed restatement).
 
-    def __init__(self, options: dict) -> None:
+    Mode semantics (commit-time, driver-side, after every task succeeded):
+    ``overwrite`` removes the previous generation's part files before
+    renaming the new set in — without that, a rewrite with fewer
+    partitions would leave stale part-NNNNN.txt files that readers merge
+    with the new data.  ``append`` names each generation's part files
+    with a unique run suffix so successive appends can never clobber an
+    earlier generation's files."""
+
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
         self.root = options["path"]
         self.sep = options.get("sep", " : ")
+        self.overwrite = overwrite
 
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         import uuid
@@ -140,9 +149,20 @@ class KvLinesWriter(DataSourceWriter):
         return _KvCommit(tmp, n)
 
     def commit(self, messages: list[WriterCommitMessage]) -> None:
-        for i, m in enumerate(messages):
-            final = os.path.join(self.root, f"part-{i:05d}.txt")
-            os.replace(m.path, final)
+        import uuid
+
+        if self.overwrite:
+            for name in os.listdir(self.root):
+                if name.startswith("part-") and name.endswith(".txt"):
+                    os.remove(os.path.join(self.root, name))
+            for i, m in enumerate(messages):
+                final = os.path.join(self.root, f"part-{i:05d}.txt")
+                os.replace(m.path, final)
+        else:
+            run = uuid.uuid4().hex[:8]
+            for i, m in enumerate(messages):
+                final = os.path.join(self.root, f"part-{i:05d}-{run}.txt")
+                os.replace(m.path, final)
 
     def abort(self, messages: list[WriterCommitMessage]) -> None:
         for m in messages:

@@ -87,3 +87,45 @@ def test_kv_datasource_write_roundtrip(spark, tmp_path):
         map(tuple, spark.read.format("kvlines").load(out).collect())
     )
     assert back == [("alpha", 3), ("beta", 5), ("gamma", 7)]
+
+
+def test_kv_datasource_overwrite_removes_stale_parts(spark, tmp_path):
+    """mode('overwrite') must not merge with the previous generation:
+    a rewrite with FEWER partitions has to delete the old part files, or
+    readers see old+new rows mixed (the classic stale-part-file bug)."""
+    import os
+
+    from mapreducer_spark.sources.kv_datasource import KvLinesDataSource
+
+    spark.dataSource.register(KvLinesDataSource)
+    out = str(tmp_path / "kvout")
+    gen1 = spark.createDataFrame(
+        [("old_a", 1), ("old_b", 2), ("old_c", 3), ("old_d", 4)],
+        "key string, value long",
+    ).repartition(4)
+    gen1.write.format("kvlines").mode("overwrite").save(out)
+    assert len(os.listdir(out)) == 4
+
+    gen2 = spark.createDataFrame(
+        [("new_x", 10)], "key string, value long"
+    ).repartition(1)
+    gen2.write.format("kvlines").mode("overwrite").save(out)
+
+    back = sorted(map(tuple, spark.read.format("kvlines").load(out).collect()))
+    assert back == [("new_x", 10)], f"stale parts survived overwrite: {back}"
+
+
+def test_kv_datasource_append_accumulates_generations(spark, tmp_path):
+    """mode('append') must add to — never clobber — the previous
+    generation's part files (per-run unique part names)."""
+    from mapreducer_spark.sources.kv_datasource import KvLinesDataSource
+
+    spark.dataSource.register(KvLinesDataSource)
+    out = str(tmp_path / "kvout")
+    df = spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "key string, value long"
+    ).repartition(2)
+    df.write.format("kvlines").mode("append").save(out)
+    df.write.format("kvlines").mode("append").save(out)
+    back = sorted(map(tuple, spark.read.format("kvlines").load(out).collect()))
+    assert back == [("k1", 1), ("k1", 1), ("k2", 2), ("k2", 2)]
