@@ -145,15 +145,18 @@ def _cluster_sims(vcol, vnorm_col):
     )
 
 
-def _ivf_topk(
+def _ivf_scored(
     em: DataFrame,
     cents: list[tuple[int, list[float]]],
     nprobe: int = _N_PROBE,
 ) -> DataFrame:
-    """IVF search core shared by the declared query and the recall
-    report: cluster-assign all vectors, route each query to its
-    ``nprobe`` nearest clusters, exact top-k within the probed clusters
-    only.
+    """IVF candidate scoring shared by the declared query, the recall
+    report, and the nprobe sweep: cluster-assign all vectors, route each
+    query to its ``nprobe`` nearest clusters, exact-score every vector
+    in the probed clusters.  Returns (q_id, vec_id, sim, prn) where
+    ``prn`` is the 1-based probe rank of the candidate's cluster for
+    that query (each vector lives in exactly one cluster, so (q_id,
+    vec_id) is unique and prn is well-defined).
 
     The index rides along as a ONE-ROW broadcast (see _index_frame), so
     BOTH assignment and routing are pure map-side expressions: per-row
@@ -182,7 +185,8 @@ def _ivf_topk(
 
     # Route each query to its nprobe nearest clusters: sort the same
     # per-row struct array DESC on (csim, -cent_id) — i.e. take the last
-    # nprobe of the ascending sort — then explode.
+    # nprobe of the ascending sort — then posexplode (pos 0-based ->
+    # probe rank prn = pos + 1).
     probes = (
         em.where(F.col("vec_id") < _N_QUERIES)
         .select(
@@ -194,7 +198,7 @@ def _ivf_topk(
         .select(
             "q_id",
             "qv",
-            F.explode(
+            F.posexplode(
                 F.slice(
                     F.reverse(
                         F.sort_array(_cluster_sims(F.col("qv"), F.col("__qn")))
@@ -202,18 +206,35 @@ def _ivf_topk(
                     1,
                     nprobe,
                 )
-            ).alias("p"),
+            ),
         )
-        .select("q_id", "qv", F.col("p.cid").alias("cluster"))
+        .select(
+            "q_id",
+            "qv",
+            (F.col("pos") + 1).alias("prn"),
+            F.col("col.cid").alias("cluster"),
+        )
     )
 
     # Search only the probed clusters.
     sim = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
-    w_k = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         assigned.join(F.broadcast(probes), "cluster")
         .where(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", sim.alias("sim"))
+        .select("q_id", "vec_id", sim.alias("sim"), "prn")
+    )
+
+
+def _ivf_topk(
+    em: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int = _N_PROBE,
+) -> DataFrame:
+    """IVF search: exact top-k over the ``nprobe`` probed clusters."""
+    w_k = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        _ivf_scored(em, cents, nprobe)
+        .select("q_id", "vec_id", "sim")
         .withColumn("rnk", F.row_number().over(w_k))
         .where(F.col("rnk") <= _TOP_K)
     )
@@ -425,6 +446,147 @@ FROM exact x
 LEFT JOIN ivf_topk a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
 GROUP BY x.q_id
 """
+
+
+_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def _nprobe_sweep_oracle_sql() -> str | None:
+    """DuckDB twin of the nprobe sweep: one probe routing at
+    max(nprobe), then per-level top-k and per-query recall vs the exact
+    scan.  Same frozen-centroid literals and tie-breaks as
+    _ivf_oracle_ctes; per-(nprobe, q_id) output rows keep every float op
+    a single division (no cross-query averaging -> no float-sum order
+    sensitivity)."""
+    idx = frozen_index_for(_ORACLE_SF_DIR)
+    if idx is None:
+        return None
+    values = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in v)}] AS DOUBLE[]))"
+        for i, v in enumerate(idx)
+    )
+    max_np = max(_SWEEP_NPROBES)
+    levels = ", ".join(f"({n})" for n in _SWEEP_NPROBES)
+    return f"""
+WITH cents(cent_id, cent_v) AS (
+  VALUES {values}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 9) DESC,
+                      c.cent_id
+           ) AS arn
+    FROM e CROSS JOIN cents c
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT q_id, qv, cluster, prn FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cent_v), 9) DESC,
+                      c.cent_id
+           ) AS prn
+    FROM e CROSS JOIN cents c
+    WHERE e.vec_id < {_N_QUERIES}
+  ) WHERE prn <= {max_np}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id, p.prn,
+         round(list_cosine_similarity(p.qv, a.v), 6) AS sim
+  FROM probes p JOIN assigned a ON p.cluster = a.cluster
+  WHERE p.q_id <> a.vec_id
+),
+levels(nprobe) AS (VALUES {levels}),
+approx AS (
+  SELECT nprobe, q_id, vec_id FROM (
+    SELECT l.nprobe, s.q_id, s.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.nprobe, s.q_id ORDER BY s.sim DESC, s.vec_id
+           ) AS rnk
+    FROM levels l JOIN scored s ON s.prn <= l.nprobe
+  ) WHERE rnk <= {_TOP_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT eq.q_id, ec.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY eq.q_id
+             ORDER BY round(list_cosine_similarity(eq.qv, ec.cv), 6) DESC,
+                      ec.vec_id
+           ) AS rnk
+    FROM (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}) eq
+    CROSS JOIN (SELECT vec_id, v AS cv FROM e) ec
+    WHERE eq.q_id <> ec.vec_id
+  ) WHERE rnk <= {_TOP_K}
+)
+SELECT l.nprobe, x.q_id,
+       round(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_10
+FROM levels l
+CROSS JOIN exact x
+LEFT JOIN approx a
+  ON a.nprobe = l.nprobe AND a.q_id = x.q_id AND a.vec_id = x.vec_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "ann_ivf_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle_sql(),
+    doc="ANN operating-point curve: recall@10 of the frozen IVF index "
+    "vs exact brute force at nprobe in {1,2,4,8}, one row per "
+    "(nprobe, query) — the context for ann_ivf_kmeans_recall's single "
+    "number (how much recall does each extra probed cluster buy?).  "
+    "Cost shape: candidates are scored ONCE at the widest routing "
+    "(max nprobe, tagged with their cluster's probe rank), then each "
+    "sweep level is a filter + per-level top-k window over that one "
+    "scored frame — no re-scan, no re-scoring per level.  Hash-checked "
+    "against the same frozen-centroid SQL chain.",
+    tags=("llm", "similarity"),
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    scored = _ivf_scored(em, _centroid_list(em, sf_dir), max(_SWEEP_NPROBES))
+    levels = F.explode(
+        F.array(*[F.lit(n) for n in _SWEEP_NPROBES])
+    ).alias("nprobe")
+    cand = scored.select("q_id", "vec_id", "sim", "prn", levels).where(
+        F.col("prn") <= F.col("nprobe")
+    )
+    w_k = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    approx = (
+        cand.withColumn("rnk", F.row_number().over(w_k))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
+    level_frame = spark.range(1).select(levels)
+    exact_l = exact.crossJoin(F.broadcast(level_frame))
+    hits = exact_l.join(approx, ["nprobe", "q_id", "vec_id"], "left_semi")
+    return (
+        exact_l.groupBy("nprobe", "q_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(
+            hits.groupBy("nprobe", "q_id").agg(
+                F.count(F.lit(1)).alias("n_hits")
+            ),
+            ["nprobe", "q_id"],
+            "left",
+        )
+        .select(
+            "nprobe",
+            "q_id",
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("k"), 6
+            ).alias("recall_at_10"),
+        )
+    )
 
 
 @register(

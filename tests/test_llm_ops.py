@@ -722,3 +722,23 @@ def test_bpe_replace_trick_handles_repeated_runs(spark):
         for r in seg.collect()
     }
     assert got == cases
+
+
+def test_ann_nprobe_sweep_monotone(spark, sf_dir):
+    """Recall@10 must be non-decreasing in nprobe for every query
+    (probing more clusters can only add candidates), and the widest
+    setting must dominate the registered default."""
+    from mapreducer_spark.operators.similarity import (
+        _SWEEP_NPROBES,
+        ann_ivf_nprobe_sweep,
+    )
+
+    rows = ann_ivf_nprobe_sweep(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, {})[r.nprobe] = r.recall_at_10
+    assert by_q
+    for q, curve in by_q.items():
+        assert set(curve) == set(_SWEEP_NPROBES)
+        seq = [curve[n] for n in sorted(curve)]
+        assert seq == sorted(seq), f"recall not monotone for q={q}: {seq}"
