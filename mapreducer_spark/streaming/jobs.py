@@ -135,6 +135,57 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+_STATE_OUTPUT_SCHEMA_V2 = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def stateful_user_counts_v2(events: DataFrame) -> DataFrame:
+    """Widened twin of stateful_user_counts — the state-schema-evolution
+    scenario: the state tuple gains a ``max_value`` field.
+
+    applyInPandasWithState state rows are positional UnsafeRows whose
+    schema is pinned by the checkpoint: the state store's schema check
+    REFUSES a widened stateStructType on an existing checkpoint (loud
+    error at restart — pinned in tests/test_streaming_sinks.py) instead
+    of mis-decoding old rows.  The supported migrations are (a) a fresh
+    checkpoint + replay/backfill (what the test demonstrates), or (b)
+    transformWithState (top_value_per_user_stream), whose Avro state
+    encoding supports additive evolution first-class."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, round(total, 2), mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "max_value": [mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_STATE_OUTPUT_SCHEMA_V2,
+        stateStructType="n_events LONG, total_value DOUBLE, max_value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def deduped_stream(events: DataFrame) -> DataFrame:
     """Streaming exact dedup with bounded state:
     dropDuplicatesWithinWatermark keeps only event_ids seen within the

@@ -4,6 +4,7 @@ foreachBatch merge-upsert, watermarked dedup."""
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -236,3 +237,90 @@ def test_streaming_listener_reconciles_state_store_rows(spark, sf_dir):
         ) >= expected_groups
     finally:
         listener.detach(spark)
+
+
+def test_stateful_restart_and_state_schema_evolution(spark, tmp_path):
+    """State-store lifecycle contract for applyInPandasWithState, across
+    three restarts on one input directory:
+
+    1. state SURVIVES a plain restart (same checkpoint, new input file
+       -> cumulative per-user counts, not per-batch);
+    2. restarting with a WIDENED state schema on the same checkpoint is
+       REFUSED loudly (positional state rows + pinned checkpoint schema
+       -> the store's schema check must fail, never mis-decode);
+    3. the supported migration — widened operator on a FRESH checkpoint,
+       replaying the full input — produces the correct evolved state.
+    """
+    import pytest
+
+    from mapreducer_spark.streaming.jobs import (
+        stateful_user_counts,
+        stateful_user_counts_v2,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.parquet(f"{tmp_path}/{name}")
+        import glob
+        import shutil
+
+        (part,) = glob.glob(f"{tmp_path}/{name}/part-*.parquet")
+        shutil.copy(part, os.path.join(in_dir, f"{name}.parquet"))
+
+    def run(op, checkpoint):
+        # foreachBatch parquet sink: unlike the memory sink it supports
+        # checkpoint recovery, which is the point of this test.
+        stream = spark.readStream.schema("user_id long, value double").parquet(
+            in_dir
+        )
+        out = str(tmp_path / f"out_{uuid.uuid4().hex[:8]}")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            op(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.user_id: r for r in spark.read.parquet(out).collect()}
+
+    # Phase 1: two users, one batch.
+    write_batch("b1", [(1, 10.0), (1, 20.0), (2, 5.0)])
+    got1 = run(stateful_user_counts, ckpt)
+    assert got1[1].n_events == 2 and got1[1].total_value == 30.0
+    assert got1[2].n_events == 1
+
+    # Phase 2: plain restart on the same checkpoint with a new input
+    # file — counts must be CUMULATIVE (state restored), and only the
+    # touched users re-emit in update mode.
+    write_batch("b2", [(1, 40.0), (3, 7.0)])
+    got2 = run(stateful_user_counts, ckpt)
+    assert got2[1].n_events == 3 and got2[1].total_value == 70.0
+    assert got2[3].n_events == 1
+    assert 2 not in got2  # untouched user does not re-emit
+
+    # Phase 3: widened state schema on the SAME checkpoint must fail
+    # loudly, not silently mis-read the 2-field state rows.
+    with pytest.raises(Exception) as exc_info:
+        run(stateful_user_counts_v2, ckpt)
+    msg = str(exc_info.value).lower()
+    assert "state" in msg or "schema" in msg, msg
+
+    # Phase 4: the supported migration — fresh checkpoint, full replay
+    # through the widened operator.
+    ckpt2 = str(tmp_path / "ckpt2")
+    got4 = run(stateful_user_counts_v2, ckpt2)
+    assert got4[1].n_events == 3 and got4[1].total_value == 70.0
+    assert got4[1].max_value == 40.0
+    assert got4[2].max_value == 5.0
+    assert got4[3].n_events == 1 and got4[3].max_value == 7.0
