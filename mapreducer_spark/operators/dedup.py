@@ -18,7 +18,7 @@ Scale design:
 - near-dup blocked Jaccard: oracle-checkable variant where blocking is a
   cheap deterministic key (first token) and the exact Jaccard runs per
   block.  Same shape as LSH (block -> pair -> verify), SQL-expressible.
-- SimHash: 16-bit oracle-checkable fingerprint via the cross-engine
+- SimHash: 32-bit oracle-checkable fingerprint via the cross-engine
   md5_int64 hash; the production path would widen to 64 bits on
   xxhash64.
 """
@@ -697,13 +697,15 @@ def minhash_lsh_pairs(corpus: DataFrame, use_md5: bool = False) -> DataFrame:
 # SimHash fingerprints (L2 family)
 # --------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+# 32 bits: wide enough that random pairs sit at Hamming ~16 and the
+# radius-3 Hamming ball is selective (at 16 bits ~21% of all fixture
+# pairs survived radius 3 — a fingerprint-width artifact, not a corpus
+# property); production widens to 64 bits on xxhash64.
+_SIMHASH_BITS = 32
 
-
-@register(
-    "simhash_fingerprints",
-    oracle=f"""
-WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+# Shared oracle CTE chain ending in fps(doc_id, simhash) — used by the
+# fingerprint query and the banded Hamming-pair query.
+_SIMHASH_FPS_CTES = f"""corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
 tok AS (
   SELECT doc_id, tok, COUNT(*) AS w,
          {oracle_md5_int64("tok")} AS h
@@ -714,13 +716,19 @@ tok AS (
   )
   WHERE length(tok) > 0
   GROUP BY doc_id, tok
-)
-SELECT doc_id,
-  {" + ".join(f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))}
-  AS simhash
-FROM tok
-GROUP BY doc_id
-""",
+),
+fps AS (
+  SELECT doc_id,
+    {" + ".join(f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN w ELSE -w END) > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))}
+    AS simhash
+  FROM tok
+  GROUP BY doc_id
+)"""
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"WITH {_SIMHASH_FPS_CTES}\nSELECT doc_id, simhash FROM fps",
     doc=f"{_SIMHASH_BITS}-bit SimHash document fingerprint over weighted "
     "token hashes (L2; cross-engine md5_int64 hash; production would "
     "widen to 64 bits on xxhash64).",
@@ -747,6 +755,97 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in bit_terms[1:]:
         simhash = simhash + t
     return tok.groupBy("doc_id").agg(simhash.alias("simhash"))
+
+
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+# Pigeonhole guarantee: any pair within Hamming distance bands-1 shares
+# at least one unchanged band, so banded blocking has 100% recall at
+# this radius (Manku et al., WWW'07).
+_HAMMING_MAX = _SIMHASH_BANDS - 1
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+WITH {_SIMHASH_FPS_CTES},
+bands AS (
+  SELECT doc_id, simhash, j AS band_idx,
+         (simhash >> ({_SIMHASH_BAND_BITS} * j)) & {_SIMHASH_BAND_MASK}
+           AS band_val
+  FROM fps, LATERAL unnest(generate_series(0, {_SIMHASH_BANDS - 1})) u(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {_HAMMING_MAX}
+""",
+    doc=f"SimHash near-dup PAIRS via banded Hamming blocking (Manku et "
+    f"al. WWW'07, the Google web-dedup shape): the {_SIMHASH_BITS}-bit "
+    f"fingerprint splits into {_SIMHASH_BANDS} bands of "
+    f"{_SIMHASH_BAND_BITS} bits; candidates equi-join on (band_idx, "
+    f"band_val) — pigeonhole guarantees 100% recall at Hamming <= "
+    f"{_HAMMING_MAX} — then verify with bit_count(xor).  Completes the "
+    "SimHash path from fingerprints to pairs, mirroring the MinHash "
+    "pairs/clusters pipeline.  Scale note: band width scales with "
+    "fingerprint width — the production 64-bit/xxhash64 fingerprint "
+    "gives 16-bit bands (65k blocking values, scale-safe exactly like "
+    "the MinHash band buckets); this fixture-sized 32-bit twin keeps "
+    "the identical plan shape and is hash-checked cross-engine.  "
+    "Verification is a pure map (one xor+popcount per candidate).",
+    tags=("llm", "dedup"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = simhash_fingerprints(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.shiftright("simhash", _SIMHASH_BAND_BITS * j)
+                .bitwiseAND(F.lit(_SIMHASH_BAND_MASK))
+                .alias("band_val"),
+            )
+            for j in range(_SIMHASH_BANDS)
+        ]
+    )
+    bands = fps.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("b")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(ham <= _HAMMING_MAX).select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    )
 
 
 # Shared oracle snippet: the near-dup pair list (id_a < id_b), exactly

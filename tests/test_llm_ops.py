@@ -742,3 +742,24 @@ def test_ann_nprobe_sweep_monotone(spark, sf_dir):
         assert set(curve) == set(_SWEEP_NPROBES)
         seq = [curve[n] for n in sorted(curve)]
         assert seq == sorted(seq), f"recall not monotone for q={q}: {seq}"
+
+
+def test_simhash_hamming_pairs_find_planted_neardups(spark, sf_dir):
+    """Banded SimHash blocking must recover the synthesized near-dup
+    pairs (variant = last token dropped -> few fingerprint bits flip,
+    Hamming well under the radius), with verified distances and without
+    degenerating into all-pairs."""
+    from mapreducer_spark.operators.dedup import (
+        _HAMMING_MAX,
+        simhash_hamming_pairs,
+    )
+
+    rows = simhash_hamming_pairs(spark, sf_dir).collect()
+    found = {(r.id_a, r.id_b) for r in rows}
+    expected = {(i, i + 3000000) for i in range(0, 500, 5)}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.90, f"SimHash recall too low: {recall}"
+    assert all(0 <= r.hamming <= _HAMMING_MAX for r in rows)
+    # 600 docs -> C(600,2) = 179,700 possible pairs; banded blocking +
+    # the Hamming radius must keep the survivor set a small fraction.
+    assert len(rows) < 20_000, f"pair explosion: {len(rows)}"

@@ -34,6 +34,15 @@ SF_DIRS = [
     "/root/testdata/sf0.1",
 ]
 
+# Optional 4th scale: the 10x synthetic fixture (tools/gen_scale10.py)
+# extends the measured spread to 1000x rows for the iterative operators
+# whose 100x behavior would otherwise be extrapolated.
+_SCALE10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale10", "sf1"
+)
+if os.path.isdir(_SCALE10):
+    SF_DIRS.append(_SCALE10)
+
 DEFAULT_PICKS = [
     "word_count",
     "pricing_summary",
@@ -51,7 +60,17 @@ DEFAULT_PICKS = [
 def main() -> None:
     picks = sys.argv[1:] or DEFAULT_PICKS
     spark = get_spark(
-        app_name="scaling-probe", master="local[32]", shuffle_partitions=32
+        app_name="scaling-probe",
+        master="local[32]",
+        shuffle_partitions=32,
+        # local-mode JVM heap defaults to 1g, which OOMs the 10x fixture;
+        # the probe host has 128 GiB (set before JVM start, so it must go
+        # through the session factory, not a runtime conf).
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_PROBE_MEM", "24g"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
