@@ -1,0 +1,44 @@
+"""Session-scoped DataFrame memoization for shared derived artifacts.
+
+Several query families derive the same intermediate frame (the BPE
+training segmentation, SimHash fingerprints, the co-purchase edge list):
+within one session — the bench, the driver's correctness sweep, a
+notebook — the second consumer should get the materialized frame for
+free instead of re-deriving it.
+
+Same contract as graph._SYM_EDGE_CACHE: keyed by applicationId so a new
+SparkSession never sees another session's frame; fixture inputs are
+immutable within a session, so no invalidation; entries from other
+(stopped) applications are evicted on insert so long-lived processes
+don't pin dead sessions' checkpoints.
+
+The memoized frame is eagerly localCheckpoint-ed: consumers get a short
+lineage-free plan, and the (driver-resident) cost is bounded because
+every memoized artifact here is vocabulary/metadata-sized (|vocab|,
+|docs|, |edges| rows — never corpus-row-sized payloads).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def session_memo(
+    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the memoized frame for ``key`` (scoped to the live
+    application), building + checkpointing it on first use."""
+    app_id = spark.sparkContext.applicationId
+    full_key = (app_id, *key)
+    cached = _CACHE.get(full_key)
+    if cached is not None:
+        return cached
+    for stale in [k for k in _CACHE if k[0] != app_id]:
+        del _CACHE[stale]
+    df = build().localCheckpoint(eager=True)
+    _CACHE[full_key] = df
+    return df

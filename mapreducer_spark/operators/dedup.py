@@ -735,6 +735,20 @@ fps AS (
     tags=("llm", "dedup", "fingerprint"),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Memoized per (session, fixture): the fingerprint frame (|docs|
+    # rows) is shared with simhash_hamming_pairs — the second consumer
+    # gets the materialized frame instead of re-running the 32-bit-sum
+    # aggregation.
+    from mapreducer_spark.functions.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("simhash_fps", sf_dir),
+        lambda: _simhash_fingerprints_frame(spark, sf_dir),
+    )
+
+
+def _simhash_fingerprints_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs_with_near_dups(spark, sf_dir)
     tok = (
         corpus.select(

@@ -875,6 +875,39 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     return merges, seg
 
 
+# (applicationId, sf_dir) -> (merges frame, final segmentation frame),
+# both eagerly localCheckpoint-ed.  Three registered queries derive from
+# one BPE training run (merge table, vocab encoding, corpus token
+# accounting); within a session the second and third get the
+# materialized artifacts for free — the train-once/apply-everywhere
+# split the docstrings promise, realized at query-plan level.  Same
+# lifecycle contract as graph._SYM_EDGE_CACHE (app-keyed, stale-app
+# eviction); both frames are |vocab|-sized, never corpus-sized.
+_BPE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _bpe_train_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _BPE_CACHE if k[0] != app_id]:
+        del _BPE_CACHE[stale]
+    merge_frames, seg = _bpe_train(spark, sf_dir)
+    mdf = merge_frames[0]
+    for m in merge_frames[1:]:
+        mdf = mdf.unionByName(m)
+    pair = (
+        mdf.localCheckpoint(eager=True),
+        seg.localCheckpoint(eager=True),
+    )
+    _BPE_CACHE[key] = pair
+    return pair
+
+
 @register(
     "bpe_merge_rounds",
     oracle=_bpe_oracle_sql(),
@@ -896,11 +929,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     tags=("llm", "text", "iterative"),
 )
 def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges, _seg = _bpe_train(spark, sf_dir)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    merges, _seg = _bpe_train_cached(spark, sf_dir)
+    return merges
 
 
 @register(
@@ -922,7 +952,7 @@ FROM w{_BPE_ROUNDS}
     tags=("llm", "text"),
 )
 def bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _merges, seg = _bpe_train(spark, sf_dir)
+    _merges, seg = _bpe_train_cached(spark, sf_dir)
     syms_final = F.filter(
         F.split(F.trim(F.col("seg")), " "), lambda x: F.length(x) > 0
     )
@@ -933,4 +963,49 @@ def bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             "encoded"
         ),
         F.size(syms_final).alias("n_symbols"),
+    )
+
+
+@register(
+    "bpe_corpus_token_counts",
+    oracle=_bpe_oracle_sql().rsplit("\nSELECT 1 AS rank", 1)[0]
+    + f""",
+enc AS (
+  SELECT word,
+         len(list_filter(string_split(trim(seg), ' '),
+                         x -> length(x) > 0)) AS n_symbols
+  FROM w{_BPE_ROUNDS}
+),
+dtok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, {ORACLE_TOKENS_SNIPPET} AS tok FROM documents
+  ) WHERE length(tok) > 0
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n_symbols) AS BIGINT) AS n_bpe_tokens
+FROM dtok JOIN enc ON dtok.tok = enc.word
+GROUP BY doc_id
+""",
+    doc="Corpus-granularity BPE apply: per-document token counts under "
+    "the learned merges, via a BROADCAST join of the |vocab|-row "
+    "encoding table onto the exploded corpus tokens — the exact 100 TB "
+    "shape (training touches |vocab| rows; applying to the corpus is "
+    "one map-side join + partial-agg groupBy, no per-document Python "
+    "and no re-segmentation of raw text).  This is the sequence-length "
+    "accounting every tokenizer-aware pipeline needs before packing.",
+    tags=("llm", "text"),
+)
+def bpe_corpus_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = bpe_encode_words(spark, sf_dir).select("word", "n_symbols")
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tokens_col()).alias("word")
+    ).where(F.length("word") > 0)
+    return (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").cast("long").alias("n_bpe_tokens"),
+        )
     )

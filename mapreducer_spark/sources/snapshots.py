@@ -1,0 +1,153 @@
+"""Snapshot-versioned parquet tables: time travel on a plain filesystem.
+
+The reference's only sink rewrites one file in place (src/reducer.c:9 —
+``freopen("reducer.out")``): a crash mid-write loses the previous
+result.  ingest.merge_upsert already upgraded that to a rename swap;
+this module adds the last production step — an Iceberg/Delta-style
+METADATA COMMIT over immutable data generations:
+
+    table_dir/
+      _versions/v00000042.json   <- manifests: one tiny json per commit
+      gen-<uuid>/                <- immutable parquet data generations
+
+- A writer materializes a NEW generation dir (never touching live
+  data), then publishes it by creating the next manifest file with
+  O_EXCL — a single atomic filesystem operation, so commits are O(1)
+  metadata regardless of data size, concurrent writers conflict on the
+  version number and retry (optimistic concurrency), and a reader
+  always resolves a fully-written generation — there is no moment when
+  the table is partially visible.
+- Readers pin a version for time travel (``version=N``) or take the
+  latest.  Every historical version stays readable until expired.
+- ``snapshot_expire`` removes generations unreferenced by the kept
+  manifests (VACUUM).
+
+At 100 TB nothing changes structurally: generations are directories of
+parquet written by a full cluster, the commit is still one small file,
+and a real object store swaps O_EXCL for a conditional PUT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSIONS = "_versions"
+_GEN_PREFIX = "gen-"
+_MAX_COMMIT_RETRIES = 20
+
+
+def _versions_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _VERSIONS)
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_versions_dir(table_dir), f"v{version:08d}.json")
+
+
+def _list_versions(table_dir: str) -> list[int]:
+    vdir = _versions_dir(table_dir)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def snapshot_write(df: DataFrame, table_dir: str, op: str = "overwrite") -> int:
+    """Commit ``df`` as a new snapshot version of ``table_dir``; returns
+    the committed version number.
+
+    Data first (immutable generation dir), manifest last (atomic O_EXCL
+    create).  On version-number conflict with a concurrent writer the
+    commit retries at the next number — the generation is already on
+    disk, so a retry re-publishes, never re-writes data.
+    """
+    os.makedirs(_versions_dir(table_dir), exist_ok=True)
+    gen = f"{_GEN_PREFIX}{uuid.uuid4().hex[:12]}"
+    gen_dir = os.path.join(table_dir, gen)
+    df.write.mode("error").parquet(gen_dir)
+    n_rows = df.sparkSession.read.parquet(gen_dir).count()
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = _list_versions(table_dir)
+        version = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": version,
+            "data_dir": gen,
+            "op": op,
+            "rows": n_rows,
+            "committed_at": time.time(),
+        }
+        try:
+            # O_EXCL: exactly one writer can publish this version number.
+            with open(_manifest_path(table_dir, version), "x", encoding="utf-8") as f:
+                json.dump(manifest, f)
+            return version
+        except FileExistsError:
+            continue  # lost the race; retry at the next version number
+    raise RuntimeError(
+        f"could not commit to {table_dir!r} after "
+        f"{_MAX_COMMIT_RETRIES} version conflicts"
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table — latest version, or a pinned historical
+    ``version`` (time travel)."""
+    versions = _list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {table_dir!r}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(
+            f"version {version} not found in {table_dir!r} "
+            f"(available: {versions})"
+        )
+    manifest = _read_manifest(table_dir, version)
+    return spark.read.parquet(os.path.join(table_dir, manifest["data_dir"]))
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """All manifests, oldest first."""
+    return [_read_manifest(table_dir, v) for v in _list_versions(table_dir)]
+
+
+def snapshot_expire(table_dir: str, keep_last: int = 1) -> list[int]:
+    """VACUUM: drop all but the last ``keep_last`` versions and delete
+    data generations no kept manifest references.  Returns the expired
+    version numbers.
+
+    Manifests are removed BEFORE their data dirs: a reader that already
+    resolved an expiring manifest may fail on the vanished generation
+    (same contract as Iceberg's expire_snapshots), but the kept versions
+    are never in danger because their generations are never touched.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(table_dir)
+    expire, keep = versions[:-keep_last], versions[-keep_last:]
+    keep_gens = {_read_manifest(table_dir, v)["data_dir"] for v in keep}
+    expire_gens = {
+        _read_manifest(table_dir, v)["data_dir"] for v in expire
+    } - keep_gens
+    for v in expire:
+        os.remove(_manifest_path(table_dir, v))
+    for gen in expire_gens:
+        shutil.rmtree(os.path.join(table_dir, gen), ignore_errors=True)
+    return expire

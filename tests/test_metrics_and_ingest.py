@@ -346,3 +346,64 @@ def test_zorder_3d_narrows_all_dimensions(spark, sf_dir, tmp_path):
     vol = ratios[0] * ratios[1] * ratios[2]
     assert vol <= 0.25, (ratios, vol)
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_snapshot_versioned_table_time_travel(spark, tmp_path):
+    """Snapshot table lifecycle: commit -> commit -> time travel ->
+    history -> concurrent-commit conflict -> expire (VACUUM)."""
+    import os
+
+    import pytest
+
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_expire,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "snap_table")
+    v0 = snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), tdir
+    )
+    v1 = snapshot_write(
+        spark.createDataFrame([(1, "a2"), (3, "c")], "id long, s string"), tdir
+    )
+    assert (v0, v1) == (0, 1)
+
+    # Latest read sees v1; pinned read time-travels to v0.
+    latest = {(r.id, r.s) for r in snapshot_read(spark, tdir).collect()}
+    assert latest == {(1, "a2"), (3, "c")}
+    old = {(r.id, r.s) for r in snapshot_read(spark, tdir, version=0).collect()}
+    assert old == {(1, "a"), (2, "b")}
+
+    hist = snapshot_history(tdir)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert all(h["rows"] == 2 for h in hist)
+
+    # Concurrent-writer conflict: pre-claim version 2; the next commit
+    # must NOT clobber it — it retries and lands on version 3.
+    os.makedirs(os.path.join(tdir, "_versions"), exist_ok=True)
+    claimed = os.path.join(tdir, "_versions", "v00000002.json")
+    with open(claimed, "x", encoding="utf-8") as f:
+        f.write('{"version": 2, "data_dir": "gen-claimed", "rows": 0}')
+    v3 = snapshot_write(
+        spark.createDataFrame([(9, "z")], "id long, s string"), tdir
+    )
+    assert v3 == 3
+    with open(claimed, encoding="utf-8") as f:
+        assert "gen-claimed" in f.read()  # the claimed manifest survived
+    os.remove(claimed)  # drop the fake so reads resolve real manifests
+
+    # Expire all but the newest: old versions unreadable, newest intact,
+    # and the expired generations' data dirs are gone from disk.
+    gens_before = {d for d in os.listdir(tdir) if d.startswith("gen-")}
+    expired = snapshot_expire(tdir, keep_last=1)
+    assert expired == [0, 1]
+    with pytest.raises(ValueError):
+        snapshot_read(spark, tdir, version=0)
+    assert {(r.id, r.s) for r in snapshot_read(spark, tdir).collect()} == {
+        (9, "z")
+    }
+    gens_after = {d for d in os.listdir(tdir) if d.startswith("gen-")}
+    assert len(gens_after) < len(gens_before)
