@@ -85,6 +85,29 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot_history(args: argparse.Namespace) -> int:
+    import json
+
+    from mapreducer_spark.sources.snapshots import snapshot_history
+
+    for manifest in snapshot_history(args.table_dir):
+        print(json.dumps(manifest))
+    return 0
+
+
+def cmd_snapshot_read(args: argparse.Namespace) -> int:
+    from mapreducer_spark.sources.snapshots import snapshot_read
+
+    spark = _get_spark(args)
+    df = snapshot_read(spark, args.table_dir, version=args.version)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from mapreducer_spark.sql_api import sql
 
@@ -163,6 +186,21 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--path", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=cmd_compact)
+
+    sh = sub.add_parser(
+        "snapshot-history", help="list a snapshot table's versions"
+    )
+    sh.add_argument("table_dir")
+    sh.set_defaults(fn=cmd_snapshot_history)
+
+    sr = sub.add_parser(
+        "snapshot-read", help="read a snapshot table (optionally time travel)"
+    )
+    sr.add_argument("table_dir")
+    sr.add_argument("--version", type=int, default=None)
+    sr.add_argument("--out", default=None)
+    sr.add_argument("--limit", type=int, default=20)
+    sr.set_defaults(fn=cmd_snapshot_read)
 
     sq = sub.add_parser("sql", help="run SQL over the fixture tables")
     sq.add_argument("query")

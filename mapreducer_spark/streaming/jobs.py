@@ -449,6 +449,43 @@ def top_value_per_user_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def run_snapshot_publisher(
+    stream_df: DataFrame, table_dir: str, checkpoint: str
+) -> object:
+    """Stream -> snapshot-versioned table: each micro-batch publishes as
+    one snapshot version (sources/snapshots.py) tagged ``batch-<id>``.
+
+    foreachBatch is at-least-once — a crash between sink write and
+    offset commit replays the batch — so the publisher is made
+    idempotent on the BATCH ID: a replayed batch whose tag already
+    appears in the snapshot history is skipped, giving exactly-once
+    PUBLICATION on top of the snapshot layer's atomic metadata commit.
+    (The same dance a Delta/Iceberg streaming sink does with its
+    txnAppId/txnVersion dedup.)  Readers time-travel per micro-batch
+    for free: version N == the Nth published batch.
+    """
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_write,
+    )
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        if any(h["op"] == tag for h in snapshot_history(table_dir)):
+            return  # replayed batch after restart: already published
+        snapshot_write(batch_df, table_dir, op=tag)
+
+    q = (
+        stream_df.writeStream.foreachBatch(publish)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 _DOCS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

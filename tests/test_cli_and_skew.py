@@ -338,3 +338,32 @@ def test_ntile_from_rn_matches_spark_ntile(spark, n, tiles):
         .count()
     )
     assert got == 0
+
+
+def test_cli_snapshot_commands(spark, tmp_path, capsys):
+    """snapshot-history / snapshot-read CLI over a committed table."""
+    import json
+
+    from mapreducer_spark.__main__ import main
+    from mapreducer_spark.sources.snapshots import snapshot_write
+
+    tdir = str(tmp_path / "snap")
+    snapshot_write(
+        spark.createDataFrame([(1, "x")], "id long, s string"), tdir
+    )
+    snapshot_write(
+        spark.createDataFrame([(2, "y")], "id long, s string"), tdir
+    )
+
+    assert main(["snapshot-history", tdir]) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [m["version"] for m in lines] == [0, 1]
+
+    out = str(tmp_path / "export")
+    assert main(["snapshot-read", tdir, "--version", "0", "--out", out]) == 0
+    capsys.readouterr()
+    got = [(r.id, r.s) for r in spark.read.parquet(out).collect()]
+    assert got == [(1, "x")]

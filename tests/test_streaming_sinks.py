@@ -324,3 +324,61 @@ def test_stateful_restart_and_state_schema_evolution(spark, tmp_path):
     assert got4[1].max_value == 40.0
     assert got4[2].max_value == 5.0
     assert got4[3].n_events == 1 and got4[3].max_value == 7.0
+
+
+def test_snapshot_publisher_exactly_once(spark, tmp_path):
+    """Streaming -> snapshot table: one version per micro-batch, no new
+    versions without new input, and a FULL REPLAY (checkpoint deleted)
+    publishes nothing because the batch tags are already in history —
+    exactly-once publication over an at-least-once foreachBatch."""
+    import shutil
+
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_read,
+    )
+    from mapreducer_spark.streaming.jobs import run_snapshot_publisher
+
+    in_dir = str(tmp_path / "in")
+    tdir = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    def add_input(name, rows):
+        spark.createDataFrame(rows, "id long, v double").coalesce(
+            1
+        ).write.parquet(f"{tmp_path}/{name}")
+        import glob
+
+        (part,) = glob.glob(f"{tmp_path}/{name}/part-*.parquet")
+        shutil.copy(part, os.path.join(in_dir, f"{name}.parquet"))
+
+    def run():
+        stream = spark.readStream.schema("id long, v double").parquet(in_dir)
+        run_snapshot_publisher(stream, tdir, ckpt)
+
+    add_input("b1", [(1, 1.0), (2, 2.0)])
+    run()
+    hist = snapshot_history(tdir)
+    assert [h["op"] for h in hist] == ["batch-0"]
+
+    run()  # no new input -> no new version
+    assert len(snapshot_history(tdir)) == 1
+
+    add_input("b2", [(3, 3.0)])
+    run()
+    hist = snapshot_history(tdir)
+    assert [h["op"] for h in hist] == ["batch-0", "batch-1"]
+    latest = {(r.id, r.v) for r in snapshot_read(spark, tdir).collect()}
+    assert latest == {(3, 3.0)}  # version 1 == batch 1's rows
+    v0 = {(r.id, r.v) for r in snapshot_read(spark, tdir, version=0).collect()}
+    assert v0 == {(1, 1.0), (2, 2.0)}
+
+    # Nuke the checkpoint: the source replays EVERYTHING as batch 0.
+    # The tag dedup must swallow the replay without duplicate versions.
+    shutil.rmtree(ckpt)
+    run()
+    assert [h["op"] for h in snapshot_history(tdir)] == [
+        "batch-0",
+        "batch-1",
+    ]
