@@ -585,3 +585,159 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (logit > 0).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset splits: assignment, stratified accounting, near-dup leakage
+# --------------------------------------------------------------------------
+
+# Deterministic hash split on the DOCUMENT KEY (never on content: a
+# near-duplicate with different bytes must be allowed to land in a
+# different split so the leakage auditor below has something to catch;
+# content-hash splits would hide exactly the leakage that matters).
+_SPLIT_PCT = (80, 10, 10)  # train / val / test
+
+
+def _split_expr(doc_id_col):
+    from mapreducer_spark.functions.hashes import md5_int64
+
+    h = md5_int64(doc_id_col.cast("string")) % 100
+    return (
+        F.when(h < _SPLIT_PCT[0], F.lit("train"))
+        .when(h < _SPLIT_PCT[0] + _SPLIT_PCT[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_sql(doc_id_expr: str) -> str:
+    h = f"{oracle_md5_int64(f'CAST({doc_id_expr} AS VARCHAR)')} % 100"
+    return (
+        f"CASE WHEN {h} < {_SPLIT_PCT[0]} THEN 'train' "
+        f"WHEN {h} < {_SPLIT_PCT[0] + _SPLIT_PCT[1]} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@register(
+    "corpus_train_val_test_split",
+    oracle=f"""
+SELECT source,
+       {_split_sql("doc_id")} AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="Deterministic 80/10/10 train/val/test assignment by hashed "
+    "document key, reported as per-(source, split) counts — the "
+    "reproducible-split primitive every training pipeline needs "
+    "(same doc always lands in the same split, across runs, engines, "
+    "and cluster sizes; no global sort, no sampling state).  Pure "
+    "map + one partial-agg groupBy at any scale.",
+    tags=("llm", "curation", "mixing"),
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", _split_expr(F.col("doc_id")).alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _leakage_oracle_sql() -> str:
+    from mapreducer_spark.operators.dedup import (
+        _ORACLE_DOCS_WITH_NEAR_DUPS,
+        ORACLE_NEARDUP_PAIRS_SQL,
+    )
+
+    return f"""
+WITH pairs AS ({ORACLE_NEARDUP_PAIRS_SQL}),
+corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+splits AS (
+  SELECT doc_id, {_split_sql("doc_id")} AS split FROM corpus
+)
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+FROM pairs p
+JOIN splits sa ON p.id_a = sa.doc_id
+JOIN splits sb ON p.id_b = sb.doc_id
+WHERE sa.split <> sb.split
+"""
+
+
+@register(
+    "split_leakage_pairs",
+    oracle=_leakage_oracle_sql(),
+    doc="Train/test contamination via NEAR-duplicates: near-dup pairs "
+    "(blocked-Jaccard candidates, same machinery as "
+    "neardup_jaccard_blocked) whose members hash into different "
+    "splits — the leakage exact dedup can't see and the reason "
+    "key-hash splits must be audited before evaluation.  Composes the "
+    "pair list with the split assignment by two key joins; at 100 TB "
+    "the pair list is the already-bounded LSH candidate set and the "
+    "split table is (key, split) only.",
+    tags=("llm", "curation", "dedup"),
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.operators.dedup import (
+        docs_with_near_dups,
+        neardup_jaccard_blocked,
+    )
+
+    pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
+    corpus = docs_with_near_dups(spark, sf_dir).select("doc_id")
+    splits = corpus.select(
+        "doc_id", _split_expr(F.col("doc_id")).alias("split")
+    )
+    return (
+        pairs.join(
+            splits.withColumnsRenamed(
+                {"doc_id": "id_a", "split": "split_a"}
+            ),
+            "id_a",
+        )
+        .join(
+            splits.withColumnsRenamed(
+                {"doc_id": "id_b", "split": "split_b"}
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
+
+
+def _lang_confusion_oracle_sql() -> str:
+    from mapreducer_spark.registry import REGISTRY
+
+    # textstats registers lang_id_heuristic at import; importing the
+    # module here guarantees the entry exists regardless of package
+    # import order.
+    import mapreducer_spark.operators.textstats  # noqa: F401
+
+    pred = REGISTRY["lang_id_heuristic"].oracle
+    return f"""
+WITH preds AS ({pred})
+SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+FROM preds
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=_lang_confusion_oracle_sql(),
+    doc="Language-ID quality gauge: confusion matrix of the heuristic "
+    "predictor against the corpus's labeled lang column — the "
+    "evaluation loop that turns a classifier stage into a monitored "
+    "one (composes lang_id_heuristic; one partial-agg groupBy on a "
+    "handful of (label, prediction) cells).",
+    tags=("llm", "curation", "text"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.operators.textstats import lang_id_heuristic
+
+    return (
+        lang_id_heuristic(spark, sf_dir)
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

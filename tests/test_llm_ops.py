@@ -763,3 +763,61 @@ def test_simhash_hamming_pairs_find_planted_neardups(spark, sf_dir):
     # 600 docs -> C(600,2) = 179,700 possible pairs; banded blocking +
     # the Hamming radius must keep the survivor set a small fraction.
     assert len(rows) < 20_000, f"pair explosion: {len(rows)}"
+
+
+def test_train_val_test_split_proportions_and_determinism(spark, sf_dir):
+    """The hashed key split must land near 80/10/10, be exhaustive, and
+    be reproducible run-to-run."""
+    from mapreducer_spark.operators.curation import corpus_train_val_test_split
+    from mapreducer_spark.sources import load_table
+
+    rows = corpus_train_val_test_split(spark, sf_dir).collect()
+    totals: dict = {}
+    for r in rows:
+        totals[r.split] = totals.get(r.split, 0) + r.n_docs
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(totals.values()) == n  # exhaustive, no doc unassigned
+    assert 0.7 <= totals["train"] / n <= 0.9
+    assert 0.05 <= totals["val"] / n <= 0.15
+    assert 0.05 <= totals["test"] / n <= 0.15
+    again = {
+        (r.source, r.split): r.n_docs
+        for r in corpus_train_val_test_split(spark, sf_dir).collect()
+    }
+    assert again == {(r.source, r.split): r.n_docs for r in rows}
+
+
+def test_split_leakage_pairs_are_real_neardups_across_splits(spark, sf_dir):
+    """Every reported leakage pair must be a genuine near-dup pair AND
+    genuinely cross splits; planted near-dup pairs whose variant hashed
+    into a different split must all be reported."""
+    from mapreducer_spark.operators.curation import (
+        _split_expr,
+        split_leakage_pairs,
+    )
+    from mapreducer_spark.operators.dedup import (
+        docs_with_near_dups,
+        neardup_jaccard_blocked,
+    )
+
+    leaks = split_leakage_pairs(spark, sf_dir).collect()
+    assert leaks, "no leakage found — synthesized variants should leak"
+    all_pairs = {
+        (r.id_a, r.id_b)
+        for r in neardup_jaccard_blocked(spark, sf_dir).collect()
+    }
+    splits = {
+        r.doc_id: r.split
+        for r in docs_with_near_dups(spark, sf_dir)
+        .select("doc_id", _split_expr(F.col("doc_id")).alias("split"))
+        .collect()
+    }
+    for r in leaks:
+        assert (r.id_a, r.id_b) in all_pairs
+        assert r.split_a != r.split_b
+        assert splits[r.id_a] == r.split_a and splits[r.id_b] == r.split_b
+    # completeness: every cross-split near-dup pair is reported
+    want = {
+        p for p in all_pairs if splits[p[0]] != splits[p[1]]
+    }
+    assert {(r.id_a, r.id_b) for r in leaks} == want
