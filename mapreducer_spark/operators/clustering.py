@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.text import ORACLE_TOKEN_LIST_SNIPPET
-from mapreducer_spark.operators.dedup import neardup_jaccard_blocked
+from mapreducer_spark.operators.dedup import (
+    docs_with_near_dups,
+    neardup_jaccard_blocked,
+)
 from mapreducer_spark.registry import register
 
 _MAX_ROUNDS = 15
@@ -234,4 +237,83 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("comp")
     return labels.select(
         "v", "comp", F.count(F.lit(1)).over(w).alias("n_members")
+    )
+
+
+@register(
+    "corpus_after_neardup_dedup",
+    oracle=f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         regexp_replace(text, ' [a-z0-9]+$', '') AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+toksets AS (
+  SELECT
+    doc_id,
+    regexp_extract(text, '^[a-z0-9]+') AS block,
+    list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
+  FROM corpus
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toksets a JOIN toksets b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.8
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT a AS v, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+),
+losers AS (SELECT v FROM labels WHERE v <> comp)
+SELECT
+  (SELECT COUNT(*) FROM corpus) AS n_docs,
+  (SELECT COUNT(DISTINCT comp) FROM labels) AS n_clusters,
+  (SELECT COUNT(*) FROM losers) AS n_removed,
+  (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM losers) AS n_kept,
+  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM corpus
+   WHERE doc_id NOT IN (SELECT v FROM losers)) AS kept_id_sum
+""",
+    doc="The dedup CAPSTONE: materialize the post-near-dup corpus — "
+    "connected components over the near-dup pair graph, keep the min "
+    "member per cluster, anti-join the losers out — and report the "
+    "summary (docs / clusters / removed / kept) plus the SUM of kept "
+    "doc_ids, which pins the exact keep SET in one hash-checkable "
+    "number.  Composes neardup_clusters (iterative components) with "
+    "one left_anti join; at 100 TB the anti join shuffles (key) pairs "
+    "only, and the kept corpus would be written back via the snapshot "
+    "layer rather than aggregated.",
+    tags=("llm", "dedup", "graph"),
+)
+def corpus_after_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = neardup_clusters(spark, sf_dir)
+    losers = clusters.where(F.col("v") != F.col("comp")).select(
+        F.col("v").alias("doc_id")
+    )
+    corpus = docs_with_near_dups(spark, sf_dir).select("doc_id")
+    kept = corpus.join(losers, "doc_id", "left_anti")
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(clusters.agg(F.countDistinct("comp").alias("n_clusters")))
+        .crossJoin(losers.agg(F.count(F.lit(1)).alias("n_removed")))
+        .crossJoin(
+            kept.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("kept_id_sum"),
+            )
+        )
+        .select("n_docs", "n_clusters", "n_removed", "n_kept", "kept_id_sum")
     )

@@ -821,3 +821,22 @@ def test_split_leakage_pairs_are_real_neardups_across_splits(spark, sf_dir):
         p for p in all_pairs if splits[p[0]] != splits[p[1]]
     }
     assert {(r.id_a, r.id_b) for r in leaks} == want
+
+
+def test_corpus_after_dedup_invariants(spark, sf_dir):
+    """Capstone consistency: kept + removed == total; every cluster
+    keeps exactly its min member; the planted variants are the ones
+    removed when they cluster with their original."""
+    from mapreducer_spark.operators.clustering import (
+        corpus_after_neardup_dedup,
+        neardup_clusters,
+    )
+
+    row = corpus_after_neardup_dedup(spark, sf_dir).collect()[0]
+    assert row.n_kept + row.n_removed == row.n_docs
+    assert row.n_docs == 600  # 500 docs + 100 synthesized variants
+    clusters = neardup_clusters(spark, sf_dir).collect()
+    leaders = {r.comp for r in clusters}
+    members = {r.v for r in clusters}
+    assert row.n_removed == len(members) - len(leaders)
+    assert row.n_clusters == len(leaders)
