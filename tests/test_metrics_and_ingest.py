@@ -407,3 +407,35 @@ def test_snapshot_versioned_table_time_travel(spark, tmp_path):
     }
     gens_after = {d for d in os.listdir(tdir) if d.startswith("gen-")}
     assert len(gens_after) < len(gens_before)
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """CDC between versions: inserts, deletes, updates (incl. NULL
+    transitions) classified correctly; unchanged keys absent."""
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "cdc")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+            "id long, s string, v long",
+        ),
+        tdir,
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            # 1 unchanged, 2 updated, 3 NULL->value update, 4 deleted,
+            # 5 inserted
+            [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+            "id long, s string, v long",
+        ),
+        tdir,
+    )
+    diff = {
+        r.id: r.change
+        for r in snapshot_diff(spark, tdir, 0, 1, ["id"]).collect()
+    }
+    assert diff == {2: "update", 3: "update", 4: "delete", 5: "insert"}

@@ -382,3 +382,62 @@ def test_snapshot_publisher_exactly_once(spark, tmp_path):
         "batch-0",
         "batch-1",
     ]
+
+
+def test_stateful_counts_on_rocksdb_state_store(spark, sf_dir):
+    """The stateful operator must produce identical results on the
+    RocksDB state-store provider (the 100 TB deployment choice: state
+    spills to local disk instead of living on the JVM heap) as on the
+    default HDFS-backed provider, and the listener must still reconcile
+    per-operator state rows."""
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import (
+        BatchMetricsListener,
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_user_counts,
+    )
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_conf, None)
+    listener = BatchMetricsListener().attach(spark)
+    try:
+        spark.conf.set(provider_conf, rocksdb)
+        name, _ = run_stream_to_memory(
+            stateful_user_counts(read_events_stream(spark, sf_dir)),
+            output_mode="update",
+        )
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        want = {
+            r.user_id: (r.n, round(r.s, 2))
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("s"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for u in want:
+            assert got[u][0] == want[u][0]
+            assert abs(got[u][1] - want[u][1]) < 0.05
+        # listener still sees state-store metrics from the RocksDB run
+        batches = listener.wait_for_batches(1)
+        stateful = [b for b in batches if b["state_operators"]]
+        assert stateful and stateful[-1]["state_operators"][0][
+            "num_rows_total"
+        ] == len(want)
+    finally:
+        listener.detach(spark)
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)
