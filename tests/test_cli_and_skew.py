@@ -367,3 +367,26 @@ def test_cli_snapshot_commands(spark, tmp_path, capsys):
     capsys.readouterr()
     got = [(r.id, r.s) for r in spark.read.parquet(out).collect()]
     assert got == [(1, "x")]
+
+
+def test_session_memo_hits_and_evicts_stale_apps(spark):
+    """functions.memo contract: same key -> same materialized frame
+    (one build), and entries from dead applications are evicted on
+    insert so long-lived processes don't pin stale checkpoints."""
+    from mapreducer_spark.functions import memo
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    a = memo.session_memo(spark, ("memo_test_k",), build)
+    b = memo.session_memo(spark, ("memo_test_k",), build)
+    assert a is b
+    assert len(calls) == 1
+    assert a.count() == 3
+
+    memo._CACHE[("dead-app-id", "x")] = a
+    memo.session_memo(spark, ("memo_test_k2",), lambda: spark.range(1))
+    assert ("dead-app-id", "x") not in memo._CACHE
