@@ -374,7 +374,41 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mean — a shape hash (when is this user active?) that is exact integer
 # arithmetic on both engines (counts are exact doubles; sum order is
 # irrelevant below 2^53).
-_PROFILE_BUCKET_HOURS = (0, 6, 12, 18)
+# ADAPTIVE blocking resolution: any FIXED bucket count is load-factor-
+# quadratic (candidates ~ probes * U^2 / 2^bits), which the 10x scale
+# rehearsal measured directly — 1.9 s at 1.5k users -> 81 s at 15k with
+# the old fixed 4-bit bucket.  Like IVF's nlist or MinHash's band
+# count, the resolution must grow with the corpus: bits =
+# max(4, ceil(log2(U / target_occupancy))), capped at the 24 available
+# hour comparisons.  The correctness gate's fixture (sf0.01, 150
+# users) resolves to 4 bits, so the static oracle below is rendered at
+# the gate's resolution (same pattern as the frozen IVF index oracle);
+# a drift-guard test pins that equality.
+_PROFILE_TARGET_OCCUPANCY = 32
+_GATE_PROFILE_BITS = 4
+
+
+def _profile_bucket_bits(n_users: int) -> int:
+    import math
+
+    return max(
+        4,
+        min(
+            24,
+            math.ceil(
+                math.log2(max(n_users, 1) / _PROFILE_TARGET_OCCUPANCY)
+            ),
+        ),
+    )
+
+
+def _profile_bucket_hours(bits: int) -> tuple[int, ...]:
+    """``bits`` evenly-spaced distinct hours of the 24-dim profile
+    (bits=4 -> (0, 6, 12, 18), the gate resolution)."""
+    return tuple(sorted({(j * 24) // bits for j in range(bits)}))
+
+
+_PROFILE_BUCKET_HOURS = _profile_bucket_hours(_GATE_PROFILE_BITS)
 # Multi-probe masks: own bucket + every Hamming-distance-1 neighbor.
 _PROFILE_PROBE_MASKS = (0, 1, 2, 4, 8)
 
@@ -428,9 +462,15 @@ def user_activity_similarity_blocked(spark: SparkSession, sf_dir: str) -> DataFr
     from pyspark.sql import Window
 
     profiles = _hour_profiles(spark, sf_dir)
+    # Resolution scales with the user count (profiles is checkpointed,
+    # so the count is free); at the gate fixture this is exactly
+    # _GATE_PROFILE_BITS, which is what the static oracle renders.
+    bits = _profile_bucket_bits(profiles.count())
+    hours = _profile_bucket_hours(bits)
+    masks = (0,) + tuple(1 << j for j in range(bits))
     mean_v = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x) / F.lit(24.0)
     bucket = None
-    for j, h in enumerate(_PROFILE_BUCKET_HOURS):
+    for j, h in enumerate(hours):
         bit = F.when(
             F.element_at("v", h + 1) >= mean_v, F.lit(1 << j)
         ).otherwise(F.lit(0))
@@ -442,10 +482,7 @@ def user_activity_similarity_blocked(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("nrm").alias("na"),
         F.explode(
             F.array(
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(m))
-                    for m in _PROFILE_PROBE_MASKS
-                ]
+                *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
             )
         ).alias("probe"),
     )

@@ -278,3 +278,31 @@ def test_md5_int64_cross_engine_battery(spark):
             f"SELECT {oracle_md5_int64('?')}", [s]
         ).fetchone()
         assert got[s] == dh, (s[:40], got[s], dh)
+
+
+def test_profile_bucket_bits_match_gate_resolution(spark, oracle_sf_dir):
+    """Drift guard: the adaptive blocking rule evaluated at the
+    correctness-gate fixture must equal the resolution the static
+    DuckDB oracle is rendered at — if the fixture's user count ever
+    changes enough to move the rule, this fails loudly instead of the
+    gate silently hash-mismatching."""
+    from mapreducer_spark.operators.events_time import (
+        _GATE_PROFILE_BITS,
+        _profile_bucket_bits,
+        _profile_bucket_hours,
+    )
+    from mapreducer_spark.sources import load_table
+
+    n_users = (
+        load_table(spark, oracle_sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert _profile_bucket_bits(n_users) == _GATE_PROFILE_BITS
+    # Rule sanity: monotone, capped, and gate hours unchanged.
+    assert _profile_bucket_hours(4) == (0, 6, 12, 18)
+    assert _profile_bucket_bits(15_000) > _GATE_PROFILE_BITS
+    assert _profile_bucket_bits(10**9) <= 24
+    for b in (4, 6, 9, 24):
+        assert len(_profile_bucket_hours(b)) == b

@@ -51,6 +51,13 @@ SHIFTS = {
     "orders": {"o_orderkey": 1_000_000},
     "lineitem": {"l_orderkey": 1_000_000, "l_partkey": 100_000},
     "documents": {"doc_id": 10_000},
+    # user_id shifts too: ten DISJOINT user populations keep the
+    # per-user event density of sf0.1 (duplicating rows under the same
+    # users would 10x density, not scale — same pitfall as the
+    # identical-text documents).  Copies' users no longer join the
+    # orders custkeys, which is fine: the events-based probe targets
+    # (user-profile similarity, sessionization) are events-only.
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
 }
 
 COPY_AS_IS = [
@@ -59,7 +66,6 @@ COPY_AS_IS = [
     "customer",
     "supplier",
     "part",
-    "events",
     "embeddings",
 ]
 
