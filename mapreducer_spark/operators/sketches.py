@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
 from mapreducer_spark.registry import register
-from mapreducer_spark.sources import load_table
+from mapreducer_spark.sources import fan_out, load_table
 
 _CMS_D = 4  # hash rows
 _CMS_W = 64  # counters per row (< 150 distinct users -> real collisions)
@@ -142,4 +142,198 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("est_cnt").desc(), "user_id")
         .limit(_CMS_TOPN)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (Bloom 1970; the Dolma/RedPajama-style
+# exact-contamination pass at corpus scale).
+# --------------------------------------------------------------------------
+#
+# The bitmap is sized FROM THE DATA — m = bits_per_key * |distinct bench
+# grams| — the real Bloom sizing discipline, and deterministic in both
+# engines, so the oracle hash survives every scale factor.  k=3 with 10
+# bits/key gives a ~1.7% theoretical FP rate ((1-e^{-0.3})^3), low enough
+# to be useful and high enough that false positives actually occur at
+# test scale (~400 of the ~23k train grams at sf0.01), making the
+# one-sided guarantee observable in the output.
+#
+# Words pack 63 bits, not 64: DuckDB's `<<` raises on `1::BIGINT << 63`
+# (sign-bit overflow), so bit indices stay in 0..62 and every word is a
+# non-negative int64 in both engines.
+_BLOOM_K = 3  # hash functions
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_WORD_BITS = 63
+
+
+@register(
+    "bloom_decontamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 3),
+                               i -> array_to_string(t[i:i + 3], ' '))) AS gram
+  FROM toks WHERE len(t) >= 4
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+params AS (SELECT COUNT(*) * {_BLOOM_BITS_PER_KEY} AS m_bits FROM bench),
+rows_j AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j),
+bloom AS (
+  SELECT pos // {_BLOOM_WORD_BITS} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD_BITS} AS INT)) AS word
+  FROM (
+    SELECT {oracle_md5_int64("CAST(r.j AS VARCHAR) || ':' || b.gram")}
+             % p.m_bits AS pos
+    FROM bench b CROSS JOIN rows_j r CROSS JOIN params p
+  )
+  GROUP BY 1
+),
+train AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE source <> 'src0'
+),
+probe AS (
+  SELECT q.doc_id, q.gram,
+         bool_and(
+           (COALESCE(w.word, 0) &
+            (1::BIGINT << CAST(q.pos % {_BLOOM_WORD_BITS} AS INT))) <> 0
+         ) AS in_bloom
+  FROM (
+    SELECT t.doc_id, t.gram,
+           {oracle_md5_int64("CAST(r.j AS VARCHAR) || ':' || t.gram")}
+             % p.m_bits AS pos
+    FROM train t CROSS JOIN rows_j r CROSS JOIN params p
+  ) q
+  LEFT JOIN bloom w ON q.pos // {_BLOOM_WORD_BITS} = w.word_idx
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN p.in_bloom THEN 1 ELSE 0 END) AS BIGINT)
+           AS bloom_hits,
+         CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_hits
+  FROM probe p LEFT JOIN bench b ON p.gram = b.gram
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, bloom_hits, exact_hits,
+       bloom_hits - exact_hits AS fp_grams,
+       bloom_hits >= exact_hits AS no_false_negatives,
+       bloom_hits > 0 AS flagged
+FROM scored
+""",
+    doc="Bloom-filter benchmark decontamination (L4): pack the 'src0' "
+    "benchmark split's distinct word 4-grams into a "
+    f"data-sized bitmap (m = {_BLOOM_BITS_PER_KEY} bits/key, "
+    f"k = {_BLOOM_K} md5-derived hashes, {_BLOOM_WORD_BITS}-bit words "
+    "via bit_or), then probe every distinct training-doc gram against "
+    "the broadcast bitmap and report per-doc bloom hits vs exact "
+    "membership — fp_grams is the overcount the filter absorbed and "
+    "no_false_negatives pins Bloom's one-sided guarantee per row.  "
+    "Scale shape: the bitmap is built from the SMALL bench split and "
+    "broadcasts (10 bits/key: 1M bench grams -> 1.25 MB); the 100 TB "
+    "training corpus is probed map-side (k=3 row expansion, then one "
+    "groupBy per (doc,gram) and one per doc) — the corpus never "
+    "shuffles by gram and never joins the bench set row-for-row, which "
+    "is the entire point of deploying a Bloom filter over the exact "
+    "contamination_ngrams join.",
+    tags=("sketch", "llm", "quality", "dedup"),
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.operators.curation import (
+        _BENCH_SOURCE,
+        _NGRAM,
+        _toks_col,
+        word_ngrams,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", _toks_col().alias("t")
+    )
+    d = d.where(F.size("t") >= _NGRAM)
+    grams = d.select(
+        "doc_id", "source", F.explode(word_ngrams(F.col("t"), _NGRAM)).alias("gram")
+    )
+    bench = grams.where(F.col("source") == _BENCH_SOURCE).select("gram").distinct()
+    params = bench.agg(
+        (F.count(F.lit(1)) * _BLOOM_BITS_PER_KEY).alias("m_bits")
+    )
+    rows_j = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+
+    def positions(side: DataFrame) -> DataFrame:
+        """k bit positions per gram: md5(j:gram) % m_bits."""
+        return (
+            side.crossJoin(F.broadcast(rows_j))
+            .crossJoin(F.broadcast(params))
+            .withColumn(
+                "pos",
+                md5_int64(
+                    F.concat_ws(":", F.col("j").cast("string"), F.col("gram"))
+                )
+                % F.col("m_bits"),
+            )
+        )
+
+    word_of = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+    )
+    bloom = (
+        positions(bench)
+        .select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            word_of.alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+    train = (
+        grams.where(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    probe = (
+        positions(train)
+        .join(
+            F.broadcast(bloom),
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("long") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "gram",
+            ((F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(word_of)) != 0).alias(
+                "bit_set"
+            ),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.bool_and("bit_set").alias("in_bloom"))
+    )
+    scored = (
+        probe.join(
+            F.broadcast(bench.withColumn("is_bench", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("in_bloom").cast("long")).alias("bloom_hits"),
+            F.sum(
+                F.when(F.col("is_bench").isNotNull(), 1).otherwise(0)
+            ).alias("exact_hits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "bloom_hits",
+        "exact_hits",
+        (F.col("bloom_hits") - F.col("exact_hits")).alias("fp_grams"),
+        (F.col("bloom_hits") >= F.col("exact_hits")).alias("no_false_negatives"),
+        (F.col("bloom_hits") > 0).alias("flagged"),
     )
