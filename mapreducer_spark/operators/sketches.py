@@ -166,6 +166,51 @@ _BLOOM_BITS_PER_KEY = 10
 _BLOOM_WORD_BITS = 63
 
 
+def _bloom_rows_j(spark: SparkSession) -> DataFrame:
+    return spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+
+
+def bloom_positions(side: DataFrame, params: DataFrame) -> DataFrame:
+    """k bit positions per row of a `gram` frame: md5(j:gram) % m_bits.
+    ``params`` is the 1-row (m_bits) frame — passed in, not derived, so
+    every cooperating sketch (halves being merged, the probe side) uses
+    the SAME bitmap geometry."""
+    rows_j = _bloom_rows_j(side.sparkSession)
+    return (
+        side.crossJoin(F.broadcast(rows_j))
+        .crossJoin(F.broadcast(params))
+        .withColumn(
+            "pos",
+            md5_int64(F.concat_ws(":", F.col("j").cast("string"), F.col("gram")))
+            % F.col("m_bits"),
+        )
+    )
+
+
+def _bloom_bit():
+    """int64 with only bit (pos % 63) set — built lazily because Column
+    construction needs an active SparkContext."""
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+    )
+
+
+def bloom_bitmap(grams: DataFrame, params: DataFrame) -> DataFrame:
+    """(word_idx, word) bitmap over a `gram` frame: one bit_or groupBy.
+    Mergeable by construction — bit_or of two halves' words equals the
+    whole's words — which is what lets 1000 executors (or 365 daily
+    jobs) each pack their slice and OR the results."""
+    return (
+        bloom_positions(grams, params)
+        .select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            _bloom_bit().alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
 @register(
     "bloom_decontamination",
     oracle=f"""
@@ -264,34 +309,7 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = bench.agg(
         (F.count(F.lit(1)) * _BLOOM_BITS_PER_KEY).alias("m_bits")
     )
-    rows_j = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
-
-    def positions(side: DataFrame) -> DataFrame:
-        """k bit positions per gram: md5(j:gram) % m_bits."""
-        return (
-            side.crossJoin(F.broadcast(rows_j))
-            .crossJoin(F.broadcast(params))
-            .withColumn(
-                "pos",
-                md5_int64(
-                    F.concat_ws(":", F.col("j").cast("string"), F.col("gram"))
-                )
-                % F.col("m_bits"),
-            )
-        )
-
-    word_of = F.expr(
-        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
-    )
-    bloom = (
-        positions(bench)
-        .select(
-            (F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
-            word_of.alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bit").alias("word"))
-    )
+    bloom = bloom_bitmap(bench, params)
 
     train = (
         grams.where(F.col("source") != _BENCH_SOURCE)
@@ -299,7 +317,7 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     probe = (
-        positions(train)
+        bloom_positions(train, params)
         .join(
             F.broadcast(bloom),
             (F.col("pos") / _BLOOM_WORD_BITS).cast("long") == F.col("word_idx"),
@@ -308,9 +326,9 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "gram",
-            ((F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(word_of)) != 0).alias(
-                "bit_set"
-            ),
+            (
+                (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(_bloom_bit())) != 0
+            ).alias("bit_set"),
         )
         .groupBy("doc_id", "gram")
         .agg(F.bool_and("bit_set").alias("in_bloom"))

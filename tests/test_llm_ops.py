@@ -532,6 +532,58 @@ def test_cms_sketch_is_mergeable_and_one_sided(spark, sf_dir):
     assert merged == full
 
 
+def test_bloom_bitmap_is_mergeable_and_one_sided(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from mapreducer_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_decontamination,
+    )
+    from mapreducer_spark.sources import load_table
+
+    rows = bloom_decontamination(spark, sf_dir).collect()
+    assert rows
+    # One-sided guarantee: the filter may overcount, never undercount.
+    assert all(r.no_false_negatives for r in rows)
+    assert all(r.bloom_hits >= r.exact_hits for r in rows)
+    assert all(r.fp_grams == r.bloom_hits - r.exact_hits for r in rows)
+    # The bitmap is sized so FPs exist but stay rare at test scale
+    # (~1.7% theoretical); a saturated bloom (all grams flagged) or a
+    # vacuous one (no FP ever) would both be sizing bugs.
+    total = sum(r.n_grams for r in rows)
+    fp = sum(r.fp_grams for r in rows)
+    assert 0 < fp < 0.1 * total, (fp, total)
+    # Exact contamination must agree with the dedicated exact pass.
+    from mapreducer_spark.operators.curation import contamination_ngrams
+
+    exact = {
+        r.doc_id: r.n_shared_ngrams
+        for r in contamination_ngrams(spark, sf_dir).collect()
+    }
+    assert {r.doc_id: r.exact_hits for r in rows if r.exact_hits > 0} == exact
+
+    # Mergeability: bit-OR of two halves' bitmaps == the whole's bitmap,
+    # PROVIDED both halves share the same (m_bits) geometry — built via
+    # the production bloom_bitmap, not an inline copy.
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    grams = docs.select(
+        SF.explode(
+            SF.filter(
+                SF.split(SF.lower("text"), r"[^\p{L}\p{N}]+"),
+                lambda x: SF.length(x) > 0,
+            )
+        ).alias("gram")
+    ).distinct()
+    params = grams.agg((SF.count(SF.lit(1)) * 10).alias("m_bits"))
+    full = {r.word_idx: r.word for r in bloom_bitmap(grams, params).collect()}
+    lo = bloom_bitmap(grams.where(SF.length("gram") % 2 == 0), params).collect()
+    hi = bloom_bitmap(grams.where(SF.length("gram") % 2 == 1), params).collect()
+    merged = {}
+    for r in [*lo, *hi]:
+        merged[r.word_idx] = merged.get(r.word_idx, 0) | r.word
+    assert merged == full
+
+
 def test_weighted_sample_biases_toward_heavy_orders(spark, sf_dir):
     from mapreducer_spark.operators.reshape import _WRS_N, weighted_sample_orders
     from mapreducer_spark.sources import load_table
