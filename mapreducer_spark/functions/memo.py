@@ -1,7 +1,8 @@
 """Session-scoped DataFrame memoization for shared derived artifacts.
 
 Several query families derive the same intermediate frame (the BPE
-training segmentation, SimHash fingerprints, the co-purchase edge list):
+training segmentation, SimHash fingerprints, the co-purchase edge list,
+the near-dup pair graph and its component labels):
 within one session — the bench, the driver's correctness sweep, a
 notebook — the second consumer should get the materialized frame for
 free instead of re-deriving it.

@@ -230,14 +230,29 @@ SELECT v, comp, n_members FROM (
     tags=("llm", "dedup", "graph"),
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
-    labels = connected_components(pairs, "id_a", "id_b")
+    labels = _neardup_cc_labels(spark, sf_dir)
     from pyspark.sql import Window
 
     w = Window.partitionBy("comp")
     return labels.select(
         "v", "comp", F.count(F.lit(1)).over(w).alias("n_members")
     )
+
+
+def _neardup_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component labels over the near-dup pair graph, memoized per
+    (session, fixture): the iterative label-propagation run (the
+    expensive part — rounds x shuffles) is shared between
+    neardup_clusters and corpus_after_neardup_dedup instead of executed
+    twice.  |V| rows — the cluster-assignment table a production dedup
+    pipeline materializes exactly once."""
+    from mapreducer_spark.functions.memo import session_memo
+
+    def build() -> DataFrame:
+        pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
+        return connected_components(pairs, "id_a", "id_b")
+
+    return session_memo(spark, ("neardup_cc_labels", sf_dir), build)
 
 
 @register(
@@ -299,7 +314,7 @@ SELECT
     tags=("llm", "dedup", "graph"),
 )
 def corpus_after_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = neardup_clusters(spark, sf_dir)
+    clusters = _neardup_cc_labels(spark, sf_dir)
     losers = clusters.where(F.col("v") != F.col("comp")).select(
         F.col("v").alias("doc_id")
     )
