@@ -187,6 +187,19 @@ def bloom_positions(side: DataFrame, params: DataFrame) -> DataFrame:
     )
 
 
+def doc_gram_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, gram) word-n-gram frame over a documents frame —
+    shared by the batch decontamination query and the streaming bloom
+    builder (pure map, so it works unchanged on a streaming frame)."""
+    from mapreducer_spark.operators.curation import _NGRAM, _toks_col, word_ngrams
+
+    d = docs.select("doc_id", "source", _toks_col().alias("t"))
+    d = d.where(F.size("t") >= _NGRAM)
+    return d.select(
+        "doc_id", "source", F.explode(word_ngrams(F.col("t"), _NGRAM)).alias("gram")
+    )
+
+
 def _bloom_bit():
     """int64 with only bit (pos % 63) set — built lazily because Column
     construction needs an active SparkContext."""
@@ -291,20 +304,9 @@ FROM scored
     tags=("sketch", "llm", "quality", "dedup"),
 )
 def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreducer_spark.operators.curation import (
-        _BENCH_SOURCE,
-        _NGRAM,
-        _toks_col,
-        word_ngrams,
-    )
+    from mapreducer_spark.operators.curation import _BENCH_SOURCE
 
-    d = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", _toks_col().alias("t")
-    )
-    d = d.where(F.size("t") >= _NGRAM)
-    grams = d.select(
-        "doc_id", "source", F.explode(word_ngrams(F.col("t"), _NGRAM)).alias("gram")
-    )
+    grams = doc_gram_frame(fan_out(load_table(spark, sf_dir, "documents")))
     bench = grams.where(F.col("source") == _BENCH_SOURCE).select("gram").distinct()
     params = bench.agg(
         (F.count(F.lit(1)) * _BLOOM_BITS_PER_KEY).alias("m_bits")

@@ -627,6 +627,37 @@ class BatchMetricsListener:
         return self.batches
 
 
+def bloom_words_stream(docs: DataFrame, m_bits: int) -> DataFrame:
+    """Streaming twin of the batch Bloom bitmap (operators/sketches.py::
+    bloom_bitmap, same md5 position hashes): pack the benchmark split's
+    word n-grams into the (word_idx, word) bitmap as documents ARRIVE.
+
+    Two deliberate differences from batch, both inherent to streaming:
+    - the geometry is FIXED up front (a stream can't size m_bits from a
+      final gram count — production streaming blooms pre-size for the
+      expected key volume);
+    - no distinct() on grams: Bloom insertion is idempotent (bit_or
+      absorbs duplicates), so with equal m_bits the drained bitmap
+      equals the batch-over-distinct bitmap word for word — parity is
+      exact, not approximate.
+
+    State = the bitmap cells (m_bits/63 rows), constant-size regardless
+    of stream volume; complete-mode output emits the current bitmap
+    each micro-batch, ready to OR with any other day's bitmap."""
+    from mapreducer_spark.operators.curation import _BENCH_SOURCE
+    from mapreducer_spark.operators.sketches import bloom_bitmap, doc_gram_frame
+
+    params = docs.sparkSession.range(1).select(
+        F.lit(m_bits).cast("long").alias("m_bits")
+    )
+    grams = (
+        doc_gram_frame(docs)
+        .where(F.col("source") == _BENCH_SOURCE)
+        .select("gram")
+    )
+    return bloom_bitmap(grams, params)
+
+
 def cms_cells_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of the batch count-min sketch grid
     (operators/sketches.py::cms_cells, same shared cell hash): a plain

@@ -315,6 +315,45 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got.get(base) == 3, got
 
 
+def test_streaming_bloom_bitmap_equals_batch(spark, sf_dir):
+    """The streaming Bloom bitmap (fixed geometry, no distinct — Bloom
+    insertion is idempotent) drained over the documents fixture must
+    equal the batch bitmap built over the DISTINCT bench grams with the
+    same m_bits, word for word."""
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.operators.curation import _BENCH_SOURCE
+    from mapreducer_spark.operators.sketches import (
+        bloom_bitmap,
+        doc_gram_frame,
+    )
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import (
+        bloom_words_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    m_bits = 4096
+    name, q = run_stream_to_memory(
+        bloom_words_stream(read_documents_stream(spark, sf_dir), m_bits)
+    )
+    try:
+        streamed = {r.word_idx: r.word for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    params = spark.range(1).select(F.lit(m_bits).cast("long").alias("m_bits"))
+    bench = (
+        doc_gram_frame(load_table(spark, sf_dir, "documents"))
+        .where(F.col("source") == _BENCH_SOURCE)
+        .select("gram")
+        .distinct()
+    )
+    batch = {r.word_idx: r.word for r in bloom_bitmap(bench, params).collect()}
+    assert streamed == batch
+    assert streamed  # non-vacuous: some words must have bits set
+
+
 def test_streaming_cms_grid_equals_batch(spark, sf_dir):
     """The streaming CMS sketch (constant-size state: the 4 x 64 counter
     grid) drained over the fixture must equal the batch sketch cell for
