@@ -317,6 +317,110 @@ def _blocked_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.join(sa, "id_a").join(sb, "id_b")
 
 
+# Incremental dedup: which docs count as "today's delta" in the test
+# fixture.  mod-7 cuts ~14% of the corpus as new — enough that new-new,
+# new-old and (skipped) old-old pairs all occur at gate scale.
+_INC_NEW_MOD = 7
+_INC_NEW_RES = 3
+
+
+@register(
+    "incremental_neardup_pairs",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+toksets AS (
+  SELECT doc_id,
+         regexp_extract(text, '^[a-z0-9]+') AS block,
+         list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set,
+         (doc_id % {_INC_NEW_MOD} = {_INC_NEW_RES}) AS is_new
+  FROM corpus
+)
+SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+       GREATEST(a.doc_id, b.doc_id) AS id_b,
+       round(
+         CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.tok_set, b.tok_set))), 6
+       ) AS jaccard,
+       CASE WHEN b.is_new THEN 'new_new' ELSE 'new_old' END AS pair_type
+FROM toksets a JOIN toksets b
+  ON a.block = b.block AND a.doc_id <> b.doc_id
+ AND a.is_new AND (NOT b.is_new OR b.doc_id > a.doc_id)
+WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.tok_set, b.tok_set)))
+      >= {_JACCARD_THRESHOLD}
+""",
+    doc="Incremental near-dup dedup — the daily-delta shape (L2): with "
+    f"docs at doc_id % {_INC_NEW_MOD} == {_INC_NEW_RES} playing today's "
+    "ingest, emit every near-dup pair touching a NEW doc (new-new once, "
+    "new-old once) and never compute an old-old pair.  The new slice's "
+    "(block, token) postings join against the FULL posting index, so "
+    "cost is |new| x posting depth, not |corpus|^2 — at 100 TB the "
+    "index is the bucketed posting table the full pass already built, "
+    "and each day's job touches only the delta.  Completeness is "
+    "pinned by a test proving incremental == full-recompute restricted "
+    "to pairs touching new docs.",
+    tags=("llm", "dedup", "neardup", "incremental"),
+)
+def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = (
+        _token_hash_sets(docs_with_near_dups(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.regexp_extract(F.col("text"), "^[a-z0-9]+", 0).alias("block"),
+            "tok_set",
+            (F.col("doc_id") % _INC_NEW_MOD == _INC_NEW_RES).alias("is_new"),
+        )
+        # Materialize once (same rationale as _blocked_pair_overlap):
+        # sizes + both join branches would re-tokenize the corpus.
+        .localCheckpoint(eager=True)
+    )
+    sizes = ts.select("doc_id", F.size("tok_set").alias("sz"))
+    tok_rows = ts.select(
+        "doc_id", "is_new", "block", F.explode("tok_set").alias("h")
+    )
+    n = tok_rows.where("is_new").alias("n")
+    b = tok_rows.alias("b")
+    # New-side postings against the full posting table.  Each qualifying
+    # pair is produced exactly once: new-old pairs only from the new
+    # side; new-new pairs only in (smaller id -> larger id) orientation.
+    inter = (
+        n.join(
+            b,
+            (F.col("n.block") == F.col("b.block"))
+            & (F.col("n.h") == F.col("b.h"))
+            & (F.col("n.doc_id") != F.col("b.doc_id"))
+            & (
+                (~F.col("b.is_new"))
+                | (F.col("b.doc_id") > F.col("n.doc_id"))
+            ),
+        )
+        .groupBy(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("other_id"),
+            F.col("b.is_new").alias("other_new"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(
+        F.col("doc_id").alias("other_id"), F.col("sz").alias("sz_b")
+    )
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "new_id")
+        .join(sb, "other_id")
+        .where(jacc >= _JACCARD_THRESHOLD)
+        .select(
+            F.least("new_id", "other_id").alias("id_a"),
+            F.greatest("new_id", "other_id").alias("id_b"),
+            F.round(jacc, 6).alias("jaccard"),
+            F.when(F.col("other_new"), "new_new")
+            .otherwise("new_old")
+            .alias("pair_type"),
+        )
+    )
+
+
 _CONTAINMENT_THRESHOLD = 0.9
 
 _ORACLE_BLOCKED_PAIRS_CTES = f"""corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),

@@ -532,6 +532,42 @@ def test_cms_sketch_is_mergeable_and_one_sided(spark, sf_dir):
     assert merged == full
 
 
+def test_incremental_neardup_equals_full_recompute_delta(spark, sf_dir):
+    """The incremental pass (new-side postings x full posting index)
+    must find EXACTLY the full recompute's pairs that touch a new doc —
+    same pairs, same Jaccard — and never emit an old-old pair.  This is
+    the contract that lets a daily job replace a full corpus re-pass."""
+    from mapreducer_spark.operators.dedup import (
+        _INC_NEW_MOD,
+        _INC_NEW_RES,
+        incremental_neardup_pairs,
+        neardup_jaccard_blocked,
+    )
+
+    def is_new(doc_id: int) -> bool:
+        return doc_id % _INC_NEW_MOD == _INC_NEW_RES
+
+    inc = {
+        (r.id_a, r.id_b): (r.jaccard, r.pair_type)
+        for r in incremental_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert inc
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in neardup_jaccard_blocked(spark, sf_dir).collect()
+    }
+    expect = {
+        pair: j for pair, j in full.items() if is_new(pair[0]) or is_new(pair[1])
+    }
+    assert {p: j for p, (j, _) in inc.items()} == expect
+    for (a, b), (_, ptype) in inc.items():
+        assert not (not is_new(a) and not is_new(b))  # no old-old
+        assert ptype == ("new_new" if (is_new(a) and is_new(b)) else "new_old")
+    # Both pair types must actually occur at gate scale, or the query
+    # stops exercising the orientation logic.
+    assert {t for _, t in inc.values()} == {"new_new", "new_old"}
+
+
 def test_bloom_bitmap_is_mergeable_and_one_sided(spark, sf_dir):
     from pyspark.sql import functions as SF
 
