@@ -1161,3 +1161,161 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == 1, F.col("c_len")).otherwise(F.lit(0))
         ).alias("kept_tokens"),
     )
+
+
+# Content-defined chunking (LBFS/FastCDC idea at token granularity):
+# a position i is a chunk boundary when the rolling hash of the last
+# _CDC_W tokens ending at i is ≡ 0 (mod _CDC_D) — so boundaries depend
+# only on LOCAL content and re-synchronize a few tokens after any
+# insertion/deletion, where fixed-width chunking (chunk_level_dedup)
+# mis-aligns every chunk downstream of an edit.  Expected chunk length
+# = _CDC_D tokens.
+_CDC_W = 3
+_CDC_D = 8
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, c_text, c_len) content-defined chunks over a
+    (doc_id, text) frame.  Scale shape: boundary flags are computed
+    map-side on the token array (one md5 per token over a W-token
+    window), rows explode NARROW (doc_id, pos, tok, flag), the chunk
+    index is one window prefix-sum shuffle on doc_id, and chunks
+    assemble with one groupBy — O(tokens) shuffle rows, no pairwise
+    stage.  The shift-robustness contract is pinned in
+    tests/test_llm_ops.py against fixed-width chunking."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE), lambda x: F.length(x) > 0
+    )
+    d = docs.select("doc_id", toks.alias("t")).where(F.size("t") > 0)
+    t = F.col("t")
+    # flag_i = 1 when the W-token rolling gram ending at i cuts AFTER i.
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: (
+            md5_int64(
+                F.concat_ws(
+                    " ",
+                    F.slice(t, F.greatest(F.lit(1), i - (_CDC_W - 1)), F.least(F.lit(_CDC_W), i)),
+                )
+            )
+            % _CDC_D
+            == 0
+        ).cast("int"),
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(F.arrays_zip(t, flags.alias("f")))
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        F.col("col.t").alias("tok"),
+        F.col("col.f").alias("flag"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.select(
+        "doc_id",
+        "i",
+        "tok",
+        F.coalesce(F.sum("flag").over(w), F.lit(0)).alias("chunk_idx"),
+    )
+    return chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("c_text"),
+        F.count(F.lit(1)).alias("c_len"),
+    )
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM corpus
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+  FROM toks WHERE len(t) > 0
+),
+flagged_pos AS (
+  SELECT doc_id, i, t[i] AS tok,
+         CASE WHEN {oracle_md5_int64(
+             "array_to_string(t[greatest(1, i - " + str(_CDC_W - 1) + "):i], ' ')"
+         )} % {_CDC_D} = 0 THEN 1 ELSE 0 END AS flag
+  FROM pos
+),
+chunked AS (
+  SELECT doc_id, i, tok,
+         COALESCE(SUM(flag) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM flagged_pos
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         string_agg(tok, ' ' ORDER BY i) AS c_text,
+         COUNT(*) AS c_len
+  FROM chunked GROUP BY doc_id, chunk_idx
+),
+hashed AS (
+  SELECT doc_id, chunk_idx, c_len,
+         {oracle_md5_int64("c_text")} AS h
+  FROM chunks
+),
+ranked AS (
+  SELECT doc_id, c_len,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM hashed
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac,
+       CAST(SUM(CASE WHEN rn = 1 THEN c_len ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM ranked
+GROUP BY doc_id
+""",
+    doc="Sub-document dedup over CONTENT-DEFINED chunks (LBFS/FastCDC "
+    f"at token granularity): cut after any token whose {_CDC_W}-token "
+    f"rolling md5 is 0 mod {_CDC_D} (expected chunk ~{_CDC_D} tokens), "
+    "hash each chunk, keep the first corpus-wide occurrence, report "
+    "per-doc duplication + surviving tokens — same output contract as "
+    "chunk_level_dedup, but boundaries move WITH the content, so an "
+    "insertion near a doc's head re-synchronizes within ~W tokens "
+    "instead of mis-aligning every downstream chunk (asserted against "
+    "fixed-width chunking in tests).  Scale shape: map-side flags, "
+    "narrow explode, one prefix-sum shuffle per doc, one chunk-hash "
+    "shuffle — O(tokens), no pairwise stage.",
+    tags=("llm", "dedup", "text"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    chunks = cdc_chunks(docs_with_near_dups(spark, sf_dir))
+    hashed = chunks.select(
+        "doc_id", "chunk_idx", "c_len", md5_int64(F.col("c_text")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    dup = F.when(F.col("rn") > 1, F.lit(1)).otherwise(F.lit(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup).alias("n_dup_chunks"),
+        F.round(F.sum(dup).cast("double") / F.count(F.lit(1)), 6).alias(
+            "dup_frac"
+        ),
+        F.sum(
+            F.when(F.col("rn") == 1, F.col("c_len")).otherwise(F.lit(0))
+        ).alias("kept_tokens"),
+    )

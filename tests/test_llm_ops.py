@@ -532,6 +532,40 @@ def test_cms_sketch_is_mergeable_and_one_sided(spark, sf_dir):
     assert merged == full
 
 
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The reason content-defined chunking exists: insert two tokens at
+    a doc's HEAD and most CDC chunks survive (boundaries re-synchronize
+    within ~W tokens), while fixed-width chunks all mis-align.  This is
+    the property the cdc_chunk_dedup oracle can't see — the fixture's
+    planted dups are tail-trims, which even fixed chunking handles."""
+    import random
+
+    from mapreducer_spark.operators.dedup import _DCHUNK_W, cdc_chunks
+
+    rng = random.Random(5)
+    base = [f"w{rng.randrange(500)}" for _ in range(120)]
+    shifted = ["zzz", "qqq"] + base
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(shifted))], "doc_id long, text string"
+    )
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.c_text)
+    shared_cdc = len(got[1] & got[2]) / len(got[1])
+
+    def fixed(toks):
+        return {
+            " ".join(toks[i : i + _DCHUNK_W])
+            for i in range(0, len(toks), _DCHUNK_W)
+        }
+
+    shared_fixed = len(fixed(base) & fixed(shifted)) / len(fixed(base))
+    assert shared_cdc >= 0.6, (shared_cdc, shared_fixed)
+    assert shared_cdc > shared_fixed
+    # Fixed-width chunking loses essentially everything on a head shift.
+    assert shared_fixed <= 0.2
+
+
 def test_incremental_neardup_equals_full_recompute_delta(spark, sf_dir):
     """The incremental pass (new-side postings x full posting index)
     must find EXACTLY the full recompute's pairs that touch a new doc —
