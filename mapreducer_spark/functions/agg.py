@@ -16,7 +16,16 @@ from pyspark.sql import functions as F
 
 
 def dec_sum(col: Column | str, scale: int = 2) -> Column:
-    """SUM(CAST(x AS DECIMAL(18,scale))) :: DOUBLE — order-independent."""
+    """SUM(CAST(x AS DECIMAL(18,scale))) :: DOUBLE — order-independent.
+
+    Cross-engine caveat (found by tools/oracle_at_scale.py): the final
+    decimal->double cast is only guaranteed identical across engines
+    while the sum's UNSCALED value (|sum| * 10^scale) stays below 2^53;
+    past that, Spark (BigDecimal.doubleValue) and DuckDB (int128 path)
+    can split by 1 ulp.  At scale=2 that is |sum| < ~9e13 — far above
+    every fixture — but a query whose sum can cross it should ROUND the
+    exact decimal down to a smaller scale before the cast (see
+    pricing_summary's sum_charge)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 

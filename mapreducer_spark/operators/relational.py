@@ -37,9 +37,9 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)          AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)     AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)
                                                                   AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE)
                                                                   AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
@@ -49,7 +49,13 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
-    doc="TPC-H Q1 analogue: wide aggregate over lineitem (map-side partial agg, one shuffle).",
+    doc="TPC-H Q1 analogue: wide aggregate over lineitem (map-side "
+    "partial agg, one shuffle).  The high-scale sums (disc_price s=4, "
+    "charge s=6) ROUND the exact decimal to 2 dp BEFORE the double "
+    "cast: past ~1e10 the s=6 unscaled sum exceeds 2^53 and the "
+    "decimal->double cast double-rounds DIFFERENTLY per engine (1-ulp "
+    "split, caught by tools/oracle_at_scale.py at the 10x fixture); "
+    "rounding first keeps the cast exact to |sum| ~ 2^51.",
     tags=("agg",),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,8 +68,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dec_sum("l_quantity").alias("sum_qty"),
             dec_sum("l_extendedprice").alias("sum_base_price"),
-            dec_sum(disc_price, 4).alias("sum_disc_price"),
-            dec_sum(charge, 6).alias("sum_charge"),
+            F.round(F.sum(disc_price.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_charge"),
             dec_avg("l_quantity").alias("avg_qty"),
             dec_avg("l_extendedprice").alias("avg_price"),
             dec_avg("l_discount").alias("avg_disc"),

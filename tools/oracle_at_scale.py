@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Correctness at scale: run the DuckDB oracle gate against the 10x
+synthetic fixture (tools/gen_scale10.py, ~8.6M rows total).
+
+The driver's gate proves hash-equality at sf0.01; the scaling probe
+proves WALL-TIME behaves to 1000x rows.  This closes the remaining gap —
+the ANSWERS are also scale-independent: no overflow, no skew-guard
+branch (e.g. the adaptive LSH bit resolution), no sampling shortcut
+changes a result when the data grows 100x past the gate scale.
+
+Picks cover every operator family whose plan CHANGES behavior with
+scale (adaptive LSH bits, AQE skew handling, broadcast-vs-shuffle
+switches) plus the newest round's operators.  Queries whose oracle
+embeds frozen gate-scale artifacts (IVF/PQ centroid literals) are
+excluded by design — their index is fixture-versioned.
+
+Usage: python tools/oracle_at_scale.py [query ...]
+Prints one JSON line per query and writes nothing else; commit the
+output alongside the probe JSONLs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreducer_spark.registry import all_queries  # noqa: E402
+from mapreducer_spark.session import get_spark  # noqa: E402
+from tests.oracle import assert_matches_oracle  # noqa: E402
+
+SCALE10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale10",
+    "sf1",
+)
+
+DEFAULT_PICKS = [
+    "word_count",
+    "pricing_summary",
+    "nation_revenue",
+    "events_sliding_hourly",
+    "contamination_ngrams",
+    "neardup_jaccard_blocked",
+    "dedup_minhash_lsh_md5",
+    # neardup_clusters / corpus_after_neardup_dedup are excluded for
+    # ORACLE cost, not Spark cost: DuckDB re-inlines the (minutes-long
+    # at 10x) pair CTE into every recursive-closure step.  Their Spark
+    # side is scale-probed in tools/probe_sweep2_r6.jsonl instead.
+    "bloom_decontamination",
+    "cdc_chunk_dedup",
+    "incremental_neardup_pairs",
+    # user_activity_similarity_blocked is excluded like the IVF/PQ
+    # queries: its oracle is rendered at the GATE's 4-bit LSH
+    # resolution while the Spark side adapts bits to the user count,
+    # so at 10x the candidate sets (and recall) legitimately differ.
+    "customer_spend_distribution",
+    "cms_heavy_hitters",
+    "salted_user_event_counts",
+    "rapid_event_pairs",
+    "top_orders_per_customer",
+]
+
+
+def main() -> None:
+    if not os.path.isdir(SCALE10):
+        raise SystemExit(
+            f"{SCALE10} missing — run `python tools/gen_scale10.py` first"
+        )
+    picks = sys.argv[1:] or DEFAULT_PICKS
+    spark = get_spark(
+        app_name="oracle-at-scale",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_PROBE_MEM", "24g"
+            )
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    for name in picks:
+        t0 = time.perf_counter()
+        try:
+            assert_matches_oracle(spark, qs[name], SCALE10)
+            status = "MATCH"
+        except AssertionError as exc:
+            status = f"MISMATCH: {str(exc)[:200]}"
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf": "10x-sf0.1",
+                    "status": status,
+                    "sec": round(time.perf_counter() - t0, 1),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
