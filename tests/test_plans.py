@@ -273,11 +273,18 @@ def test_md5_int64_cross_engine_battery(spark):
     )
     got = {r.s: r.h for r in sdf.collect()}
     con = duckdb.connect()
+    import hashlib
+
     for s in corpus:
         (dh,) = con.execute(
             f"SELECT {oracle_md5_int64('?')}", [s]
         ).fetchone()
         assert got[s] == dh, (s[:40], got[s], dh)
+        # Third, engine-independent leg: top-15 hex digits of RFC-1321
+        # md5 over UTF-8 — if both engines ever agreed on a WRONG
+        # value (shared quirk), this still catches it.
+        py = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[s] == py, (s[:40], got[s], py)
 
 
 def test_profile_bucket_bits_match_gate_resolution(spark, oracle_sf_dir):
