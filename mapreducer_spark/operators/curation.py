@@ -307,7 +307,7 @@ scored AS (
 SELECT doc_id,
        COUNT(*) AS n_tokens,
        round(CAST(SUM(CAST(llr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
-         AS dsir_weight
+         + 0.0 AS dsir_weight
 FROM scored
 GROUP BY doc_id
 """,
@@ -350,9 +350,17 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(llr.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
-                4,
+            # + 0.0 canonicalizes IEEE negative zero: near-zero negative
+            # averages round to -0.0 in DuckDB but 0.0 in Spark, and the
+            # gate's stringified hash tells them apart (first seen at
+            # the 10x fixture via tools/oracle_at_scale.py).
+            (
+                F.round(
+                    F.sum(llr.cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("dsir_weight"),
         )
     )
@@ -538,7 +546,10 @@ scored AS (
   FROM feats GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       ROUND(CAST(s AS DOUBLE) / ({_QC_WSCALE}.0 * n_tokens), 6) AS logit,
+       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+            * ((abs(s) * 2000000 + {_QC_WSCALE} * n_tokens)
+               // (2 * {_QC_WSCALE} * n_tokens)) AS DOUBLE) / 1000000.0
+         AS logit,
        ROUND(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE)
              / ({_QC_WSCALE}.0 * n_tokens)))), 6) AS score,
        CAST(s AS DOUBLE) / ({_QC_WSCALE}.0 * n_tokens) > 0 AS keep
@@ -578,10 +589,22 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("s")
     )
     logit = F.col("s").cast("double") / (F.lit(float(_QC_WSCALE)) * F.col("n_tokens"))
+    # The reported 6-dp logit rounds the exact rational s/(512n) in pure
+    # INTEGER arithmetic (half away from zero): the exact value can land
+    # on a 5e-7 tie (e.g. 828/12800 = 0.0646875), where Spark's
+    # round-the-shortest-repr and DuckDB's round-the-binary semantics
+    # split by one last digit — caught at the 10x fixture by
+    # tools/oracle_at_scale.py.  Integer div is truncation on the
+    # non-negative operands in both engines, so the result is identical
+    # by construction; the /1e6 cast is exact (|logit6| <= 2e6 << 2^53).
+    logit6 = F.when(F.col("s") < 0, -1).otherwise(1) * F.expr(
+        f"(abs(s) * 2000000 + {_QC_WSCALE} * n_tokens) "
+        f"div (2 * {_QC_WSCALE} * n_tokens)"
+    )
     return scored.select(
         "doc_id",
         "n_tokens",
-        F.round(logit, 6).alias("logit"),
+        (logit6.cast("double") / F.lit(1000000.0)).alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
         (logit > 0).alias("keep"),
     )

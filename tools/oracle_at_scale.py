@@ -10,9 +10,21 @@ changes a result when the data grows 100x past the gate scale.
 
 Picks cover every operator family whose plan CHANGES behavior with
 scale (adaptive LSH bits, AQE skew handling, broadcast-vs-shuffle
-switches) plus the newest round's operators.  Queries whose oracle
-embeds frozen gate-scale artifacts (IVF/PQ centroid literals) are
-excluded by design — their index is fixture-versioned.
+switches) plus the newest round's operators.  Excluded by design:
+- queries whose oracle embeds frozen gate-scale artifacts (IVF/PQ
+  centroid literals) — the index is fixture-versioned;
+- approx_price_quantiles: Spark's GK sketch is EXACT while n <= its
+  accuracy parameter (true at every gate fixture) and honestly
+  approximate beyond it, so at 10x it diverges from DuckDB's exact
+  quantiles by ~0.01% — the sketch working as specified, not a bug.
+
+Findings to date (all fixed, each invisible at gate scale):
+- pricing_summary sum_charge: decimal->double cast splits 1 ulp across
+  engines once the unscaled sum passes 2^53 (fix: round the decimal
+  before the cast);
+- dsir_importance: near-zero negative averages round to -0.0 in DuckDB
+  vs 0.0 in Spark and the stringified hash tells them apart (fix:
+  + 0.0 canonicalization).
 
 Usage: python tools/oracle_at_scale.py [query ...]
 Prints one JSON line per query and writes nothing else; commit the
