@@ -730,21 +730,23 @@ WITH flat AS (
   SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS val
   FROM embeddings, range(1, 1000) t(pos)
   WHERE t.pos <= len(embedding)
-),
-agg AS (
-  SELECT label, pos,
-    round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS m,
-    COUNT(*) AS n
-  FROM flat GROUP BY label, pos
 )
-SELECT label, MAX(n) AS n_vectors, list(m ORDER BY pos) AS centroid
-FROM agg GROUP BY label
+SELECT label, CAST(pos AS BIGINT) AS pos,
+  round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+    AS centroid_val,
+  COUNT(*) AS n_vectors
+FROM flat GROUP BY label, pos
 """,
     doc="Mean embedding per label — the distributed vector-mean that "
     "seeds IVF/k-means coarse quantizers. posexplode -> per-(label, "
-    "dimension) decimal-exact mean -> re-assemble ordered array; shuffle "
-    "rows are (label, pos, partial sum), never whole vectors. Rounded at "
-    "6dp so the cross-engine float->double expansion agrees.",
+    "dimension) decimal-exact mean; shuffle rows are (label, pos, "
+    "partial sum), never whole vectors. Rounded at 6dp so the "
+    "cross-engine float->double expansion agrees.  Output is one row "
+    "per (label, dimension) — scalar columns only, never a re-assembled "
+    "array<double>: complex-typed result columns are banned from "
+    "declared queries because the driver's canonicalizer cannot hash "
+    "list cells (VERDICT r6 #2); a consumer re-assembles with "
+    "collect_list over pos when it needs the vector form.",
     tags=("llm", "similarity", "vector"),
 )
 def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,23 +755,16 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("embedding").alias("pos0", "valf")
     ).select(
         "label",
-        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") + 1).cast("long").alias("pos"),
         F.col("valf").cast("double").alias("val"),
     )
-    agg = flat.groupBy("label", "pos").agg(
+    return flat.groupBy("label", "pos").agg(
         F.round(
             F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
             / F.count(F.lit(1)),
             6,
-        ).alias("m"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return agg.groupBy("label").agg(
-        F.max("n").alias("n_vectors"),
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "m"))),
-            lambda s: s.getField("m"),
-        ).alias("centroid"),
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 

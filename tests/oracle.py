@@ -73,6 +73,33 @@ def _normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def assert_scalar_schema(name: str, df) -> None:
+    """Reject array/map/struct-typed result columns in a declared query.
+
+    The driver's canonicalizer (pandas sort_values/factorize over
+    stringified cells) throws ``TypeError: unhashable type: 'list'`` on a
+    complex-typed column — the query reds out as ``err`` with no hash
+    comparison at all (the round-6 ``inverted_index_rare_terms`` row).
+    The local gate used to canonicalize lists to tuples and pass, which
+    made it LAXER than the driver's; ban the whole class here instead,
+    same pattern as the HUGEINT rejection below.  Queries that compute a
+    list (posting lists, centroids) must flatten it — ``array_join`` to
+    a string, or explode to one row per element.
+    """
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed result column(s) {complex_cols} "
+        "(array/map/struct) — the driver's hash harness cannot "
+        "canonicalize them; flatten with array_join() or explode"
+    )
+
+
 def run_spark(df) -> tuple[list[str], list[tuple]]:
     cols = df.columns
     rows = [tuple(r) for r in df.collect()]
@@ -97,13 +124,28 @@ def run_duck(con, sql: str) -> tuple[list[str], list[tuple]]:
         f"oracle result has HUGEINT column(s) {hugeint}; "
         "wrap the aggregate in CAST(... AS BIGINT)"
     )
+    # Same class of driver-hash hazard as HUGEINT: complex-typed oracle
+    # columns (LIST/STRUCT/MAP) can't be canonicalized by the driver's
+    # pandas harness.  The Spark side is checked by assert_scalar_schema;
+    # ban the oracle side symmetrically so a drift can't hide.
+    complex_cols = [
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if any(k in str(t).upper() for k in ("[]", "LIST", "STRUCT", "MAP"))
+    ]
+    assert not complex_cols, (
+        f"oracle result has complex-typed column(s) {complex_cols}; "
+        "flatten with array_to_string() or UNNEST"
+    )
     return list(rel.columns), rel.fetchall()
 
 
 def assert_matches_oracle(spark, query, sf_dir: str, max_report: int = 5) -> None:
     """query: a registry.Query with fn + oracle."""
     assert query.oracle is not None, f"{query.name}: no oracle SQL declared"
-    scols, srows = run_spark(query.fn(spark, sf_dir))
+    sdf = query.fn(spark, sf_dir)
+    assert_scalar_schema(query.name, sdf)
+    scols, srows = run_spark(sdf)
     con = duck_connection(sf_dir)
     try:
         dcols, drows = run_duck(con, query.oracle)

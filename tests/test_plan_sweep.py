@@ -33,3 +33,20 @@ def test_plan_invariants(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, (
         f"{name} uses row-at-a-time Python eval"
     )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_complex_typed_result_columns(spark, sf_dir, name):
+    """Registry-wide: no declared query may emit array/map/struct columns.
+
+    The driver's value-hash canonicalizer cannot hash list cells — a
+    complex-typed output column is a guaranteed ``err`` row the first
+    time the driver samples the query (the round-6
+    ``inverted_index_rare_terms`` red row, and the latent
+    ``embedding_centroid_per_label`` copy of it).  Asserting over the
+    whole registry makes the defect class structurally dead: a new query
+    with an un-flattened list output fails here before it ships.
+    """
+    from tests.oracle import assert_scalar_schema
+
+    assert_scalar_schema(name, QUERIES[name].fn(spark, sf_dir))
