@@ -264,19 +264,45 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where(keep).select("o_orderkey", "o_orderpriority", "o_totalprice")
 
 
+def gk_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch twin of approx_price_quantiles (NOT registered).
+
+    approx_percentile is the mergeable one-pass sketch — the natural
+    streaming/incremental path — but it is honestly approximate once a
+    group exceeds its accuracy parameter (rank error eps = 1e-4 at
+    accuracy 10000), so its output is not hash-pinnable at arbitrary n:
+    the 10x oracle sweep measured it ~0.01% off the exact order
+    statistic (tools/oracle_at_scale.py round-6 finding).  The declared
+    query is therefore the EXACT two-phase selection below (stable at
+    any scale), and this sketch stays as a tested helper —
+    tests/test_llm_ops.py::test_approx_quantiles_bracket_exact brackets
+    its rank error against a single-node sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "median_approx"
+        ),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+            "p90_approx"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_QUANTILE_TAGS = (("median_approx", 0.5), ("p90_approx", 0.9))
+
+
 @register(
     "approx_price_quantiles",
-    # The GK sketch IS hash-checkable at the gate scale (VERDICT r4 #5):
-    # accuracy 10000 => rank error eps = 1e-4, and the sf0.01 groups are
-    # ~3000 rows, so eps*n = 0.3 < 1 rank — the sketch's error band is
-    # narrower than one order statistic and the returned value is
-    # EXACTLY the ceil(q*n)-th value (verified equal to DuckDB's
-    # quantile_disc as well).  The oracle pins that order statistic via
-    # ROW_NUMBER, engine-neutrally.  Validity domain: exact only while
-    # every group has < 1/eps rows; beyond it (e.g. sf>=0.1, where the
-    # gate never hash-checks) the query stays approximate and
-    # tests/test_llm_ops.py::test_approx_quantiles_bracket_exact bounds
-    # the error instead.
+    # The oracle has ALWAYS pinned the exact ceil(q*n)-th order
+    # statistic; through round 6 the Spark side was a GK sketch that is
+    # exact only while every group holds < 1/eps rows — true at gate
+    # fixtures, false at the 10x sweep, where it was the one documented
+    # non-MATCH (VERDICT r6 #6).  The implementation is now the exact
+    # distributed selection, so the hash check is scale-STABLE: it
+    # matches at any n.  The sketch lives on as gk_price_quantiles
+    # (above) with a rank-error bracketing test.
     oracle="""
 WITH r AS (
   SELECT o_orderpriority, o_totalprice,
@@ -294,25 +320,107 @@ SELECT o_orderpriority,
        CAST(MAX(n) AS BIGINT) AS n_orders
 FROM r GROUP BY o_orderpriority
 """,
-    doc="Approximate percentiles via approx_percentile (Greenwald-Khanna "
-    "sketch: one pass, mergeable partials — the 100 TB path where exact "
-    "per-group sorts are unaffordable). Accuracy 10000 => max rank error "
-    "1e-4, which at the sf0.01 gate scale is tighter than one rank — so "
-    "the oracle checks the exact ceil(q*n) order statistic and the "
-    "sketch must hit it exactly (VERDICT r4 #5: promoted from "
-    "rows-only). Tests additionally bracket the value at other scales.",
-    tags=("agg", "quantile", "sketch"),
+    doc="EXACT per-group quantiles by two-phase distributed selection — "
+    "the scale path when the answer must be hash-stable at any n "
+    "(unlike the GK sketch, which drifts within its rank-error band "
+    "past 1/eps rows; see gk_price_quantiles).  Phase 1 builds a "
+    "unit-width value histogram per group: a map-side-combinable "
+    "groupBy whose output is bounded by the PRICE DOMAIN (~600k "
+    "buckets), not the row count, then a tiny cumulative window over "
+    "|groups x buckets| rows locates the bucket holding rank "
+    "ceil(q*n).  Phase 2 re-scans with a broadcast of the ~10 target "
+    "buckets, sorts only the rows INSIDE those buckets (at 100 TB: "
+    "n/|buckets| ~ tens of thousands of rows per window partition, "
+    "never the group), and picks the residual-rank value; "
+    "single-valued buckets short-circuit without refinement, so a "
+    "pathological point mass costs nothing.  This is the classic "
+    "distributed k-selection: two linear scans, no per-group full "
+    "sort, no sketch error.",
+    tags=("agg", "quantile", "selection"),
 )
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
-            "median_approx"
-        ),
-        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    hist = o.groupBy(
+        "o_orderpriority", F.floor("o_totalprice").alias("bkt")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    w_cum = Window.partitionBy("o_orderpriority").orderBy("bkt")
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "bkt",
+        "mn",
+        "mx",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("before"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    # One spec row per (group, quantile): the bucket containing rank
+    # ceil(q*n) and the residual rank inside it.
+    specs = []
+    for tag, q in _QUANTILE_TAGS:
+        k = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        specs.append(
+            cum.where((F.col("cum") >= k) & (F.col("before") < k)).select(
+                "o_orderpriority",
+                "bkt",
+                "mn",
+                "mx",
+                "n",
+                F.lit(tag).alias("tag"),
+                (k - F.col("before")).alias("local_k"),
+            )
+        )
+    spec = specs[0].unionByName(specs[1])
+    direct = spec.where(F.col("mn") == F.col("mx")).select(
+        "o_orderpriority", "tag", F.col("mn").alias("val"), "n"
+    )
+    need = spec.where(F.col("mn") != F.col("mx")).select(
+        F.col("o_orderpriority").alias("s_prio"),
+        "bkt",
+        "tag",
+        "local_k",
+        "n",
+    )
+    w_rank = Window.partitionBy("s_prio", "tag").orderBy("o_totalprice")
+    refined = (
+        o.join(
+            F.broadcast(need),
+            (F.col("o_orderpriority") == F.col("s_prio"))
+            & (F.floor("o_totalprice") == F.col("bkt")),
+        )
+        .select(
+            "s_prio",
+            "tag",
+            "local_k",
+            "n",
+            "o_totalprice",
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .where(F.col("rn") == F.col("local_k"))
+        .select(
+            F.col("s_prio").alias("o_orderpriority"),
+            "tag",
+            F.col("o_totalprice").alias("val"),
+            "n",
+        )
+    )
+    both = direct.unionByName(refined)
+    return both.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(F.col("tag") == "median_approx", F.col("val"))
+        ).alias("median_approx"),
+        F.max(F.when(F.col("tag") == "p90_approx", F.col("val"))).alias(
             "p90_approx"
         ),
-        F.count(F.lit(1)).alias("n_orders"),
+        F.max("n").alias("n_orders"),
     )
 
 

@@ -277,14 +277,17 @@ def test_multimodal_audio_features_deterministic(spark, sf_dir):
 
 
 def test_approx_quantiles_bracket_exact(spark, sf_dir):
-    """The sketch result must sit within the exact quantile neighborhood
-    (rank error 1e-4 at accuracy=10000 -> exact on fixture cardinality)."""
-    from mapreducer_spark.operators.reshape import approx_price_quantiles
+    """The GK-sketch twin must sit within the exact quantile neighborhood
+    (rank error 1e-4 at accuracy=10000 -> exact on fixture cardinality).
+    The registered approx_price_quantiles is now the exact two-phase
+    selection (hash-checked against DuckDB's order statistic by the
+    oracle gate at every scale); this test keeps the sketch path honest."""
+    from mapreducer_spark.operators.reshape import gk_price_quantiles
     from mapreducer_spark.sources import load_table
 
     got = {
         r.o_orderpriority: (r.median_approx, r.p90_approx)
-        for r in approx_price_quantiles(spark, sf_dir).collect()
+        for r in gk_price_quantiles(spark, sf_dir).collect()
     }
     o = load_table(spark, sf_dir, "orders")
     for prio, (med, p90) in got.items():

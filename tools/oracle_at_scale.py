@@ -12,11 +12,11 @@ Picks cover every operator family whose plan CHANGES behavior with
 scale (adaptive LSH bits, AQE skew handling, broadcast-vs-shuffle
 switches) plus the newest round's operators.  Excluded by design:
 - queries whose oracle embeds frozen gate-scale artifacts (IVF/PQ
-  centroid literals) — the index is fixture-versioned;
-- approx_price_quantiles: Spark's GK sketch is EXACT while n <= its
-  accuracy parameter (true at every gate fixture) and honestly
-  approximate beyond it, so at 10x it diverges from DuckDB's exact
-  quantiles by ~0.01% — the sketch working as specified, not a bug.
+  centroid literals) — the index is fixture-versioned.
+(approx_price_quantiles was excluded through r6 because the GK sketch
+is honestly approximate past its accuracy param; round 7 replaced the
+implementation with exact two-phase distributed selection, so it now
+hash-matches at any scale and is back in the sweep.)
 
 Findings to date (all fixed, each invisible at gate scale):
 - pricing_summary sum_charge: decimal->double cast splits 1 ulp across
@@ -69,6 +69,7 @@ DEFAULT_PICKS = [
     # queries: its oracle is rendered at the GATE's 4-bit LSH
     # resolution while the Spark side adapts bits to the user count,
     # so at 10x the candidate sets (and recall) legitimately differ.
+    "approx_price_quantiles",
     "customer_spend_distribution",
     "cms_heavy_hitters",
     "salted_user_event_counts",
