@@ -22,8 +22,28 @@ bigger input the right way for graph/dedup semantics:
 - document doc_id shift (10k per copy) stays far below the synthesized
   near-dup variant offsets (+1M / +3M in operators/dedup.py), so the
   variant id spaces of different copies never collide.
+- embeddings are replicated 10x with a PER-COPY RANDOM ROTATION
+  (seeded orthogonal Q_k via QR of a Gaussian; copy 0 = identity) and
+  vec_id shifted 10k per copy (far below the +1M synthesized-variant
+  id space in operators/similarity.py).  A rotation preserves every
+  WITHIN-copy pairwise cosine exactly — sf0.1's near-dup/cluster
+  density carries over per copy — while cross-copy similarities become
+  ~N(0, 1/d) noise, so no spurious cross-copy near-dups (the embedding
+  analog of the letter-rotated text; naive byte-copying was why the
+  similarity family was excluded from the 10x oracle program through
+  round 6: the vectors carried no new information).  Per-copy
+  perturb-with-noise was rejected: renormalized additive noise scales
+  EVERY within-copy cosine by ~1/(1+sigma^2 d), destroying the density
+  the rehearsal is supposed to preserve.
 - every other table is byte-copied; they are dimension-sized and not on
   the probed operators' hot paths.
+
+After regenerating, re-freeze the sf1 ANN indexes (the fingerprint
+guard will otherwise refuse to serve/render oracles for the changed
+fixture):
+
+    python tools/train_ivf_index.py  /root/repo/.scale10/sf1
+    python tools/train_pq_codebooks.py /root/repo/.scale10/sf1
 
 Output (default /root/repo/.scale10/sf1) is a full fixture dir readable
 by load_table, so tools/scaling_probe.py picks it up as a 4th scale.
@@ -66,8 +86,50 @@ COPY_AS_IS = [
     "customer",
     "supplier",
     "part",
-    "embeddings",
 ]
+
+EMB_SEED = 20260814
+EMB_ID_SHIFT = 10_000
+
+
+def write_rotated_embeddings(out: str) -> int:
+    """10x embeddings: per-copy seeded random rotation + disjoint ids."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_id = src.column("vec_id").to_numpy()
+    label = src.column("label").to_numpy()
+    emb = np.asarray(src.column("embedding").to_pylist(), dtype=np.float64)
+    d = emb.shape[1]
+    rng = np.random.default_rng(EMB_SEED)
+    parts = []
+    for k in range(COPIES):
+        if k == 0:
+            rot = emb
+        else:
+            q, r = np.linalg.qr(rng.standard_normal((d, d)))
+            # Sign-fix so Q is unique given the Gaussian draw (QR sign
+            # ambiguity would otherwise make regeneration BLAS-dependent
+            # in more than ULPs).
+            q = q * np.sign(np.diag(r))
+            rot = emb @ q
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(vec_id + k * EMB_ID_SHIFT, pa.int64()),
+                    "embedding": pa.array(
+                        [row for row in rot.astype(np.float32)],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(label, pa.int32()),
+                }
+            )
+        )
+    table = pa.concat_tables(parts)
+    pq.write_table(table, f"{out}/embeddings.parquet", compression="zstd")
+    return table.num_rows
 
 
 def main() -> None:
@@ -101,7 +163,14 @@ def main() -> None:
     for table in COPY_AS_IS:
         shutil.copyfile(f"{SRC}/{table}.parquet", f"{out}/{table}.parquet")
         print(f"{table}: copied")
+    n = write_rotated_embeddings(out)
+    print(f"embeddings: {n} rows (9 rotated copies + identity)")
     print(f"wrote {out}")
+    print(
+        "NOTE: re-freeze the sf1 ANN indexes now — "
+        "python tools/train_ivf_index.py /root/repo/.scale10/sf1 && "
+        "python tools/train_pq_codebooks.py /root/repo/.scale10/sf1"
+    )
 
 
 if __name__ == "__main__":

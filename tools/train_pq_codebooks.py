@@ -58,8 +58,17 @@ def main() -> None:
     dirs = sys.argv[1:] or _DEFAULT_DIRS
     spark = get_spark(app_name="pq-train", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("WARN")
+    # Merge into the existing artifact: training ONE fixture must not
+    # drop the other fixtures' keys.
     books: dict[str, list[list[list[float]]]] = {}
     fingerprints: dict[str, str] = {}
+    try:
+        with open(_OUT) as f:
+            books = json.load(f)
+        with open(_FP_OUT) as f:
+            fingerprints = json.load(f)
+    except (OSError, ValueError):
+        pass
     for d in dirs:
         key = os.path.basename(d.rstrip("/"))
         em = load_table(spark, d, "embeddings").select(
