@@ -119,12 +119,19 @@ class KvLinesWriter(DataSourceWriter):
     file with no atomicity; this is the distributed restatement).
 
     Mode semantics (commit-time, driver-side, after every task succeeded):
-    ``overwrite`` removes the previous generation's part files before
-    renaming the new set in — without that, a rewrite with fewer
-    partitions would leave stale part-NNNNN.txt files that readers merge
-    with the new data.  ``append`` names each generation's part files
-    with a unique run suffix so successive appends can never clobber an
-    earlier generation's files."""
+    every generation's part files carry a unique run suffix
+    (``part-NNNNN-<run>.txt``), so a commit can never clobber an earlier
+    generation's files.  ``append`` just renames the new set in.
+    ``overwrite`` renames the new generation in FIRST and deletes the
+    previous generation's files LAST — a driver crash mid-commit leaves
+    a superset (old + new merged) rather than an empty or truncated
+    table, and the previous generation is never gone before the new one
+    is fully visible.  Remaining non-atomic window, by design: a reader
+    listing the directory between the first new rename and the last old
+    delete merges both generations; a true point-in-time swap needs a
+    manifest layer — that's exactly what sources/snapshots.py adds on
+    top (commit = one O_EXCL manifest create), so use snapshot_write
+    when readers must never observe the transition."""
 
     def __init__(self, options: dict, overwrite: bool = False) -> None:
         self.root = options["path"]
@@ -151,15 +158,25 @@ class KvLinesWriter(DataSourceWriter):
     def commit(self, messages: list[WriterCommitMessage]) -> None:
         import uuid
 
+        run = uuid.uuid4().hex[:8]
         if self.overwrite:
-            for name in os.listdir(self.root):
-                if name.startswith("part-") and name.endswith(".txt"):
-                    os.remove(os.path.join(self.root, name))
+            stale = [
+                name
+                for name in os.listdir(self.root)
+                if name.startswith("part-") and name.endswith(".txt")
+            ]
+            # New generation IN first (unique run suffix: cannot collide
+            # with the stale set), stale generation OUT last — a crash
+            # in between leaves old+new merged, never an empty table.
             for i, m in enumerate(messages):
-                final = os.path.join(self.root, f"part-{i:05d}.txt")
+                final = os.path.join(self.root, f"part-{i:05d}-{run}.txt")
                 os.replace(m.path, final)
+            for name in stale:
+                try:
+                    os.remove(os.path.join(self.root, name))
+                except OSError:
+                    pass  # concurrent overwrite already removed it
         else:
-            run = uuid.uuid4().hex[:8]
             for i, m in enumerate(messages):
                 final = os.path.join(self.root, f"part-{i:05d}-{run}.txt")
                 os.replace(m.path, final)

@@ -19,8 +19,13 @@ METADATA COMMIT over immutable data generations:
   the table is partially visible.
 - Readers pin a version for time travel (``version=N``) or take the
   latest.  Every historical version stays readable until expired.
+- ``op="append"`` versions list the head's generations plus the new
+  one — append is a metadata-only commit, and a conflict loser REBASES
+  onto the winner's manifest before retrying, so concurrent appenders
+  never lose each other's rows.
 - ``snapshot_expire`` removes generations unreferenced by the kept
-  manifests (VACUUM).
+  manifests (VACUUM), plus age-graced ORPHAN generations that a dead
+  writer materialized but never committed.
 
 At 100 TB nothing changes structurally: generations are directories of
 parquet written by a full cluster, the commit is still one small file,
@@ -66,15 +71,44 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def snapshot_write(df: DataFrame, table_dir: str, op: str = "overwrite") -> int:
+def _manifest_dirs(manifest: dict) -> list[str]:
+    """Generation dirs composing a version (legacy manifests carried a
+    single ``data_dir``; append versions carry the full list)."""
+    dirs = manifest.get("data_dirs")
+    if dirs is None:
+        dirs = [manifest["data_dir"]]
+    return list(dirs)
+
+
+def snapshot_write(
+    df: DataFrame,
+    table_dir: str,
+    op: str = "overwrite",
+    tag: str | None = None,
+) -> int:
     """Commit ``df`` as a new snapshot version of ``table_dir``; returns
     the committed version number.
 
+    ``op="overwrite"`` replaces the table; ``op="append"`` adds ``df``
+    on top of the head version (the new manifest lists the head's
+    generation dirs plus the new one — data is never rewritten or
+    copied, the commit only grows the metadata list, Iceberg-style).
+    ``tag`` is an opaque idempotency label recorded in the manifest
+    (e.g. the streaming publisher's ``batch-<id>`` — its txnAppId
+    equivalent); it has no effect on resolution.
+
     Data first (immutable generation dir), manifest last (atomic O_EXCL
-    create).  On version-number conflict with a concurrent writer the
-    commit retries at the next number — the generation is already on
-    disk, so a retry re-publishes, never re-writes data.
+    create).  On a version-number conflict with a concurrent writer the
+    loser RETRIES WITH REBASE: it re-reads the (new) head manifest,
+    recomputes its generation list and row count on top of it, and
+    re-commits at the next number.  The generation is already on disk,
+    so a retry re-publishes metadata, never re-writes data — and two
+    interleaved appenders both land: each loser's rebase chains the
+    winner's generations, so no committed rows are ever dropped
+    (tests/test_metrics_and_ingest.py two-writer stress).
     """
+    if op not in ("overwrite", "append"):
+        raise ValueError(f"unknown snapshot op {op!r}")
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     gen = f"{_GEN_PREFIX}{uuid.uuid4().hex[:12]}"
     gen_dir = os.path.join(table_dir, gen)
@@ -82,22 +116,34 @@ def snapshot_write(df: DataFrame, table_dir: str, op: str = "overwrite") -> int:
     n_rows = df.sparkSession.read.parquet(gen_dir).count()
 
     for _ in range(_MAX_COMMIT_RETRIES):
+        # Rebase: resolve the CURRENT head each attempt, so a commit
+        # that lost the previous race builds on the winner's manifest.
         versions = _list_versions(table_dir)
         version = (versions[-1] + 1) if versions else 0
+        data_dirs, rows = [gen], n_rows
+        if op == "append" and versions:
+            try:
+                head = _read_manifest(table_dir, versions[-1])
+            except (OSError, ValueError):
+                continue  # head manifest mid-write/expired; re-resolve
+            data_dirs = _manifest_dirs(head) + [gen]
+            rows = head.get("rows", 0) + n_rows
         manifest = {
             "version": version,
-            "data_dir": gen,
+            "data_dirs": data_dirs,
             "op": op,
-            "rows": n_rows,
+            "rows": rows,
             "committed_at": time.time(),
         }
+        if tag is not None:
+            manifest["tag"] = tag
         try:
             # O_EXCL: exactly one writer can publish this version number.
             with open(_manifest_path(table_dir, version), "x", encoding="utf-8") as f:
                 json.dump(manifest, f)
             return version
         except FileExistsError:
-            continue  # lost the race; retry at the next version number
+            continue  # lost the race; rebase onto the new head and retry
     raise RuntimeError(
         f"could not commit to {table_dir!r} after "
         f"{_MAX_COMMIT_RETRIES} version conflicts"
@@ -120,7 +166,8 @@ def snapshot_read(
             f"(available: {versions})"
         )
     manifest = _read_manifest(table_dir, version)
-    return spark.read.parquet(os.path.join(table_dir, manifest["data_dir"]))
+    paths = [os.path.join(table_dir, d) for d in _manifest_dirs(manifest)]
+    return spark.read.parquet(*paths)
 
 
 def snapshot_diff(
@@ -171,7 +218,14 @@ def snapshot_history(table_dir: str) -> list[dict]:
     return [_read_manifest(table_dir, v) for v in _list_versions(table_dir)]
 
 
-def snapshot_expire(table_dir: str, keep_last: int = 1) -> list[int]:
+_ORPHAN_GRACE_SEC = 24 * 3600
+
+
+def snapshot_expire(
+    table_dir: str,
+    keep_last: int = 1,
+    orphan_grace_sec: float = _ORPHAN_GRACE_SEC,
+) -> list[int]:
     """VACUUM: drop all but the last ``keep_last`` versions and delete
     data generations no kept manifest references.  Returns the expired
     version numbers.
@@ -180,17 +234,42 @@ def snapshot_expire(table_dir: str, keep_last: int = 1) -> list[int]:
     resolved an expiring manifest may fail on the vanished generation
     (same contract as Iceberg's expire_snapshots), but the kept versions
     are never in danger because their generations are never touched.
+
+    Also sweeps ORPHANED generations — gen dirs referenced by NO
+    manifest at all, left behind when a writer died between the data
+    write and the manifest commit (or exhausted its conflict retries).
+    Without this they accumulate forever, since the manifest-driven
+    expiry above only ever sees committed generations (ADVICE r6).  An
+    orphan is only removed once its directory mtime is older than
+    ``orphan_grace_sec`` (default 24 h), so an IN-FLIGHT commit whose
+    manifest hasn't landed yet is never raced.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(table_dir)
     expire, keep = versions[:-keep_last], versions[-keep_last:]
-    keep_gens = {_read_manifest(table_dir, v)["data_dir"] for v in keep}
-    expire_gens = {
-        _read_manifest(table_dir, v)["data_dir"] for v in expire
-    } - keep_gens
+    keep_gens: set[str] = set()
+    for v in keep:
+        keep_gens.update(_manifest_dirs(_read_manifest(table_dir, v)))
+    expire_gens: set[str] = set()
+    for v in expire:
+        expire_gens.update(_manifest_dirs(_read_manifest(table_dir, v)))
+    expire_gens -= keep_gens
     for v in expire:
         os.remove(_manifest_path(table_dir, v))
     for gen in expire_gens:
         shutil.rmtree(os.path.join(table_dir, gen), ignore_errors=True)
+    # Orphan sweep: on-disk generations no surviving manifest references,
+    # older than the grace window.
+    now = time.time()
+    for name in os.listdir(table_dir):
+        if not name.startswith(_GEN_PREFIX) or name in keep_gens:
+            continue
+        path = os.path.join(table_dir, name)
+        try:
+            if now - os.path.getmtime(path) < orphan_grace_sec:
+                continue
+        except OSError:
+            continue  # vanished under us (concurrent expire)
+        shutil.rmtree(path, ignore_errors=True)
     return expire

@@ -463,17 +463,33 @@ def run_snapshot_publisher(
     (The same dance a Delta/Iceberg streaming sink does with its
     txnAppId/txnVersion dedup.)  Readers time-travel per micro-batch
     for free: version N == the Nth published batch.
+
+    The published-tag set is loaded from history ONCE per publisher
+    start and then maintained in memory — per-batch cost is O(1), not a
+    rescan of every manifest (which was O(versions^2) driver I/O over a
+    long-running stream; ADVICE r6).
     """
     from mapreducer_spark.sources.snapshots import (
         snapshot_history,
         snapshot_write,
     )
 
+    published: set[str] = set()
+    loaded = False
+
     def publish(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal loaded
         tag = f"batch-{batch_id}"
-        if any(h["op"] == tag for h in snapshot_history(table_dir)):
+        if not loaded:
+            # One history scan at (re)start; legacy manifests recorded
+            # the tag in "op", current ones in "tag".
+            for h in snapshot_history(table_dir):
+                published.add(h.get("tag") or h.get("op"))
+            loaded = True
+        if tag in published:
             return  # replayed batch after restart: already published
-        snapshot_write(batch_df, table_dir, op=tag)
+        snapshot_write(batch_df, table_dir, op="overwrite", tag=tag)
+        published.add(tag)
 
     q = (
         stream_df.writeStream.foreachBatch(publish)

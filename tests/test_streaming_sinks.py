@@ -360,7 +360,7 @@ def test_snapshot_publisher_exactly_once(spark, tmp_path):
     add_input("b1", [(1, 1.0), (2, 2.0)])
     run()
     hist = snapshot_history(tdir)
-    assert [h["op"] for h in hist] == ["batch-0"]
+    assert [h["tag"] for h in hist] == ["batch-0"]
 
     run()  # no new input -> no new version
     assert len(snapshot_history(tdir)) == 1
@@ -368,7 +368,7 @@ def test_snapshot_publisher_exactly_once(spark, tmp_path):
     add_input("b2", [(3, 3.0)])
     run()
     hist = snapshot_history(tdir)
-    assert [h["op"] for h in hist] == ["batch-0", "batch-1"]
+    assert [h["tag"] for h in hist] == ["batch-0", "batch-1"]
     latest = {(r.id, r.v) for r in snapshot_read(spark, tdir).collect()}
     assert latest == {(3, 3.0)}  # version 1 == batch 1's rows
     v0 = {(r.id, r.v) for r in snapshot_read(spark, tdir, version=0).collect()}
@@ -378,7 +378,7 @@ def test_snapshot_publisher_exactly_once(spark, tmp_path):
     # The tag dedup must swallow the replay without duplicate versions.
     shutil.rmtree(ckpt)
     run()
-    assert [h["op"] for h in snapshot_history(tdir)] == [
+    assert [h["tag"] for h in snapshot_history(tdir)] == [
         "batch-0",
         "batch-1",
     ]
