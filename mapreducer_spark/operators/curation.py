@@ -25,8 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreducer_spark.functions.hashes import oracle_md5_int64
+from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
 from mapreducer_spark.functions.text import (
+    ORACLE_TOKEN_LIST_SNIPPET,
     ORACLE_TOKEN_SPLIT_RE,
     SPARK_TOKEN_SPLIT_RE,
 )
@@ -763,4 +764,202 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_heuristic(spark, sf_dir)
         .groupBy("labeled_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing — the multinomial-sampling knob of
+# multi-source training recipes (T5/XLM-style alpha-sampling).
+# ---------------------------------------------------------------------------
+
+_MIX_TEMP_BUDGET = 200  # documents to draw across all sources
+
+
+@register(
+    "mixture_temperature_sampling",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)) AS wd
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(wd) AS DOUBLE) AS wsum FROM w),
+tgt AS (
+  SELECT source, n_docs,
+         floor((CAST({_MIX_TEMP_BUDGET} AS DOUBLE) * CAST(wd AS DOUBLE))
+               / wsum) AS target
+  FROM w CROSS JOIN tot
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {oracle_md5_int64("text")}, doc_id
+         ) AS rnk
+  FROM documents
+),
+sel AS (
+  SELECT r.source, r.n_chars
+  FROM ranked r JOIN tgt USING (source)
+  WHERE r.rnk <= tgt.target
+)
+SELECT t.source,
+       t.n_docs AS n_docs,
+       CAST(t.target AS BIGINT) AS n_target,
+       COUNT(s.n_chars) AS n_selected,
+       COALESCE(CAST(SUM(CAST(s.n_chars AS DECIMAL(18,0))) AS BIGINT), 0)
+         AS sel_chars
+FROM tgt t LEFT JOIN sel s USING (source)
+GROUP BY t.source, t.n_docs, t.target
+""",
+    doc="Temperature-scaled source sampling: per-source draw quotas "
+    "proportional to n_docs^(1/2) (tau=0.5 — the up-weight-the-tail "
+    "temperature of multilingual/multi-source training recipes; sqrt "
+    "because it is the one power that is IEEE-exact cross-engine), "
+    "selection by deterministic content-hash rank within each source.  "
+    "Per-source weights go through round+decimal so the normalizing sum "
+    "is order-invariant; the selection window partitions by source — "
+    "identical shape to corpus_mixture_quota, one shuffle, no global "
+    "sort.  At 100 TB the quota computation is |sources| rows of "
+    "metadata and the draw is a rank filter on the same hash every "
+    "engine can reproduce.",
+    tags=("llm", "curation", "sampling"),
+)
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars", "text"
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt("n_docs"), 6).cast("decimal(18,6)").alias("wd"),
+    )
+    tot = w.agg(F.sum("wd").cast("double").alias("wsum"))
+    tgt = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            (F.lit(float(_MIX_TEMP_BUDGET)) * F.col("wd").cast("double"))
+            / F.col("wsum")
+        ).alias("target"),
+    )
+    w_rnk = Window.partitionBy("source").orderBy(
+        md5_int64(F.col("text")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w_rnk).alias("rnk")
+    )
+    sel = ranked.join(F.broadcast(tgt.select("source", "target")), "source").where(
+        F.col("rnk") <= F.col("target")
+    )
+    agg = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum(F.col("n_chars").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("sel_chars"),
+    )
+    return (
+        tgt.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("target").cast("bigint").alias("n_target"),
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.coalesce("sel_chars", F.lit(0).cast("bigint")).alias("sel_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-based curriculum phases — order the corpus easy -> hard without
+# a global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curriculum_difficulty_phases",
+    oracle=f"""
+WITH nt AS (
+  SELECT doc_id, len({ORACLE_TOKEN_LIST_SNIPPET}) AS n_tokens FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+           AS mu,
+         sqrt(CAST(SUM(CAST(n_tokens * n_tokens AS DECIMAL(28,0))) AS DOUBLE)
+              / COUNT(*)
+              - (CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*))
+                * (CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS DOUBLE)
+                   / COUNT(*))) AS sigma
+  FROM nt
+),
+z AS (
+  SELECT doc_id, n_tokens, (n_tokens - s.mu) / s.sigma AS zs
+  FROM nt CROSS JOIN stats s
+)
+SELECT CASE WHEN zs < -0.5 THEN 0 WHEN zs < 0.5 THEN 1
+            WHEN zs < 1.5 THEN 2 ELSE 3 END AS phase,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM z GROUP BY 1
+""",
+    doc="Curriculum phase assignment by length difficulty: per-doc token "
+    "count z-scored against the exact corpus mean/std (decimal-exact "
+    "sums, so the moments are partition-order invariant), banded into 4 "
+    "phases at z = -0.5/0.5/1.5 — short/easy documents first, long-tail "
+    "last, the shape of length-curriculum training schedules.  "
+    "Deliberately NOT ntile: a global quantile rank needs a "
+    "single-partition sort at 100 TB, while z-bands need one tiny "
+    "moments aggregate broadcast back over the scan — the same two-pass "
+    "trick as value_outliers_zscore, corpus-scale-safe by construction.",
+    tags=("llm", "curation", "text"),
+)
+def curriculum_difficulty_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    nt = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("n_tokens"),
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("n_tokens").cast("decimal(18,0)")).cast("double")
+    s2 = F.sum(
+        (F.col("n_tokens") * F.col("n_tokens")).cast("decimal(28,0)")
+    ).cast("double")
+    mu = s1 / n
+    stats = nt.agg(
+        mu.alias("mu"), F.sqrt(s2 / n - mu * mu).alias("sigma")
+    )
+    zs = (F.col("n_tokens") - F.col("mu")) / F.col("sigma")
+    phase = (
+        F.when(zs < -0.5, 0)
+        .when(zs < 0.5, 1)
+        .when(zs < 1.5, 2)
+        .otherwise(3)
+    )
+    return (
+        nt.crossJoin(F.broadcast(stats))
+        .select(phase.alias("phase"), "n_tokens")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("decimal(18,0)"))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
     )

@@ -1551,3 +1551,75 @@ def ann_pq_adc_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = frozen_pq_for(sf_dir)
     cb = None if cbs is None else _pq_cb_trained_frame(spark, cbs)
     return _adc_recall_frame(spark, sf_dir, cb)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation fidelity — how much of each vector's norm the
+# leading dimensions carry (the serving question behind MRL-style
+# dimension-adaptive retrieval: can we search at 8/16/32 dims?).
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+@register(
+    "embedding_matryoshka_fidelity",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+),
+fid AS (
+  SELECT CAST(d.db AS BIGINT) AS dim_budget,
+         round(sqrt(list_sum(list_transform(list_slice(ve, 1, d.db),
+                                            x -> x * x)))
+               / sqrt(list_sum(list_transform(ve, x -> x * x))), 9) AS f
+  FROM v, (VALUES (8), (16), (32), (64)) d(db)
+)
+SELECT dim_budget,
+       COUNT(*) AS n_vectors,
+       round(CAST(SUM(CAST(f AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_fidelity,
+       round(MIN(f), 6) AS min_fidelity
+FROM fid GROUP BY dim_budget
+""",
+    doc="Per-dimension-budget truncation fidelity: ||v[:d']|| / ||v|| "
+    f"averaged (and min'd) over the corpus for d' in {_MRL_DIMS} — the "
+    "retained-energy curve that tells a serving stack whether "
+    "Matryoshka-style truncated search at d'<<d keeps enough signal "
+    "(cos(v, pad(v[:d'])) equals exactly this ratio).  One scan, the "
+    "4 budgets fan out from an exploded literal array, per-row ratios "
+    "are pure JVM expression work, and the final agg is 4 groups of "
+    "decimal-summed partials — nothing here grows with corpus size "
+    "except the linear scan.",
+    tags=("llm", "similarity", "vector"),
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    rows = em.select(
+        ve.alias("ve"),
+        F.explode(
+            F.array(*[F.lit(d) for d in _MRL_DIMS])
+        ).alias("db"),
+    )
+    ssq = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    f = F.round(
+        F.sqrt(ssq(F.slice(F.col("ve"), F.lit(1), F.col("db"))))
+        / F.sqrt(ssq(F.col("ve"))),
+        9,
+    )
+    return (
+        rows.select(F.col("db").cast("long").alias("dim_budget"), f.alias("f"))
+        .groupBy("dim_budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("f").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_fidelity"),
+            F.round(F.min("f"), 6).alias("min_fidelity"),
+        )
+    )

@@ -749,6 +749,97 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w))
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + embedding cosine (semantic) fused
+# by Reciprocal Rank Fusion — the standard two-tower retrieval merge.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_QUERY_VEC = 0  # vec_id of the fixed "query document"
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rnk FROM ({_bm25_oracle_sql()})
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {_RRF_QUERY_VEC}
+),
+sem0 AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 9)
+           AS cs
+  FROM embeddings e CROSS JOIN q
+),
+sem AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS rnk
+    FROM sem0
+  ) WHERE rnk <= {_BM25_TOPK}
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       CAST(lex.rnk AS BIGINT) AS lex_rnk,
+       CAST(sem.rnk AS BIGINT) AS sem_rnk,
+       round(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + lex.rnk), 0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + sem.rnk), 0), 9)
+         AS rrf_score
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_hybrid_rrf_oracle_sql(),
+    doc="Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical "
+    f"top-{_BM25_TOPK} (bm25_retrieval, reused as-is) and the embedding "
+    f"cosine top-{_BM25_TOPK} against a fixed query vector "
+    f"(vec_id={_RRF_QUERY_VEC}, documents.doc_id = embeddings.vec_id) "
+    f"are fused as sum of 1/({_RRF_K}+rank) — the score RAG stacks use "
+    "to merge sparse and dense retrievers without score calibration.  "
+    "Both legs are distributed top-k (TakeOrderedAndProject) with the "
+    "rank window applied only to the k survivors; the fusion join "
+    "touches <= 2k rows.  At 100 TB each leg scans once and the fusion "
+    "is driver-trivial — rank fusion never needs the raw scores "
+    "co-located.",
+    tags=("llm", "text", "retrieval", "similarity"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.vectors import cosine
+
+    lex = bm25_retrieval(spark, sf_dir).select(
+        F.col("doc_id").alias("lex_doc"),
+        F.col("rnk").cast("long").alias("lex_rnk"),
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qv")
+    )
+    cs = F.round(cosine(F.col("embedding"), F.col("qv")), 9)
+    sem_scored = em.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("sem_doc"), cs.alias("cs")
+    )
+    top = sem_scored.orderBy(F.col("cs").desc(), "sem_doc").limit(_BM25_TOPK)
+    w = Window.orderBy(F.col("cs").desc(), "sem_doc")
+    sem = top.select(
+        "sem_doc", F.row_number().over(w).cast("long").alias("sem_rnk")
+    )
+    fused = lex.join(sem, lex.lex_doc == sem.sem_doc, "full_outer")
+    leg = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0)
+    )
+    return fused.select(
+        F.coalesce("lex_doc", "sem_doc").alias("doc_id"),
+        "lex_rnk",
+        "sem_rnk",
+        F.round(leg("lex_rnk") + leg("sem_rnk"), 9).alias("rrf_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed BPE merge training — the tokenizer-training primitive
 # ---------------------------------------------------------------------------
