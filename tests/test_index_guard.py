@@ -45,6 +45,17 @@ def restore_caches():
     _clear_caches()
 
 
+def _fixture_dir(key: str) -> str | None:
+    """Resolve a frozen-index key to its fixture dir: the driver's
+    testdata for sf0.* keys, the regenerable .scale10 tree for the 10x
+    rehearsal key (not committed — skip when absent)."""
+    for base in (TESTDATA, os.path.join(os.path.dirname(__file__), "..", ".scale10")):
+        d = os.path.join(base, key)
+        if os.path.isdir(d):
+            return d
+    return None
+
+
 def test_frozen_index_fingerprints_fresh():
     """LOUD drift detector: every fixture the frozen index covers must
     still hash to its training-time fingerprint."""
@@ -52,8 +63,8 @@ def test_frozen_index_fingerprints_fresh():
     assert index, f"frozen IVF index missing/corrupt at {sim._IVF_INDEX_PATH}"
     fps = sim._frozen_fingerprints()
     for key in index:
-        sf_dir = os.path.join(TESTDATA, key)
-        if not os.path.isdir(sf_dir):
+        sf_dir = _fixture_dir(key)
+        if sf_dir is None:
             continue
         assert fps.get(key) == sim._embeddings_md5(sf_dir), (
             f"FIXTURE DRIFT: {key}/embeddings.parquet no longer matches the "
@@ -163,7 +174,9 @@ def test_pq_codebook_fingerprints_fresh():
     for key, per_m in books.items():
         assert len(per_m) == sim._PQ_M
         assert all(len(cw) == sim._PQ_K for cw in per_m)
-        sf_dir = f"/root/testdata/{key}"
+        sf_dir = _fixture_dir(key)
+        if sf_dir is None:
+            continue  # regenerable 10x fixture not on disk
         assert sim.frozen_pq_for(sf_dir) is not None, (
             f"stale PQ codebooks for {key} — re-run tools/train_pq_codebooks.py"
         )
