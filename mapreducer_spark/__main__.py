@@ -108,6 +108,18 @@ def cmd_snapshot_read(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot_expire(args: argparse.Namespace) -> int:
+    from mapreducer_spark.sources.snapshots import snapshot_expire
+
+    expired = snapshot_expire(
+        args.table_dir,
+        keep_last=args.keep_last,
+        orphan_grace_sec=args.orphan_grace_sec,
+    )
+    print(f"expired versions: {expired}")
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from mapreducer_spark.sql_api import sql
 
@@ -201,6 +213,21 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--out", default=None)
     sr.add_argument("--limit", type=int, default=20)
     sr.set_defaults(fn=cmd_snapshot_read)
+
+    se = sub.add_parser(
+        "snapshot-expire",
+        help="VACUUM a snapshot table: drop old versions + orphaned "
+        "generations past the grace window",
+    )
+    se.add_argument("table_dir")
+    se.add_argument("--keep-last", type=int, default=1)
+    se.add_argument(
+        "--orphan-grace-sec",
+        type=float,
+        default=24 * 3600,
+        help="only sweep unreferenced gen dirs older than this",
+    )
+    se.set_defaults(fn=cmd_snapshot_expire)
 
     sq = sub.add_parser("sql", help="run SQL over the fixture tables")
     sq.add_argument("query")

@@ -684,6 +684,66 @@ SELECT doc_id, score, rnk FROM (
 """
 
 
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 frame, session-memoized: bm25_retrieval and
+    hybrid_search_rrf both rank this same index scan, and the frame is
+    |docs matching any query term| rows — metadata-sized, the memo
+    contract."""
+    from mapreducer_spark.functions.memo import session_memo
+
+    def build() -> DataFrame:
+        d = fan_out(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        tok = d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
+        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avgdl"),
+        )
+        tf = (
+            tok.where(F.col("tok").isin(*_BM25_TERMS))
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        idf_df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+            9,
+        )
+        comp = (
+            idf
+            * (F.col("tf") * F.lit(_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1 - _BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        return (
+            tf.join(F.broadcast(idf_df), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id", F.round(comp, 9).cast("decimal(28,12)").alias("c")
+            )
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+        )
+
+    return session_memo(spark, ("bm25_scored", sf_dir), build)
+
+
+
 @register(
     "bm25_retrieval",
     oracle=_bm25_oracle_sql(),
@@ -699,47 +759,7 @@ SELECT doc_id, score, rnk FROM (
     tags=("llm", "text", "retrieval"),
 )
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    tok = (
-        d.select("doc_id", F.explode(_tokens_col()).alias("tok"))
-    )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.col("dl").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
-    )
-    tf = (
-        tok.where(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    idf_df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.round(
-        F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ),
-        9,
-    )
-    comp = (
-        idf
-        * (F.col("tf") * F.lit(_BM25_K1 + 1))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1)
-            * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(idf_df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(comp, 9).cast("decimal(28,12)").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
-    )
+    scored = _bm25_scored(spark, sf_dir)
     # Distributed top-k (TakeOrderedAndProject), THEN the rank window on
     # the 20 survivors only — never a global single-partition window.
     top = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)

@@ -341,8 +341,10 @@ def test_ntile_from_rn_matches_spark_ntile(spark, n, tiles):
 
 
 def test_cli_snapshot_commands(spark, tmp_path, capsys):
-    """snapshot-history / snapshot-read CLI over a committed table."""
+    """snapshot-history / snapshot-read / snapshot-expire CLI over a
+    committed table."""
     import json
+    import os
 
     from mapreducer_spark.__main__ import main
     from mapreducer_spark.sources.snapshots import snapshot_write
@@ -367,6 +369,21 @@ def test_cli_snapshot_commands(spark, tmp_path, capsys):
     capsys.readouterr()
     got = [(r.id, r.s) for r in spark.read.parquet(out).collect()]
     assert got == [(1, "x")]
+
+    # VACUUM via CLI: version 0 expires, latest survives, and an aged
+    # orphan generation is swept with it.
+    orphan = os.path.join(tdir, "gen-cliorphan000")
+    os.makedirs(orphan)
+    os.utime(orphan, (1, 1))
+    assert main(["snapshot-expire", tdir, "--keep-last", "1"]) == 0
+    assert "expired versions: [0]" in capsys.readouterr().out
+    assert not os.path.exists(orphan)
+    assert main(["snapshot-history", tdir]) == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [m["version"] for m in lines] == [1]
 
 
 def test_session_memo_hits_and_evicts_stale_apps(spark):
