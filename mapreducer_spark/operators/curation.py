@@ -963,3 +963,141 @@ def curriculum_difficulty_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Final-stage corpus ops: deterministic shuffle+shard for training
+# output, and per-source token-budget trimming.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@register(
+    "corpus_shard_assignment",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id,
+         {oracle_md5_int64("CAST(doc_id AS VARCHAR)")} % {_N_SHARDS} AS shard,
+         {oracle_md5_int64("text")} AS pos,
+         len({ORACLE_TOKEN_LIST_SNIPPET}) AS n_tokens
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
+       MIN(pos) AS min_pos,
+       MAX(pos) AS max_pos
+FROM pos GROUP BY shard
+""",
+    doc="Deterministic global shuffle + shard assignment — the last op "
+    "of every training-data pipeline: shard = content-independent hash "
+    "of the doc key (uniform, reproducible across engines and runs), "
+    "within-shard order = content hash (the 'position' a sequential "
+    f"trainer reads in).  {_N_SHARDS} shards; per-shard doc/token "
+    "totals and position range prove both the assignment and the order "
+    "key are engine-reproducible.  At 100 TB this is one hash-partition "
+    "write (repartitionByRange on (shard, pos) -> per-shard sorted "
+    "files) — no global sort, no RNG state, restartable by "
+    "construction.",
+    tags=("llm", "curation", "sampling"),
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    pos = d.select(
+        F.pmod(
+            md5_int64(F.col("doc_id").cast("string")), F.lit(_N_SHARDS)
+        ).alias("shard"),
+        md5_int64(F.col("text")).alias("pos"),
+        n_tokens.alias("n_tokens"),
+    )
+    return pos.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+    )
+
+
+_TOKEN_BUDGET_PER_SOURCE = 2_000
+
+
+@register(
+    "token_budget_per_source",
+    oracle=f"""
+WITH nt AS (
+  SELECT source, doc_id,
+         len({ORACLE_TOKEN_LIST_SNIPPET}) AS n_tokens,
+         {oracle_md5_int64("text")} AS h
+  FROM documents
+),
+run AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM nt
+),
+kept AS (
+  SELECT source, n_tokens FROM run
+  WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET_PER_SOURCE}
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS BIGINT) AS kept_tokens
+FROM kept GROUP BY source
+""",
+    doc="Per-source TOKEN-budget trimming: walk each source's documents "
+    "in deterministic content-hash order and keep them until the "
+    f"running token total passes {_TOKEN_BUDGET_PER_SOURCE} (a doc is "
+    "kept iff the budget wasn't already exhausted BEFORE it — so the "
+    "budget is always reached, never undershot).  This is the unit "
+    "real curation recipes allocate (token budgets, not doc counts — "
+    "cf. mixture_temperature_sampling for the doc-count variant).  One "
+    "running-sum window per source partition, same shuffle shape as "
+    "the mixture quota; at 100 TB each source's walk is an ordered "
+    "window over its own partition, and the budget comparison is "
+    "map-side after the one sort.",
+    tags=("llm", "curation", "sampling"),
+)
+def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = d.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("n_tokens"),
+        md5_int64(F.col("text")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = nt.select(
+        "source", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    kept = run.where(
+        F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET_PER_SOURCE
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_tokens").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
