@@ -1319,3 +1319,190 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == 1, F.col("c_len")).otherwise(F.lit(0))
         ).alias("kept_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8: exact substring-level dedup (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better") — find maximal repeated
+# >= k-token spans ACROSS the corpus.  The paper builds a suffix array;
+# the distributed stand-in is a k-token shingle stream with positions:
+# a repeated span of length L >= k is exactly a run of L - k + 1
+# consecutive duplicated shingles, so grouping shingle hashes and
+# merging adjacent duplicated positions per doc (gaps-and-islands)
+# recovers every maximal repeated span without any pairwise stage.
+#
+# Scale shape: shingling + hashing is map-side O(tokens); shuffle 1
+# carries narrow (hash, doc_id, pos) rows to count occurrences per
+# shingle (window over hash); shuffle 2 re-keys the surviving duplicated
+# occurrences by doc_id for the islands window.  Nothing is quadratic
+# and nothing holds a whole document's suffix structure in one task.
+# The fixture corpus has NATURAL long repeated spans (distinct texts
+# sharing 12+-token runs), so no duplicates are synthesized here.
+# --------------------------------------------------------------------------
+
+_SUBSTR_K = 12  # minimum span length in tokens (Lee et al. use 50 BPE
+# tokens on web-scale docs; fixture docs are 10-99 tokens, so k scales
+# down to stay a comparable fraction of a document)
+
+_ORACLE_SUBSTR_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS pos,
+         {oracle_md5_int64(f"array_to_string(list_slice(t, i, i + {_SUBSTR_K} - 1), ' ')")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SUBSTR_K} + 1)) AS g(i)
+  WHERE len(t) >= {_SUBSTR_K}
+),
+occ AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ
+  FROM sh
+),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM occ WHERE n_occ > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_pos IS NULL OR pos - prev_pos > {_SUBSTR_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_SUBSTR_K} - 1 AS span_end,
+       MAX(pos) + {_SUBSTR_K} - MIN(pos) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+def _duplicated_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated >=k-token spans per doc: (doc_id, span_start,
+    span_end, span_tokens), token positions 1-based inclusive."""
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+            lambda x: F.length(x) > 0,
+        ).alias("t"),
+    )
+    # sequence(1, n) needs n >= 1 to ascend — the size guard is load-bearing
+    # (same contract as bigram_topk).  The token array is materialized as a
+    # column BEFORE the lambda so Catalyst doesn't re-split per shingle.
+    sh = toks.where(F.size("t") >= _SUBSTR_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_SUBSTR_K - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    md5_int64(
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i, F.lit(_SUBSTR_K))
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    # One shuffle on the shingle hash: occurrence count via an unbounded
+    # window (cheaper than groupBy+join-back, which would shuffle occ twice).
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup_occ = sh.withColumn("n_occ", n_occ).where(F.col("n_occ") > 1)
+    # Islands: two shingle starts p < q belong to the same maximal span
+    # iff q - p <= k (their token ranges overlap or touch).
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = dup_occ.withColumn("prev_pos", F.lag("pos").over(wdoc))
+    new_island = F.when(
+        F.col("prev_pos").isNull()
+        | (F.col("pos") - F.col("prev_pos") > _SUBSTR_K),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    isl = lagged.withColumn("grp", F.sum(new_island).over(wdoc))
+    # groupBy (doc_id, grp) re-uses the doc_id hash partitioning from the
+    # islands window (ClusteredDistribution satisfied) — no third shuffle.
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (_SUBSTR_K - 1)).alias("span_end"),
+            (F.max("pos") + _SUBSTR_K - F.min("pos")).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=_ORACLE_SUBSTR_SPANS,
+    doc="Exact substring-level dedup, span discovery (Lee et al. 2022): "
+    f"every maximal repeated span of >= {_SUBSTR_K} tokens across the "
+    "corpus, as (doc_id, span_start, span_end, span_tokens) in 1-based "
+    "token positions.  Distributed suffix-array stand-in: k-token "
+    "shingle hashes with positions -> occurrence count per hash (one "
+    "narrow shuffle) -> gaps-and-islands merge of overlapping "
+    "duplicated shingle starts per doc (one doc-keyed shuffle).  "
+    "O(tokens) end to end, no pairwise stage.",
+    tags=("llm", "dedup", "text"),
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _duplicated_shingle_spans(spark, sf_dir)
+
+
+@register(
+    "substring_dedup_doc_stats",
+    oracle=f"""
+WITH spans AS ({_ORACLE_SUBSTR_SPANS}),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+toklen AS (
+  SELECT doc_id, CAST(len({ORACLE_TOKEN_LIST_SNIPPET}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT t.doc_id,
+       t.n_tokens,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / t.n_tokens, 6)
+         AS dup_frac
+FROM toklen t LEFT JOIN per_doc p USING (doc_id)
+""",
+    doc="Per-document substring-dedup decision input: how many of each "
+    "doc's tokens sit inside some corpus-repeated >= k-token span "
+    "(the quantity Lee et al. remove).  A trainer-side curation gate "
+    "drops or trims docs above a dup_frac threshold.  Composes the "
+    "span discovery with one doc-keyed agg + a left join back to the "
+    "full corpus (docs with no repeated span report 0).",
+    tags=("llm", "dedup", "text", "quality"),
+)
+def substring_dedup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _duplicated_shingle_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens")
+    )
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toklen = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+                lambda x: F.length(x) > 0,
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return toklen.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        F.round(dup_tokens.cast("double") / F.col("n_tokens"), 6).alias(
+            "dup_frac"
+        ),
+    )

@@ -1623,3 +1623,138 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.min("f"), 6).alias("min_fidelity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka RETRIEVAL fidelity — embedding_matryoshka_fidelity answers
+# "how much norm do the leading dims keep?"; the serving question is
+# "how much of the full-dim top-k does truncated-dim search still
+# return?" (recall@k, the same gauge shape as ann_ivf_kmeans_recall).
+# ---------------------------------------------------------------------------
+
+_MRL_RECALL_DIMS = (8, 16, 32)  # budgets strictly below the full 64 dims
+
+
+@register(
+    "matryoshka_recall_at_k",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                      c.vec_id) AS rnk
+    FROM q CROSS JOIN c WHERE q.q_id <> c.vec_id
+  ) WHERE rnk <= {_TOP_K}
+),
+trunc AS (
+  SELECT dim_budget, q_id, vec_id FROM (
+    SELECT CAST(d.db AS BIGINT) AS dim_budget, q.q_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.db, q.q_id
+             ORDER BY round(list_cosine_similarity(
+                        list_slice(q.qv, 1, d.db),
+                        list_slice(c.cv, 1, d.db)), 6) DESC,
+                      c.vec_id) AS rnk
+    FROM q CROSS JOIN c CROSS JOIN (VALUES (8), (16), (32)) d(db)
+    WHERE q.q_id <> c.vec_id
+  ) WHERE rnk <= {_TOP_K}
+),
+hits AS (
+  SELECT t.dim_budget, t.q_id, COUNT(*) AS n_hits
+  FROM trunc t JOIN exact e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+  GROUP BY t.dim_budget, t.q_id
+),
+k AS (SELECT q_id, COUNT(*) AS k FROM exact GROUP BY q_id)
+SELECT d.db * 1 AS dim_budget, q.q_id,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / k.k, 6) AS recall_at_10
+FROM (VALUES (8), (16), (32)) d(db)
+CROSS JOIN (SELECT DISTINCT q_id FROM q) q
+JOIN k USING (q_id)
+LEFT JOIN hits h ON h.dim_budget = d.db AND h.q_id = q.q_id
+""",
+    doc="Matryoshka retrieval quality: recall@10 of truncated-dimension "
+    f"cosine top-k (budgets {_MRL_RECALL_DIMS}) against the full-dim "
+    "exact top-k, one row per (dim_budget, query) — the measurement "
+    "that decides whether an MRL serving stack can search at d' << d "
+    "(embedding_matryoshka_fidelity's retained-norm curve is the "
+    "predictor; this is the ground truth it predicts).  Scale shape: "
+    "one candidate scan; the (query x budget) side is a 15-row "
+    "broadcast; per-row sliced-cosine work is JVM higher-order "
+    "functions; the per-(budget, query) top-k is a bounded window.",
+    tags=("llm", "similarity", "vector"),
+)
+def matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = em.select("vec_id", F.col("embedding").alias("cv"))
+    # Exact full-dim top-k — same expression/tie-break as similarity_topk.
+    sim_full = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w_full = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", sim_full.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w_full))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    # Truncated top-k: the 5 queries fan out x3 budgets on the BROADCAST
+    # side (15 rows), so the candidate table is still scanned once.
+    qd = q.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.array(*[F.lit(d).cast("long") for d in _MRL_RECALL_DIMS])
+        ).alias("dim_budget"),
+    )
+    sim_tr = F.round(
+        cosine(
+            F.slice(F.col("qv"), F.lit(1), F.col("dim_budget").cast("int")),
+            F.slice(F.col("cv"), F.lit(1), F.col("dim_budget").cast("int")),
+        ),
+        6,
+    )
+    w_tr = Window.partitionBy("dim_budget", "q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    trunc = (
+        c.crossJoin(F.broadcast(qd))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("dim_budget", "q_id", "vec_id", sim_tr.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w_tr))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("dim_budget", "q_id", "vec_id")
+    )
+    hits = trunc.join(exact, ["q_id", "vec_id"], "left_semi").groupBy(
+        "dim_budget", "q_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    k = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    budgets = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d).cast("long") for d in _MRL_RECALL_DIMS])
+        ).alias("dim_budget")
+    )
+    return (
+        k.crossJoin(F.broadcast(budgets))
+        .join(hits, ["dim_budget", "q_id"], "left")
+        .select(
+            "dim_budget",
+            "q_id",
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("k"), 6
+            ).alias("recall_at_10"),
+        )
+    )

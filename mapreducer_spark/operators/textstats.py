@@ -1126,3 +1126,130 @@ def bpe_corpus_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_symbols").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8: bigram LM quality scoring with Stupid Backoff — the
+# KenLM-style perplexity gate from CCNet/RefinedWeb curation recipes,
+# restated at bigram order on the corpus's own counts.  Completes the
+# doc_unigram_logprob story: unigram scoring flags surprising TOKENS,
+# bigram scoring flags surprising SEQUENCES (shuffled/garbled text that
+# unigram stats cannot see).
+# --------------------------------------------------------------------------
+
+_BIGRAM_MIN_COUNT = 2  # hapax bigrams are pruned from the model (the
+# standard LM-table trim), which is exactly what makes backoff fire
+_BACKOFF_ALPHA = 0.4  # Brants et al. 2007's fixed Stupid Backoff weight
+
+
+@register(
+    "doc_bigram_perplexity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+uni AS (
+  SELECT tok, COUNT(*) AS ucnt
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+total AS (SELECT CAST(SUM(ucnt) AS DOUBLE) AS n FROM uni),
+big AS (
+  SELECT prev, cur, COUNT(*) AS bcnt FROM pairs
+  GROUP BY prev, cur HAVING COUNT(*) >= {_BIGRAM_MIN_COUNT}
+),
+scored AS (
+  SELECT p.doc_id,
+         b.bcnt IS NULL AS backed_off,
+         round(log2(CASE WHEN b.bcnt IS NOT NULL
+                         THEN CAST(b.bcnt AS DOUBLE) / u1.ucnt
+                         ELSE {_BACKOFF_ALPHA} * (CAST(u2.ucnt AS DOUBLE) / n)
+                    END), 6) AS logp
+  FROM pairs p
+  LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+  JOIN uni u1 ON u1.tok = p.prev
+  JOIN uni u2 ON u2.tok = p.cur
+  CROSS JOIN total
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_log2_s,
+       round(CAST(SUM(CASE WHEN backed_off THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS backoff_frac
+FROM scored GROUP BY doc_id
+""",
+    doc="Per-document bigram LM score under Stupid Backoff (Brants et "
+    "al. 2007): S(w|v) = count(vw)/count(v) when the bigram survives "
+    f"the min-count-{_BIGRAM_MIN_COUNT} trim, else "
+    f"{_BACKOFF_ALPHA} * count(w)/N — the KenLM-style sequence-level "
+    "quality gate (CCNet/RefinedWeb recipes) that unigram scoring "
+    "can't express.  avg_log2_s is bits-per-bigram (negated = "
+    "log2-perplexity); backoff_frac reports how often the doc left "
+    "the trimmed model.  Scale shape: counts are two map-side-combined "
+    "aggs; the trimmed bigram table and the unigram table are "
+    "vocab-bounded broadcasts; corpus rows never shuffle.  Per-token "
+    "logprobs round-then-decimal-sum for partition-order independence "
+    "(same recipe as doc_unigram_logprob).",
+    tags=("llm", "text", "quality"),
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens_col().alias("t"))
+    # Bigram positions: materialized token array, guarded ascending
+    # sequence (same contract as bigram_topk).
+    pairs = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("prev"),
+                    F.element_at("t", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.cur")
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    total = uni.agg(F.sum("ucnt").cast("double").alias("__n"))
+    big = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .where(F.col("bcnt") >= _BIGRAM_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("tok").alias("prev"), F.col("ucnt").alias("u1cnt"))
+    u2 = uni.select(F.col("tok").alias("cur"), F.col("ucnt").alias("u2cnt"))
+    s = F.when(
+        F.col("bcnt").isNotNull(),
+        F.col("bcnt").cast("double") / F.col("u1cnt"),
+    ).otherwise(
+        F.lit(_BACKOFF_ALPHA) * (F.col("u2cnt").cast("double") / F.col("__n"))
+    )
+    logp = F.round(F.log2(s), 6)
+    backed_off = F.when(F.col("bcnt").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        pairs.join(F.broadcast(big), ["prev", "cur"], "left")
+        .join(F.broadcast(u1), "prev")
+        .join(F.broadcast(u2), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_log2_s"),
+            F.round(
+                F.sum(backed_off).cast("double") / F.count(F.lit(1)), 6
+            ).alias("backoff_frac"),
+        )
+    )
