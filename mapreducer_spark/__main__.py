@@ -225,7 +225,8 @@ def main(argv: list[str] | None = None) -> int:
         "--orphan-grace-sec",
         type=float,
         default=24 * 3600,
-        help="only sweep unreferenced gen dirs older than this",
+        help="only sweep unreferenced gen dirs older than this "
+        "(floor 300s: smaller windows could race an in-flight commit)",
     )
     se.set_defaults(fn=cmd_snapshot_expire)
 

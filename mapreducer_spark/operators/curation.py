@@ -901,7 +901,14 @@ stats AS (
   FROM nt
 ),
 z AS (
-  SELECT doc_id, n_tokens, (n_tokens - s.mu) / s.sigma AS zs
+  -- sigma = 0 (every doc the same length) is guarded explicitly: Spark's
+  -- double 0/0 yields NULL while DuckDB yields +/-inf, so the engines
+  -- would band the degenerate corpus differently (ADVICE r7).  A corpus
+  -- with no length variance has no length curriculum: everything is
+  -- average difficulty, z = 0, phase 1.
+  SELECT doc_id, n_tokens,
+         CASE WHEN s.sigma > 0 THEN (n_tokens - s.mu) / s.sigma
+              ELSE 0.0 END AS zs
   FROM nt CROSS JOIN stats s
 )
 SELECT CASE WHEN zs < -0.5 THEN 0 WHEN zs < 0.5 THEN 1
@@ -943,7 +950,12 @@ def curriculum_difficulty_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = nt.agg(
         mu.alias("mu"), F.sqrt(s2 / n - mu * mu).alias("sigma")
     )
-    zs = (F.col("n_tokens") - F.col("mu")) / F.col("sigma")
+    # sigma = 0 guard mirrored from the oracle: no length variance ->
+    # z = 0 -> every doc in phase 1 on BOTH engines (ADVICE r7).
+    zs = F.when(
+        F.col("sigma") > 0,
+        (F.col("n_tokens") - F.col("mu")) / F.col("sigma"),
+    ).otherwise(F.lit(0.0))
     phase = (
         F.when(zs < -0.5, 0)
         .when(zs < 0.5, 1)

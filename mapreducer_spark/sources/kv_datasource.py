@@ -131,7 +131,19 @@ class KvLinesWriter(DataSourceWriter):
     delete merges both generations; a true point-in-time swap needs a
     manifest layer — that's exactly what sources/snapshots.py adds on
     top (commit = one O_EXCL manifest create), so use snapshot_write
-    when readers must never observe the transition."""
+    when readers must never observe the transition.
+
+    SINGLE CONCURRENT COMMITTER per directory (ADVICE r7): overwrite's
+    crash-safety story assumes overwrite commits do not interleave.  Two
+    drivers overwriting at once can each list the pre-existing files as
+    ``stale`` before either renames its generation in, so neither
+    deletes the other's new files and readers see both new generations
+    merged PERMANENTLY (not just during the transient window above) —
+    there is no run ordering a directory listing could resolve without a
+    manifest, and ``append`` legitimately needs every run live, so the
+    reader cannot filter to "newest run" either.  Serialize overwrite
+    commits externally, or use sources/snapshots.py, whose O_EXCL
+    versioned manifests make concurrent writers rebase instead of merge."""
 
     def __init__(self, options: dict, overwrite: bool = False) -> None:
         self.root = options["path"]

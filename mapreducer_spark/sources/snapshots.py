@@ -138,6 +138,16 @@ def snapshot_write(
         if tag is not None:
             manifest["tag"] = tag
         try:
+            # Re-anchor the orphan-sweep grace window to COMMIT time:
+            # the gen dir's last natural mtime bump was the end of the
+            # parquet write, but validation count() + up to
+            # _MAX_COMMIT_RETRIES rebases can pass between that and the
+            # manifest create, and snapshot_expire measures its grace
+            # from the dir mtime (ADVICE r7).
+            try:
+                os.utime(gen_dir)
+            except OSError:
+                pass
             # O_EXCL: exactly one writer can publish this version number.
             with open(_manifest_path(table_dir, version), "x", encoding="utf-8") as f:
                 json.dump(manifest, f)
@@ -219,6 +229,13 @@ def snapshot_history(table_dir: str) -> list[dict]:
 
 
 _ORPHAN_GRACE_SEC = 24 * 3600
+# Floor under orphan_grace_sec: the sweep must never race an in-flight
+# commit, and a writer can legitimately spend minutes between its last
+# gen-dir touch and the manifest create (validation count + rebase
+# retries on a busy table).  snapshot_write re-touches the gen dir just
+# before each commit attempt, so the exposure is one attempt's latency —
+# 5 min bounds that with a wide margin (ADVICE r7).
+_MIN_ORPHAN_GRACE_SEC = 300
 
 
 def snapshot_expire(
@@ -241,11 +258,20 @@ def snapshot_expire(
     Without this they accumulate forever, since the manifest-driven
     expiry above only ever sees committed generations (ADVICE r6).  An
     orphan is only removed once its directory mtime is older than
-    ``orphan_grace_sec`` (default 24 h), so an IN-FLIGHT commit whose
-    manifest hasn't landed yet is never raced.
+    ``orphan_grace_sec`` (default 24 h, floor ``_MIN_ORPHAN_GRACE_SEC``),
+    so an IN-FLIGHT commit whose manifest hasn't landed yet is never
+    raced: snapshot_write re-touches the gen dir immediately before each
+    manifest-create attempt, anchoring the window to commit time rather
+    than to the end of the parquet write.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if orphan_grace_sec < _MIN_ORPHAN_GRACE_SEC:
+        raise ValueError(
+            f"orphan_grace_sec must be >= {_MIN_ORPHAN_GRACE_SEC} "
+            "(a smaller window can sweep an in-flight commit's "
+            "generation out from under its manifest)"
+        )
     versions = _list_versions(table_dir)
     expire, keep = versions[:-keep_last], versions[-keep_last:]
     keep_gens: set[str] = set()

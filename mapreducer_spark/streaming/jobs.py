@@ -449,6 +449,54 @@ def top_value_per_user_stream(events: DataFrame) -> DataFrame:
     )
 
 
+class PublishedTags:
+    """Incremental view of a snapshot table's published tags.
+
+    Each manifest is read at most once per instance lifetime: ``seen``
+    answers from the in-memory set first and only folds in manifests
+    NEWER than the high-water version on a miss, so the steady-state
+    per-batch cost is one directory listing, never a full manifest
+    rescan (ADVICE r6) — while a tag published by another publisher
+    instance after this one started is still found (ADVICE r7).
+    """
+
+    def __init__(self, table_dir: str) -> None:
+        self._table_dir = table_dir
+        self._tags: set[str] = set()
+        self._scanned_to = -1  # highest manifest version folded in
+
+    def _fold_new_history(self) -> None:
+        # Legacy manifests recorded the tag in "op", current ones in
+        # "tag".  Ascending order; stop (without advancing) at a
+        # manifest mid-write by a concurrent publisher so its tag is
+        # retried on the next fold rather than silently skipped.
+        from mapreducer_spark.sources.snapshots import (
+            _list_versions,
+            _read_manifest,
+        )
+
+        for v in _list_versions(self._table_dir):
+            if v <= self._scanned_to:
+                continue
+            try:
+                h = _read_manifest(self._table_dir, v)
+            except (OSError, ValueError):
+                break
+            self._tags.add(h.get("tag") or h.get("op"))
+            self._scanned_to = v
+
+    def seen(self, tag: str) -> bool:
+        if tag in self._tags:
+            return True
+        self._fold_new_history()
+        return tag in self._tags
+
+    def record(self, tag: str, version: int) -> None:
+        """Note a tag THIS instance just committed at ``version``."""
+        self._tags.add(tag)
+        self._scanned_to = max(self._scanned_to, version)
+
+
 def run_snapshot_publisher(
     stream_df: DataFrame, table_dir: str, checkpoint: str
 ) -> object:
@@ -464,32 +512,28 @@ def run_snapshot_publisher(
     txnAppId/txnVersion dedup.)  Readers time-travel per micro-batch
     for free: version N == the Nth published batch.
 
-    The published-tag set is loaded from history ONCE per publisher
-    start and then maintained in memory — per-batch cost is O(1), not a
-    rescan of every manifest (which was O(versions^2) driver I/O over a
-    long-running stream; ADVICE r6).
+    The published-tag set is maintained INCREMENTALLY: each manifest is
+    read exactly once per publisher lifetime (never a full rescan per
+    batch, which was O(versions^2) driver I/O over a long-running
+    stream; ADVICE r6), and before publishing a tag it hasn't seen, the
+    publisher folds in any manifests newer than its high-water version —
+    so a batch published by ANOTHER publisher instance after this one
+    started is still deduplicated (ADVICE r7).  Known limit: dedup only
+    spans UNEXPIRED history — if snapshot_expire dropped a batch's
+    manifest and the checkpoint was also wiped, a replay of that batch
+    republishes (the tag evidence is gone; same contract as Delta's
+    txnAppId dedup after VACUUMing the transaction log).
     """
-    from mapreducer_spark.sources.snapshots import (
-        snapshot_history,
-        snapshot_write,
-    )
+    from mapreducer_spark.sources.snapshots import snapshot_write
 
-    published: set[str] = set()
-    loaded = False
+    tags = PublishedTags(table_dir)
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal loaded
         tag = f"batch-{batch_id}"
-        if not loaded:
-            # One history scan at (re)start; legacy manifests recorded
-            # the tag in "op", current ones in "tag".
-            for h in snapshot_history(table_dir):
-                published.add(h.get("tag") or h.get("op"))
-            loaded = True
-        if tag in published:
-            return  # replayed batch after restart: already published
-        snapshot_write(batch_df, table_dir, op="overwrite", tag=tag)
-        published.add(tag)
+        if tags.seen(tag):
+            return  # already published (replay, or a concurrent instance)
+        version = snapshot_write(batch_df, table_dir, op="overwrite", tag=tag)
+        tags.record(tag, version)
 
     q = (
         stream_df.writeStream.foreachBatch(publish)

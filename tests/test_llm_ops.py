@@ -965,3 +965,37 @@ def test_corpus_after_dedup_invariants(spark, sf_dir):
     members = {r.v for r in clusters}
     assert row.n_removed == len(members) - len(leaders)
     assert row.n_clusters == len(leaders)
+
+
+def test_curriculum_phases_degenerate_sigma_zero(spark, tmp_path):
+    """ADVICE r7: a corpus where every doc has the SAME token count has
+    sigma = 0; Spark's 0/0 double division yields NULL (everything fell
+    to phase 3) while DuckDB's yields +/-inf (below-mean docs to phase
+    0).  The guarded z-score sends the whole degenerate corpus to phase
+    1 on BOTH engines — asserted through the same oracle gate as the
+    main fixture."""
+    import shutil
+
+    from mapreducer_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+    from tests.oracle import TABLES, assert_matches_oracle
+
+    sf = tmp_path / "sf_degenerate"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en", "synth", 22) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "docs_out"))
+    import glob
+
+    part = glob.glob(str(tmp_path / "docs_out" / "part-*.parquet"))[0]
+    shutil.copy(part, sf / "documents.parquet")
+
+    q = all_queries()["curriculum_difficulty_phases"]
+    assert_matches_oracle(spark, q, str(sf))
+    rows = q.fn(spark, str(sf)).collect()
+    assert len(rows) == 1 and rows[0]["phase"] == 1 and rows[0]["n_docs"] == 40

@@ -441,3 +441,46 @@ def test_stateful_counts_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(provider_conf)
         else:
             spark.conf.set(provider_conf, old)
+
+
+def test_published_tags_fold_incrementally_on_miss(spark, tmp_path):
+    """ADVICE r7: a tag committed by ANOTHER publisher instance AFTER
+    this one loaded its history must still deduplicate — `seen` folds in
+    manifests newer than its high-water version on a miss, and never
+    re-reads manifests it has already folded."""
+    from mapreducer_spark.sources.snapshots import snapshot_write
+    from mapreducer_spark.streaming.jobs import PublishedTags
+
+    tdir = str(tmp_path / "snap_tags")
+    df = spark.createDataFrame([(1,)], "id long")
+    snapshot_write(df, tdir, tag="batch-0")
+
+    tags = PublishedTags(tdir)
+    assert tags.seen("batch-0")  # initial fold
+    assert not tags.seen("batch-1")
+
+    # Foreign instance publishes batch-1 AFTER our instance started.
+    snapshot_write(df, tdir, op="append", tag="batch-1")
+    assert tags.seen("batch-1"), "miss must trigger an incremental fold"
+
+    # Our own commit advances the high-water mark without a re-scan.
+    v = snapshot_write(df, tdir, op="append", tag="batch-2")
+    tags.record("batch-2", v)
+    assert tags.seen("batch-2")
+    assert tags._scanned_to == v
+
+
+def test_snapshot_expire_rejects_tiny_orphan_grace(spark, tmp_path):
+    """ADVICE r7: a sub-floor grace window could sweep an in-flight
+    commit's generation out from under its manifest — rejected loudly."""
+    import pytest
+
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_expire,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "snap_grace")
+    snapshot_write(spark.createDataFrame([(1,)], "id long"), tdir)
+    with pytest.raises(ValueError, match="orphan_grace_sec"):
+        snapshot_expire(tdir, keep_last=1, orphan_grace_sec=0)
