@@ -1506,3 +1506,87 @@ def substring_dedup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+@register(
+    "corpus_after_substring_dedup",
+    oracle=f"""
+WITH spans AS ({_ORACLE_SUBSTR_SPANS}),
+sp AS (
+  SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
+  FROM spans GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+joined AS (
+  SELECT t.doc_id, t.t, COALESCE(sp.spans, []) AS spans
+  FROM toks t LEFT JOIN sp ON sp.doc_id = t.doc_id
+),
+kept AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_transform(
+           list_filter(generate_series(1, len(t)),
+             i -> len(list_filter(spans,
+                                  x -> i >= x.s AND i <= x.e)) = 0),
+           i -> t[i]) AS kt
+  FROM joined
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(kt) AS BIGINT) AS kept_tokens,
+       -- a fully-duplicated doc keeps zero tokens: DuckDB renders the
+       -- empty list as NULL, Spark's concat_ws as '' — pin ''
+       COALESCE(array_to_string(kt, ' '), '') AS kept_text
+FROM kept
+""",
+    doc="Substring-dedup APPLY (Lee et al. 2022's released ExactSubstr "
+    "behavior: every repeated >= k-token span is removed from EVERY "
+    "occurrence): reconstructs the cleaned corpus — per doc, the "
+    "tokens outside all duplicated spans, re-joined as kept_text.  "
+    "Completes the family: substring_dedup_spans detects, "
+    "_doc_stats quantifies, this transforms.  Scale shape: spans "
+    "per doc collapse to a small array (already doc_id-partitioned, "
+    "no extra shuffle), one doc-keyed left join back to the token "
+    "arrays, and the span-coverage filter is a nested higher-order "
+    "expression evaluated map-side — no explode of token positions "
+    "into the shuffle.",
+    tags=("llm", "dedup", "text"),
+)
+def corpus_after_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _duplicated_shingle_spans(spark, sf_dir)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("spans")
+    )
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+            lambda x: F.length(x) > 0,
+        ).alias("t"),
+    )
+    no_spans = F.array().cast("array<struct<s:long,e:long>>")
+    spans_col = F.coalesce(F.col("spans"), no_spans)
+    # sequence(1, 0) would descend (Spark quirk); empty docs get an
+    # empty position list explicitly.
+    positions = F.when(F.size("t") < 1, F.array().cast("array<long>")).otherwise(
+        F.sequence(F.lit(1).cast("long"), F.size("t").cast("long"))
+    )
+    kept_pos = F.filter(
+        positions,
+        lambda i: ~F.exists(
+            spans_col, lambda s: (i >= s["s"]) & (i <= s["e"])
+        ),
+    )
+    kt = F.transform(kept_pos, lambda i: F.element_at("t", i.cast("int")))
+    return toks.join(sp, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(kt).cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", kt).alias("kept_text"),
+    )

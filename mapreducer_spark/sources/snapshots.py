@@ -164,7 +164,18 @@ def snapshot_read(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read a snapshot table — latest version, or a pinned historical
-    ``version`` (time travel)."""
+    ``version`` (time travel).
+
+    Schema EVOLUTION across generations is first-class: an append whose
+    DataFrame adds columns widens the table (``mergeSchema`` over the
+    version's generation dirs — a real lakehouse table grows columns
+    over its lifetime), with rows from pre-widening generations reading
+    the added columns as NULL.  Time travel is unaffected: a pinned
+    historical version only lists its own generations, so it reads with
+    exactly the schema the table had then.  The merge is scoped to the
+    resolved version's dirs — one footer read per generation, no
+    history-wide scan.
+    """
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {table_dir!r}")
@@ -177,7 +188,7 @@ def snapshot_read(
         )
     manifest = _read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, d) for d in _manifest_dirs(manifest)]
-    return spark.read.parquet(*paths)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def snapshot_diff(

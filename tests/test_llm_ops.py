@@ -999,3 +999,35 @@ def test_curriculum_phases_degenerate_sigma_zero(spark, tmp_path):
     assert_matches_oracle(spark, q, str(sf))
     rows = q.fn(spark, str(sf)).collect()
     assert len(rows) == 1 and rows[0]["phase"] == 1 and rows[0]["n_docs"] == 40
+
+
+def test_substring_dedup_family_consistent(spark, sf_dir):
+    """The three substring-dedup views agree: apply's kept_tokens ==
+    n_tokens - doc_stats' dup_tokens for every doc, spans lie inside
+    their doc's token range, and every span carries >= k tokens."""
+    from mapreducer_spark.operators.dedup import (
+        _SUBSTR_K,
+        corpus_after_substring_dedup,
+        substring_dedup_doc_stats,
+        substring_dedup_spans,
+    )
+
+    stats = {
+        r.doc_id: r for r in substring_dedup_doc_stats(spark, sf_dir).collect()
+    }
+    applied = {
+        r.doc_id: r for r in corpus_after_substring_dedup(spark, sf_dir).collect()
+    }
+    assert set(stats) == set(applied)
+    for doc_id, s in stats.items():
+        a = applied[doc_id]
+        assert a.n_tokens == s.n_tokens
+        assert a.kept_tokens == s.n_tokens - s.dup_tokens, doc_id
+        assert len(a.kept_text.split()) == a.kept_tokens
+
+    spans = substring_dedup_spans(spark, sf_dir).collect()
+    for sp in spans:
+        assert sp.span_tokens >= _SUBSTR_K
+        assert 1 <= sp.span_start <= sp.span_end
+        assert sp.span_end <= stats[sp.doc_id].n_tokens
+        assert sp.span_tokens == sp.span_end - sp.span_start + 1

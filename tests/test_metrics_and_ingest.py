@@ -544,3 +544,40 @@ def test_snapshot_diff_cdc(spark, tmp_path):
         for r in snapshot_diff(spark, tdir, 0, 1, ["id"]).collect()
     }
     assert diff == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_snapshot_schema_evolution_across_generations(spark, tmp_path):
+    """VERDICT r7 #6: gen N+1 appends a NEW column; the head read widens
+    (old rows NULL in the added column) and time travel still reads gen
+    N with exactly its original schema."""
+    from mapreducer_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    tdir = str(tmp_path / "snap_evolve")
+    v0 = snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), tdir
+    )
+    v1 = snapshot_write(
+        spark.createDataFrame(
+            [(3, "c", 0.5)], "id long, s string, score double"
+        ),
+        tdir,
+        op="append",
+    )
+
+    head = snapshot_read(spark, tdir)
+    assert set(head.columns) == {"id", "s", "score"}
+    rows = {(r.id, r.s, r.score) for r in head.collect()}
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", 0.5)}
+
+    old = snapshot_read(spark, tdir, version=v0)
+    assert set(old.columns) == {"id", "s"}, "time travel must see gen N schema"
+    assert {(r.id, r.s) for r in old.collect()} == {(1, "a"), (2, "b")}
+
+    # A third generation on top of the widened table keeps widening.
+    snapshot_write(
+        spark.createDataFrame([(4, "d", 1.5)], "id long, s string, score double"),
+        tdir,
+        op="append",
+    )
+    assert snapshot_read(spark, tdir).where("score IS NOT NULL").count() == 2
+    assert v1 == v0 + 1
