@@ -99,7 +99,9 @@ def cmd_snapshot_read(args: argparse.Namespace) -> int:
     from mapreducer_spark.sources.snapshots import snapshot_read
 
     spark = _get_spark(args)
-    df = snapshot_read(spark, args.table_dir, version=args.version)
+    df = snapshot_read(
+        spark, args.table_dir, version=args.version, as_of=args.as_of
+    )
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")
@@ -210,6 +212,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     sr.add_argument("table_dir")
     sr.add_argument("--version", type=int, default=None)
+    sr.add_argument(
+        "--as-of",
+        type=float,
+        default=None,
+        dest="as_of",
+        help="unix timestamp: newest version committed at or before this",
+    )
     sr.add_argument("--out", default=None)
     sr.add_argument("--limit", type=int, default=20)
     sr.set_defaults(fn=cmd_snapshot_read)

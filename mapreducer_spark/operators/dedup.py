@@ -1381,7 +1381,23 @@ FROM isl GROUP BY doc_id, grp
 
 def _duplicated_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal repeated >=k-token spans per doc: (doc_id, span_start,
-    span_end, span_tokens), token positions 1-based inclusive."""
+    span_end, span_tokens), token positions 1-based inclusive.
+
+    Session-memoized: three queries consume this frame (spans, doc
+    stats, corpus apply) and the result is spans-sized (|repeated
+    regions| rows, far below |docs|), so the shingle-hash pipeline runs
+    once per session, not once per consumer.
+    """
+    from mapreducer_spark.functions.memo import session_memo
+
+    return session_memo(
+        spark,
+        ("substring_dedup_spans", sf_dir),
+        lambda: _build_shingle_spans(spark, sf_dir),
+    )
+
+
+def _build_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))

@@ -161,10 +161,17 @@ def snapshot_write(
 
 
 def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Read a snapshot table — latest version, or a pinned historical
-    ``version`` (time travel).
+    """Read a snapshot table — latest version, a pinned historical
+    ``version``, or the newest version committed at or before the unix
+    timestamp ``as_of`` (``TIMESTAMP AS OF`` time travel; resolution
+    uses each manifest's ``committed_at``, so it answers "what did
+    readers see at time T" — Iceberg/Delta semantics).  ``version`` and
+    ``as_of`` are mutually exclusive.
 
     Schema EVOLUTION across generations is first-class: an append whose
     DataFrame adds columns widens the table (``mergeSchema`` over the
@@ -176,9 +183,26 @@ def snapshot_read(
     resolved version's dirs — one footer read per generation, no
     history-wide scan.
     """
+    if version is not None and as_of is not None:
+        raise ValueError("pass either version or as_of, not both")
     versions = _list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {table_dir!r}")
+    if as_of is not None:
+        # Newest manifest committed at or before the cutoff.  Scans
+        # manifests newest-first and stops at the first hit, so the
+        # common "recent timestamp" case reads O(1) manifests.
+        for v in reversed(versions):
+            m = _read_manifest(table_dir, v)
+            if m.get("committed_at", 0) <= as_of:
+                version = v
+                break
+        else:
+            raise ValueError(
+                f"no version of {table_dir!r} existed at or before "
+                f"as_of={as_of} (earliest committed_at: "
+                f"{_read_manifest(table_dir, versions[0]).get('committed_at')})"
+            )
     if version is None:
         version = versions[-1]
     elif version not in versions:

@@ -581,3 +581,36 @@ def test_snapshot_schema_evolution_across_generations(spark, tmp_path):
     )
     assert snapshot_read(spark, tdir).where("score IS NOT NULL").count() == 2
     assert v1 == v0 + 1
+
+
+def test_snapshot_read_as_of_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF time travel: resolve the newest version committed
+    at or before the cutoff; pre-history cutoffs and version+as_of
+    together are rejected."""
+    import pytest
+
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "snap_asof")
+    snapshot_write(spark.createDataFrame([(1,)], "id long"), tdir)
+    snapshot_write(spark.createDataFrame([(2,)], "id long"), tdir)
+    h = snapshot_history(tdir)
+    t0, t1 = h[0]["committed_at"], h[1]["committed_at"]
+
+    assert {r.id for r in snapshot_read(spark, tdir, as_of=t0).collect()} == {1}
+    assert {r.id for r in snapshot_read(spark, tdir, as_of=t1 + 1).collect()} == {2}
+    # Between the commits: still version 0.
+    if t1 > t0:
+        mid = (t0 + t1) / 2
+        if mid < t1:
+            assert {
+                r.id for r in snapshot_read(spark, tdir, as_of=mid).collect()
+            } == {1}
+    with pytest.raises(ValueError, match="no version"):
+        snapshot_read(spark, tdir, as_of=t0 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, tdir, version=0, as_of=t0)
