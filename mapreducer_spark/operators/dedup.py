@@ -1397,9 +1397,8 @@ def _duplicated_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+def _shingle_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-token shingle stream with positions: (doc_id, pos, h)."""
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select(
         "doc_id",
@@ -1411,7 +1410,7 @@ def _build_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence(1, n) needs n >= 1 to ascend — the size guard is load-bearing
     # (same contract as bigram_topk).  The token array is materialized as a
     # column BEFORE the lambda so Catalyst doesn't re-split per shingle.
-    sh = toks.where(F.size("t") >= _SUBSTR_K).select(
+    return toks.where(F.size("t") >= _SUBSTR_K).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -1427,14 +1426,20 @@ def _build_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    # One shuffle on the shingle hash: occurrence count via an unbounded
-    # window (cheaper than groupBy+join-back, which would shuffle occ twice).
-    n_occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    dup_occ = sh.withColumn("n_occ", n_occ).where(F.col("n_occ") > 1)
-    # Islands: two shingle starts p < q belong to the same maximal span
-    # iff q - p <= k (their token ranges overlap or touch).
+
+
+def _spans_from_dup_occurrences(dup_occ: DataFrame) -> DataFrame:
+    """Merge duplicated shingle starts (doc_id, pos) into maximal spans.
+
+    Islands: two shingle starts p < q belong to the same maximal span
+    iff q - p <= k (their token ranges overlap or touch).
+    """
+    from pyspark.sql import Window
+
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    lagged = dup_occ.withColumn("prev_pos", F.lag("pos").over(wdoc))
+    lagged = dup_occ.select("doc_id", "pos").withColumn(
+        "prev_pos", F.lag("pos").over(wdoc)
+    )
     new_island = F.when(
         F.col("prev_pos").isNull()
         | (F.col("pos") - F.col("prev_pos") > _SUBSTR_K),
@@ -1452,6 +1457,17 @@ def _build_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "span_tokens")
     )
+
+
+def _build_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = _shingle_occurrences(spark, sf_dir)
+    # One shuffle on the shingle hash: occurrence count via an unbounded
+    # window (cheaper than groupBy+join-back, which would shuffle occ twice).
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup_occ = sh.withColumn("n_occ", n_occ).where(F.col("n_occ") > 1)
+    return _spans_from_dup_occurrences(dup_occ)
 
 
 @register(
@@ -1606,3 +1622,52 @@ def corpus_after_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kt).cast("long").alias("kept_tokens"),
         F.concat_ws(" ", kt).alias("kept_text"),
     )
+
+
+_INC_SUB_MOD = 7
+_INC_SUB_RES = 3
+
+
+@register(
+    "incremental_substring_spans",
+    oracle=f"""
+WITH spans AS ({_ORACLE_SUBSTR_SPANS})
+SELECT doc_id, span_start, span_end, span_tokens
+FROM spans WHERE doc_id % {_INC_SUB_MOD} = {_INC_SUB_RES}
+""",
+    doc="Incremental (daily-delta) substring dedup: with docs at "
+    f"doc_id % {_INC_SUB_MOD} == {_INC_SUB_RES} playing today's ingest, "
+    "find every maximal repeated >= k-token span in a NEW doc, without "
+    "recomputing old-old structure.  Decomposition: new-side shingles "
+    "(map-side over the delta only) probe the FROZEN old-corpus shingle "
+    "index for new-vs-old repeats, plus a window count within the delta "
+    "for new-vs-new repeats — cost is |delta| x index-probe, never "
+    "|corpus| re-shingling, the shape that makes span-level dedup a "
+    "feasible daily job at 100 TB.  The ORACLE deliberately computes "
+    "the FULL-corpus spans restricted to new docs, so the hash check "
+    "proves the incremental decomposition equals a full recompute.",
+    tags=("llm", "dedup", "text", "incremental"),
+)
+def incremental_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = _shingle_occurrences(spark, sf_dir)
+    is_new = (F.col("doc_id") % _INC_SUB_MOD) == _INC_SUB_RES
+    # The frozen artifact: old-corpus shingle index (hash -> count).  In
+    # production this is precomputed by the previous full pass; rows are
+    # (8B, 8B) and the delta side probing it is small.
+    old_idx = (
+        sh.where(~is_new)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("old_cnt"))
+    )
+    new_sh = sh.where(is_new)
+    # New-vs-new repeats: occurrence count within the delta only.
+    new_cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    marked = new_sh.withColumn("new_cnt", new_cnt).join(
+        old_idx, "h", "left"
+    )
+    dup_occ = marked.where(
+        F.col("old_cnt").isNotNull() | (F.col("new_cnt") > 1)
+    )
+    return _spans_from_dup_occurrences(dup_occ)
