@@ -332,3 +332,112 @@ def corpus_after_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_docs", "n_clusters", "n_removed", "n_kept", "kept_id_sum")
     )
+
+
+@register(
+    "corpus_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         regexp_replace(text, ' [a-z0-9]+$', '') AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+toksets AS (
+  SELECT
+    doc_id,
+    regexp_extract(text, '^[a-z0-9]+') AS block,
+    list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
+  FROM corpus
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toksets a JOIN toksets b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.8
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT a AS v, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+),
+nt AS (
+  SELECT doc_id, len({ORACLE_TOKEN_LIST_SNIPPET}) AS n_tokens FROM corpus
+),
+ranked AS (
+  SELECT l.v AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY l.comp
+                            ORDER BY nt.n_tokens DESC, l.v) AS rn
+  FROM labels l JOIN nt ON nt.doc_id = l.v
+),
+losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT
+  (SELECT COUNT(*) FROM corpus) AS n_docs,
+  (SELECT COUNT(*) FROM losers) AS n_removed,
+  (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM losers) AS n_kept,
+  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM corpus
+   WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS kept_id_sum,
+  (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM nt
+   WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS kept_token_sum
+""",
+    doc="Quality-aware near-dup retention: keep the BEST doc per "
+    "near-dup cluster (longest in tokens, doc_id tie-break) instead of "
+    "corpus_after_neardup_dedup's min-id keeper — the policy real "
+    "curation stacks use (retain the most complete representative; "
+    "here the synthesized near-dups are truncated copies, so "
+    "keep-longest provably retains the originals).  kept_id_sum pins "
+    "the exact keep SET; kept_token_sum pins that the quality policy, "
+    "not min-id, made the choice.  Composes the session-memoized CC "
+    "labels with one per-cluster top-1 window over |clustered docs| "
+    "rows — the marginal cost over the capstone is one tiny window.",
+    tags=("llm", "dedup", "graph", "quality"),
+)
+def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.text import SPARK_TOKEN_SPLIT_RE
+
+    corpus = docs_with_near_dups(spark, sf_dir)
+    nt = corpus.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("n_tokens"),
+    )
+    labels = _neardup_cc_labels(spark, sf_dir)
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    ranked = (
+        labels.select(F.col("v").alias("doc_id"), "comp")
+        .join(nt, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    losers = ranked.where(F.col("rn") > 1).select("doc_id")
+    kept = nt.join(losers, "doc_id", "left_anti")
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(losers.agg(F.count(F.lit(1)).alias("n_removed")))
+        .crossJoin(
+            kept.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("kept_id_sum"),
+                F.sum("n_tokens").cast("long").alias("kept_token_sum"),
+            )
+        )
+        .select("n_docs", "n_removed", "n_kept", "kept_id_sum", "kept_token_sum")
+    )

@@ -1758,3 +1758,243 @@ def matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the third standard serving-compression path
+# next to PQ (64x, codebook) and Matryoshka (dimension truncation):
+# per-dimension linear quantization to 8 bits (4x over float32),
+# calibrated on a deterministic sample, recall-gauged like the others.
+# ---------------------------------------------------------------------------
+
+_SQ_CALIB_MOD = 20  # calibration sample: vec_id % 20 == 0 (5%) — real
+# quantizers calibrate min/max on a sample, never a full corpus scan
+_SQ_LEVELS = 255
+_SQ_DIMS = 64
+
+
+def _sq_oracle_calib() -> str:
+    return f"""
+calib AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+  WHERE vec_id % {_SQ_CALIB_MOD} = 0
+),
+dimstats AS (
+  SELECT i AS dim, MIN(ve[i]) AS dmin, MAX(ve[i]) AS dmax
+  FROM calib, UNNEST(generate_series(1, {_SQ_DIMS})) AS g(i)
+  GROUP BY i
+),
+params AS (
+  SELECT list(dmin ORDER BY dim) AS mins,
+         list((dmax - dmin) / {_SQ_LEVELS}.0 ORDER BY dim) AS scales
+  FROM dimstats
+),
+deq AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS ve,
+         list_transform(generate_series(1, {_SQ_DIMS}),
+           i -> CASE WHEN p.scales[i] > 0 THEN
+                  p.mins[i] + p.scales[i] *
+                  least({_SQ_LEVELS}.0, greatest(0.0,
+                    floor((CAST(embedding AS DOUBLE[])[i] - p.mins[i])
+                          / p.scales[i] + 0.5)))
+                ELSE p.mins[i] END) AS dv
+  FROM embeddings CROSS JOIN params p
+)
+"""
+
+
+@register(
+    "embedding_int8_error",
+    oracle=f"""
+WITH {_sq_oracle_calib()}
+SELECT
+  COUNT(*) AS n_vectors,
+  round(CAST(SUM(CAST(
+    round(list_sum(list_transform(generate_series(1, {_SQ_DIMS}),
+                                  i -> abs(ve[i] - dv[i]))) / {_SQ_DIMS}, 9)
+    AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+  round(MAX(list_max(list_transform(generate_series(1, {_SQ_DIMS}),
+                                    i -> abs(ve[i] - dv[i])))), 6)
+    AS max_abs_err
+FROM deq
+""",
+    doc="int8 scalar-quantization reconstruction error: per-dimension "
+    f"linear [min, max] -> {{0..{_SQ_LEVELS}}} quantization calibrated "
+    f"on the vec_id % {_SQ_CALIB_MOD} == 0 sample (the production "
+    "shape — calibration never scans the full corpus), dequantize, "
+    "report mean/max absolute error.  Values outside the calibration "
+    "range clamp to the edge levels, exactly as a serving quantizer "
+    "does.  One tiny sample agg broadcast over one corpus scan; "
+    "constant dimensions (scale 0) reconstruct as the calibration "
+    "min (guarded on both engines).",
+    tags=("llm", "similarity", "vector"),
+)
+def embedding_int8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    params = _sq_params(em)
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    deq = em.crossJoin(F.broadcast(params)).select(
+        ve.alias("ve"), _sq_dequant(ve).alias("dv")
+    )
+    abs_errs = F.zip_with(
+        F.col("ve"), F.col("dv"), lambda a, b: F.abs(a - b)
+    )
+    mean_err = F.round(
+        F.aggregate(abs_errs, F.lit(0.0), lambda acc, x: acc + x)
+        / _SQ_DIMS,
+        9,
+    )
+    return deq.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(mean_err.cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_err"),
+        F.round(F.max(F.array_max(abs_errs)), 6).alias("max_abs_err"),
+    )
+
+
+def _sq_params(em: DataFrame) -> DataFrame:
+    """1-row broadcastable frame: per-dim calibration mins + scales."""
+    calib = em.where(F.col("vec_id") % _SQ_CALIB_MOD == 0).select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim0", "val")
+    )
+    stats = calib.groupBy("dim0").agg(
+        F.min("val").alias("dmin"), F.max("val").alias("dmax")
+    )
+    return stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "dmin"))),
+            lambda s: s["dmin"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "dmin", "dmax"))),
+            lambda s: (s["dmax"] - s["dmin"]) / _SQ_LEVELS,
+        ).alias("scales"),
+    )
+
+
+def _sq_dequant(ve):
+    """Quantize-then-dequantize ``ve`` against the broadcast params
+    columns (mins, scales) — 1-based oracle indexing mirrored via the
+    0-based transform index."""
+    def one(x, i):
+        dmin = F.element_at("mins", i + 1)
+        scale = F.element_at("scales", i + 1)
+        q = F.least(
+            F.lit(float(_SQ_LEVELS)),
+            F.greatest(F.lit(0.0), F.floor((x - dmin) / scale + 0.5)),
+        )
+        return F.when(scale > 0, dmin + scale * q).otherwise(dmin)
+
+    return F.transform(ve, one)
+
+
+@register(
+    "embedding_int8_recall_at_k",
+    oracle=f"""
+WITH {_sq_oracle_calib()},
+q AS (
+  SELECT vec_id AS q_id, ve AS qv FROM deq WHERE vec_id < {_N_QUERIES}
+),
+qd AS (
+  SELECT vec_id AS q_id, dv AS qdv FROM deq WHERE vec_id < {_N_QUERIES}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.ve), 6) DESC,
+                      c.vec_id) AS rnk
+    FROM q CROSS JOIN deq c WHERE q.q_id <> c.vec_id
+  ) WHERE rnk <= {_TOP_K}
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT qd.q_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qd.q_id
+             ORDER BY round(list_cosine_similarity(qd.qdv, c.dv), 6) DESC,
+                      c.vec_id) AS rnk
+    FROM qd CROSS JOIN deq c WHERE qd.q_id <> c.vec_id
+  ) WHERE rnk <= {_TOP_K}
+),
+hits AS (
+  SELECT a.q_id, COUNT(*) AS n_hits
+  FROM approx a JOIN exact e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+  GROUP BY a.q_id
+)
+SELECT k.q_id,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / k.k, 6)
+         AS recall_at_10
+FROM (SELECT q_id, COUNT(*) AS k FROM exact GROUP BY q_id) k
+LEFT JOIN hits h ON h.q_id = k.q_id
+""",
+    doc="int8 quantized-domain retrieval quality: recall@10 of cosine "
+    "top-k computed entirely on dequantized int8 vectors (both query "
+    "and corpus sides quantized — the honest serving condition) vs the "
+    "full-precision exact top-k.  Same gauge shape as "
+    "ann_ivf_kmeans_recall and matryoshka_recall_at_k, completing the "
+    "compression-tradeoff family: PQ (64x), int8 (4x), truncation.  "
+    "One corpus scan serves both rankings; the quantization params are "
+    "a broadcast 1-row frame.",
+    tags=("llm", "similarity", "vector"),
+)
+def embedding_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    params = _sq_params(em)
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    deq = em.crossJoin(F.broadcast(params)).select(
+        "vec_id", ve.alias("ve"), _sq_dequant(ve).alias("dv")
+    )
+    q = deq.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ve").alias("qv"),
+        F.col("dv").alias("qdv"),
+    )
+    c = deq.select("vec_id", F.col("ve").alias("cv"), F.col("dv").alias("cdv"))
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("q_id") != F.col("vec_id")
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        joined.select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_exact))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    approx = (
+        joined.select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("qdv"), F.col("cdv")), 6).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_exact))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    hits = approx.join(exact, ["q_id", "vec_id"], "left_semi").groupBy(
+        "q_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("k"), 6
+            ).alias("recall_at_10"),
+        )
+    )
