@@ -1761,10 +1761,14 @@ def matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# int8 scalar quantization — the third standard serving-compression path
-# next to PQ (64x, codebook) and Matryoshka (dimension truncation):
-# per-dimension linear quantization to 8 bits (4x over float32),
-# calibrated on a deterministic sample, recall-gauged like the others.
+# int8 scalar quantization, per-DIMENSION asymmetric variant — the
+# third standard serving-compression path next to PQ (64x, codebook)
+# and Matryoshka (dimension truncation): linear [min,max] quantization
+# to 8 bits per dimension (4x over float32), calibrated on a
+# deterministic SAMPLE, and — unlike the per-vector symmetric
+# embedding_int8_quant_error above, which reports reconstruction error
+# only — gauged on what serving actually cares about: quantized-domain
+# retrieval recall.
 # ---------------------------------------------------------------------------
 
 _SQ_CALIB_MOD = 20  # calibration sample: vec_id % 20 == 0 (5%) — real

@@ -1253,3 +1253,57 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("backoff_frac"),
         )
     )
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=_bpe_oracle_sql().rsplit("\nSELECT 1 AS rank", 1)[0]
+    + f""",
+enc AS (
+  SELECT word,
+         len(list_filter(string_split(trim(seg), ' '),
+                         x -> length(x) > 0)) AS n_symbols
+  FROM w{_BPE_ROUNDS}
+),
+dtok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, {ORACLE_TOKENS_SNIPPET} AS tok FROM documents
+  ) WHERE length(tok) > 0
+)
+SELECT d.lang,
+       COUNT(*) AS n_words,
+       CAST(SUM(e.n_symbols) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(e.n_symbols) AS DOUBLE) / COUNT(*), 6) AS fertility
+FROM dtok JOIN enc e ON dtok.tok = e.word
+JOIN documents d ON d.doc_id = dtok.doc_id
+GROUP BY d.lang
+""",
+    doc="Tokenizer fertility by language: BPE symbols emitted per "
+    "whitespace word under the learned merges, grouped by the corpus "
+    "lang column — THE multilingual tokenizer-quality gauge (a "
+    "tokenizer trained lopsidedly fragments under-represented "
+    "languages, inflating their sequence lengths and training cost).  "
+    "Same broadcast-encode shape as bpe_corpus_token_counts plus one "
+    "lang rollup; the merges/segmentation reuse the session-cached "
+    "training artifact.",
+    tags=("llm", "text", "quality"),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = bpe_encode_words(spark, sf_dir).select("word", "n_symbols")
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_tokens_col()).alias("word")
+    ).where(F.length("word") > 0)
+    langs = d.select("doc_id", "lang")
+    return (
+        toks.join(F.broadcast(enc), "word")
+        .join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_symbols").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_symbols").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )
