@@ -1113,3 +1113,113 @@ def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — after shuffle+shard and token-budget trimming, the
+# actual LAST op before the trainer: concatenate the corpus in a
+# deterministic order and chunk it into fixed-length context windows
+# (GPT-style packing).  The interesting part at 100 TB is the GLOBAL
+# running token offset, which naively is a single-partition ordered
+# window; here it is the classic two-phase distributed prefix sum.
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 512  # context window length in tokens
+_PACK_BUCKETS = 64  # order-preserving hash-prefix ranges for phase 1
+
+
+@register(
+    "sequence_packing_offsets",
+    oracle=f"""
+WITH nt AS (
+  SELECT doc_id,
+         {oracle_md5_int64("text")} AS h,
+         len({ORACLE_TOKEN_LIST_SNIPPET}) AS n_tokens
+  FROM documents
+),
+ord AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM nt
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {_PACK_CTX} AS BIGINT) AS first_block,
+       CAST((start_offset + n_tokens - 1) // {_PACK_CTX} AS BIGINT)
+         AS last_block,
+       CAST((start_offset + n_tokens - 1) // {_PACK_CTX}
+            - start_offset // {_PACK_CTX} AS BIGINT) AS n_splits
+FROM ord
+""",
+    doc=f"Sequence packing (concat-and-chunk into {_PACK_CTX}-token "
+    "context windows): every doc's global start offset in the "
+    "content-hash-ordered token stream, plus which blocks it lands in "
+    "and how many block boundaries split it — the placement map a "
+    "trainer's data loader materializes.  The global running offset is "
+    "NOT a single-partition ordered window: the content hash's top "
+    f"bits range-partition the order into {_PACK_BUCKETS} buckets "
+    "(bucket id is a prefix of the sort key, so (bucket, h) order IS "
+    "the global order), phase 1 computes within-bucket prefix sums in "
+    "parallel, phase 2 offsets each bucket by a "
+    f"{_PACK_BUCKETS}-row running total broadcast back — the classic "
+    "two-phase distributed scan, same design stance as "
+    "curriculum_difficulty_phases' no-global-sort z-bands.  The "
+    "ORACLE computes the naive global window, so the hash check "
+    "proves the two-phase decomposition exact.",
+    tags=("llm", "curation", "packing"),
+)
+def sequence_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    nt = d.select(
+        "doc_id",
+        md5_int64(F.col("text")).alias("h"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    # Bucket = top 6 bits of the 60-bit hash: a PREFIX of the sort key,
+    # so global (h, doc_id) order == (bucket, h, doc_id) order.
+    bucket = F.floor(F.col("h") / F.lit(2**54)).alias("bucket")
+    nt = nt.select("doc_id", "h", "n_tokens", bucket)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = nt.withColumn(
+        "local_offset", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    # Phase 2: per-bucket totals -> running bucket offsets.  This window
+    # IS single-partition, over at most _PACK_BUCKETS metadata rows.
+    btot = nt.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(w_b), F.lit(0)).alias("bucket_offset"),
+    )
+    start = F.col("bucket_offset") + F.col("local_offset")
+    first_block = F.floor(start / _PACK_CTX).cast("long")
+    last_block = F.floor((start + F.col("n_tokens") - 1) / _PACK_CTX).cast(
+        "long"
+    )
+    return (
+        local.join(F.broadcast(boff), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.cast("long").alias("start_offset"),
+            first_block.alias("first_block"),
+            last_block.alias("last_block"),
+            (last_block - first_block).cast("long").alias("n_splits"),
+        )
+    )
