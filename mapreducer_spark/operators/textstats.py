@@ -1307,3 +1307,178 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+_TRIGRAM_MIN_COUNT = 2
+
+
+@register(
+    "doc_trigram_perplexity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+tri_pos AS (
+  SELECT doc_id, t[i] AS u, t[i+1] AS v, t[i+2] AS w
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+),
+uni AS (
+  SELECT tok, COUNT(*) AS ucnt
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+total AS (SELECT CAST(SUM(ucnt) AS DOUBLE) AS n FROM uni),
+big_all AS (
+  SELECT t[i] AS v1, t[i+1] AS v2, COUNT(*) AS bcnt_all
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2 GROUP BY 1, 2
+),
+big_model AS (
+  SELECT v1, v2, bcnt_all AS bcnt FROM big_all
+  WHERE bcnt_all >= {_BIGRAM_MIN_COUNT}
+),
+tri AS (
+  SELECT u, v, w, COUNT(*) AS tcnt FROM tri_pos
+  GROUP BY u, v, w HAVING COUNT(*) >= {_TRIGRAM_MIN_COUNT}
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN t3.tcnt IS NOT NULL THEN 0
+              WHEN bm.bcnt IS NOT NULL THEN 1
+              ELSE 2 END AS lvl,
+         round(log2(CASE
+           WHEN t3.tcnt IS NOT NULL
+             THEN CAST(t3.tcnt AS DOUBLE) / ba.bcnt_all
+           WHEN bm.bcnt IS NOT NULL
+             THEN {_BACKOFF_ALPHA} * (CAST(bm.bcnt AS DOUBLE) / uv.ucnt)
+           ELSE {_BACKOFF_ALPHA} * {_BACKOFF_ALPHA}
+                * (CAST(uw.ucnt AS DOUBLE) / n)
+         END), 6) AS logp
+  FROM tri_pos p
+  LEFT JOIN tri t3 ON t3.u = p.u AND t3.v = p.v AND t3.w = p.w
+  JOIN big_all ba ON ba.v1 = p.u AND ba.v2 = p.v
+  LEFT JOIN big_model bm ON bm.v1 = p.v AND bm.v2 = p.w
+  JOIN uni uv ON uv.tok = p.v
+  JOIN uni uw ON uw.tok = p.w
+  CROSS JOIN total
+)
+SELECT doc_id,
+       COUNT(*) AS n_trigrams,
+       round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_log2_s,
+       round(CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bigram_backoff_frac,
+       round(CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS unigram_backoff_frac
+FROM scored GROUP BY doc_id
+""",
+    doc="Per-document trigram LM score under two-level Stupid Backoff: "
+    "S(w|u,v) = c(uvw)/c(uv) when the trigram survives the min-count "
+    f"trim, else {_BACKOFF_ALPHA} * c(vw)/c(v) when the bigram "
+    f"survives, else {_BACKOFF_ALPHA}^2 * c(w)/N — the full "
+    "CCNet-style n-gram quality ladder (doc_unigram_logprob -> "
+    "doc_bigram_perplexity -> this).  Denominator contexts use the "
+    "UNtrimmed bigram counts (a context that occurred is always "
+    "scorable); presence tests use the trimmed model tables.  All "
+    "model tables are vocab-bounded broadcasts; corpus rows never "
+    "shuffle; per-position logs round-then-decimal-sum.",
+    tags=("llm", "text", "quality"),
+)
+def doc_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens_col().alias("t"))
+    tri_pos = toks.where(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("u"),
+                    F.element_at("t", i + 1).alias("v"),
+                    F.element_at("t", i + 2).alias("w"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.u", "p.v", "p.w")
+    big_pos = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("v1"),
+                    F.element_at("t", i + 1).alias("v2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.v1", "p.v2")
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    total = uni.agg(F.sum("ucnt").cast("double").alias("__n"))
+    big_all = big_pos.groupBy("v1", "v2").agg(
+        F.count(F.lit(1)).alias("bcnt_all")
+    )
+    big_model = big_all.where(
+        F.col("bcnt_all") >= _BIGRAM_MIN_COUNT
+    ).select("v1", "v2", F.col("bcnt_all").alias("bcnt"))
+    tri = (
+        tri_pos.groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+        .where(F.col("tcnt") >= _TRIGRAM_MIN_COUNT)
+    )
+    uv = uni.select(F.col("tok").alias("v"), F.col("ucnt").alias("uvcnt"))
+    uw = uni.select(F.col("tok").alias("w"), F.col("ucnt").alias("uwcnt"))
+    ba = big_all.select(
+        F.col("v1").alias("u"), F.col("v2").alias("v"), "bcnt_all"
+    )
+    bm = big_model.select(
+        F.col("v1").alias("v"), F.col("v2").alias("w"), "bcnt"
+    )
+    s = (
+        F.when(
+            F.col("tcnt").isNotNull(),
+            F.col("tcnt").cast("double") / F.col("bcnt_all"),
+        )
+        .when(
+            F.col("bcnt").isNotNull(),
+            F.lit(_BACKOFF_ALPHA)
+            * (F.col("bcnt").cast("double") / F.col("uvcnt")),
+        )
+        .otherwise(
+            F.lit(_BACKOFF_ALPHA)
+            * F.lit(_BACKOFF_ALPHA)
+            * (F.col("uwcnt").cast("double") / F.col("__n"))
+        )
+    )
+    logp = F.round(F.log2(s), 6)
+    lvl1 = F.when(
+        F.col("tcnt").isNull() & F.col("bcnt").isNotNull(), 1
+    ).otherwise(0)
+    lvl2 = F.when(
+        F.col("tcnt").isNull() & F.col("bcnt").isNull(), 1
+    ).otherwise(0)
+    return (
+        tri_pos.join(F.broadcast(tri), ["u", "v", "w"], "left")
+        .join(F.broadcast(ba), ["u", "v"])
+        .join(F.broadcast(bm), ["v", "w"], "left")
+        .join(F.broadcast(uv), "v")
+        .join(F.broadcast(uw), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.sum(logp.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_log2_s"),
+            F.round(
+                F.sum(lvl1).cast("double") / F.count(F.lit(1)), 6
+            ).alias("bigram_backoff_frac"),
+            F.round(
+                F.sum(lvl2).cast("double") / F.count(F.lit(1)), 6
+            ).alias("unigram_backoff_frac"),
+        )
+    )
