@@ -1031,3 +1031,88 @@ def test_substring_dedup_family_consistent(spark, sf_dir):
         assert 1 <= sp.span_start <= sp.span_end
         assert sp.span_end <= stats[sp.doc_id].n_tokens
         assert sp.span_tokens == sp.span_end - sp.span_start + 1
+
+
+def test_substring_spans_match_pure_python_reference(spark, tmp_path):
+    """Randomized third-implementation parity for the substring-dedup
+    family: on three seeded random corpora, the Spark shingle+islands
+    pipeline must equal an independent pure-Python brute-force reference
+    (dict of shingle counts -> duplicated positions -> interval merge).
+    Catches shared-blind-spot bugs the DuckDB oracle could mirror (the
+    oracle uses the same islands formulation; this reference does not)."""
+    import glob
+    import random
+    import shutil
+
+    from mapreducer_spark.operators.dedup import (
+        _SUBSTR_K,
+        substring_dedup_spans,
+    )
+    from tests.conftest import SF_DIR
+    from tests.oracle import TABLES
+
+    def py_spans(docs: dict[int, list[str]]) -> set[tuple[int, int, int, int]]:
+        counts: dict[tuple[str, ...], int] = {}
+        for toks in docs.values():
+            for i in range(len(toks) - _SUBSTR_K + 1):
+                g = tuple(toks[i : i + _SUBSTR_K])
+                counts[g] = counts.get(g, 0) + 1
+        out = set()
+        for doc_id, toks in docs.items():
+            dup_pos = [
+                i + 1
+                for i in range(len(toks) - _SUBSTR_K + 1)
+                if counts[tuple(toks[i : i + _SUBSTR_K])] > 1
+            ]
+            run: list[int] = []
+            for p in dup_pos:
+                if run and p - run[-1] > _SUBSTR_K:
+                    out.add(
+                        (doc_id, run[0], run[-1] + _SUBSTR_K - 1,
+                         run[-1] + _SUBSTR_K - run[0])
+                    )
+                    run = []
+                run.append(p)
+            if run:
+                out.add(
+                    (doc_id, run[0], run[-1] + _SUBSTR_K - 1,
+                     run[-1] + _SUBSTR_K - run[0])
+                )
+        return out
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        docs: dict[int, list[str]] = {}
+        for d in range(30):
+            docs[d] = [rng.choice(vocab) for _ in range(rng.randint(5, 60))]
+        # Plant guaranteed repeats: copy a slice of one doc into another.
+        for d in range(0, 30, 5):
+            src = docs[(d + 3) % 30]
+            if len(src) >= _SUBSTR_K + 2:
+                cut = src[1 : 1 + _SUBSTR_K + rng.randint(0, 5)]
+                docs[d] = docs[d][:3] + cut + docs[d][3:]
+
+        sf = tmp_path / f"sf_rand{seed}"
+        sf.mkdir()
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
+        rows = [
+            (d, " ".join(toks), "en", "synth", len(" ".join(toks)))
+            for d, toks in docs.items()
+        ]
+        frame = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = tmp_path / f"docs_out{seed}"
+        frame.coalesce(1).write.parquet(str(out))
+        (part,) = glob.glob(str(out / "part-*.parquet"))
+        shutil.copy(part, sf / "documents.parquet")
+
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in substring_dedup_spans(spark, str(sf)).collect()
+        }
+        assert got == py_spans(docs), f"seed {seed}"
