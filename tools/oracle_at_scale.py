@@ -75,6 +75,20 @@ DEFAULT_PICKS = [
     "salted_user_event_counts",
     "rapid_event_pairs",
     "top_orders_per_customer",
+    # round 8: substring-dedup family, LM ladder, compression gauges,
+    # packing, and the iterative graph family (VERDICT r7 #3) — graph
+    # oracles are recursive-CTE/pair-heavy on the DuckDB side (minutes
+    # at 10x, Spark side seconds; see oracle_at_scale_r8.jsonl notes).
+    "substring_dedup_spans",
+    "corpus_after_substring_dedup",
+    "incremental_substring_spans",
+    "doc_bigram_perplexity",
+    "doc_trigram_perplexity",
+    "matryoshka_recall_at_k",
+    "embedding_int8_recall_at_k",
+    "sequence_packing_offsets",
+    "copurchase_bfs_recursive",
+    "part_copurchase_pagerank",
 ]
 
 
