@@ -592,13 +592,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs_with_near_dups(spark, sf_dir))
 
 
-def _lsh_md5_oracle_sql() -> str:
-    """DuckDB twin of the ENTIRE MinHash+LSH pipeline — shingling, 16
-    affine permutations over the md5_int64 shingle hash, 4-band
-    bucketing, chunked mega-bucket pair expansion (row_number chunks of
-    _LSH_MAX_BUCKET + hub links, mirroring minhash_lsh_pairs), and
-    the exact-Jaccard verify.  Only expressible because use_md5 swaps
-    xxhash64 (no DuckDB twin) for the shared md5-based hash."""
+def _lsh_md5_oracle_ctes() -> str:
+    """CTE chain of the DuckDB MinHash+LSH twin, ending in
+    ``cand(id_a, id_b)`` (the pre-verify candidate pairs) and
+    ``tsets(doc_id, tok_set)`` — shared by the verified-pairs twin and
+    the candidate-recall gauge."""
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
     mins = ",\n    ".join(
         f"list_min(list_transform(hv, h -> (h * {_MINHASH_A[i]} + {_MINHASH_B[i]})"
@@ -618,8 +616,7 @@ def _lsh_md5_oracle_sql() -> str:
         )
         for j in range(_MINHASH_BANDS)
     )
-    return f"""
-WITH corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
+    return f"""corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
 tok AS (
   SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS toks FROM corpus
 ),
@@ -676,7 +673,18 @@ cand AS (
 tsets AS (
   SELECT doc_id, list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
   FROM corpus
-)
+)"""
+
+
+def _lsh_md5_oracle_sql() -> str:
+    """DuckDB twin of the ENTIRE MinHash+LSH pipeline — shingling, 16
+    affine permutations over the md5_int64 shingle hash, 4-band
+    bucketing, chunked mega-bucket pair expansion (row_number chunks of
+    _LSH_MAX_BUCKET + hub links, mirroring minhash_lsh_pairs), and
+    the exact-Jaccard verify.  Only expressible because use_md5 swaps
+    xxhash64 (no DuckDB twin) for the shared md5-based hash."""
+    return f"""
+WITH {_lsh_md5_oracle_ctes()}
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
              / (len(ta.tok_set) + len(tb.tok_set)
@@ -715,6 +723,35 @@ def minhash_lsh_pairs(corpus: DataFrame, use_md5: bool = False) -> DataFrame:
     (shingle hash, band-bucket hash) for the cross-engine md5_int64,
     which makes the output DuckDB-reproducible at ~2x the hashing cost
     — the hash-checked twin; production keeps xxhash64."""
+    candidates = minhash_lsh_candidates(corpus, use_md5=use_md5)
+
+    # Materialized once: joined twice below (id_a and id_b branches would
+    # otherwise each re-tokenize the corpus).
+    ts = (
+        _token_hash_sets(corpus)
+        .select("doc_id", "tok_set")
+        .localCheckpoint(eager=True)
+    )
+    with_sets = candidates.join(
+        ts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("tok_set", "set_a"),
+        "id_a",
+    ).join(
+        ts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("tok_set", "set_b"),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    jacc = inter.cast("double") / union
+    return (
+        with_sets.where(jacc >= _JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_candidates(corpus: DataFrame, use_md5: bool = False) -> DataFrame:
+    """The PRE-VERIFY candidate pairs (id_a < id_b) the banded buckets
+    propose — the stage whose recall the LSH parameters (k, bands,
+    chunk guard) actually control; minhash_lsh_recall gauges it."""
     sigs = minhash_signatures(corpus, use_md5=use_md5)
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
 
@@ -783,33 +820,11 @@ def minhash_lsh_pairs(corpus: DataFrame, use_md5: bool = False) -> DataFrame:
         F.col("hub").alias("id_a"), F.element_at("chunk_ids", 1).alias("id_b")
     )
     pairs = F.concat(_pair_structs(F.col("chunk_ids")), F.array(link_pair))
-    candidates = (
+    return (
         chunks.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         .where(F.col("id_a") != F.col("id_b"))
         .distinct()
-    )
-
-    # Materialized once: joined twice below (id_a and id_b branches would
-    # otherwise each re-tokenize the corpus).
-    ts = (
-        _token_hash_sets(corpus)
-        .select("doc_id", "tok_set")
-        .localCheckpoint(eager=True)
-    )
-    with_sets = candidates.join(
-        ts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("tok_set", "set_a"),
-        "id_a",
-    ).join(
-        ts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("tok_set", "set_b"),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.size(F.array_union("set_a", "set_b"))
-    jacc = inter.cast("double") / union
-    return (
-        with_sets.where(jacc >= _JACCARD_THRESHOLD)
-        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
     )
 
 
@@ -1671,3 +1686,85 @@ def incremental_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_cnt").isNotNull() | (F.col("new_cnt") > 1)
     )
     return _spans_from_dup_occurrences(dup_occ)
+
+
+@register(
+    "minhash_lsh_recall",
+    oracle=f"""
+WITH {_lsh_md5_oracle_ctes()},
+verified AS (
+  SELECT id_a, id_b FROM cand
+  JOIN tsets ta ON cand.id_a = ta.doc_id
+  JOIN tsets tb ON cand.id_b = tb.doc_id
+  WHERE CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+        / (len(ta.tok_set) + len(tb.tok_set)
+           - len(list_intersect(ta.tok_set, tb.tok_set)))
+        >= {_JACCARD_THRESHOLD}
+),
+planted AS (
+  SELECT doc_id AS id_a, doc_id + 3000000 AS id_b
+  FROM documents WHERE doc_id % 5 = 0
+),
+hits AS (
+  SELECT id_a, id_b FROM planted
+  INTERSECT
+  SELECT id_a, id_b FROM cand
+)
+SELECT
+  (SELECT COUNT(*) FROM planted) AS n_planted,
+  (SELECT COUNT(*) FROM cand) AS n_candidates,
+  (SELECT COUNT(*) FROM hits) AS n_hits,
+  (SELECT COUNT(*) FROM verified) AS n_verified,
+  round(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+        / (SELECT COUNT(*) FROM planted), 6) AS planted_recall,
+  round(CAST((SELECT COUNT(*) FROM verified) AS DOUBLE)
+        / (SELECT COUNT(*) FROM cand), 6) AS candidate_precision
+""",
+    doc="LSH operating-point gauge — the dedup analogue of "
+    "ann_ivf_kmeans_recall: recall of the banded MinHash candidate "
+    "stage against the PLANTED near-dup pairs (each doc_id % 5 == 0 "
+    "has a last-token-dropped copy at +3000000 — known ground truth "
+    "with near-identical shingle sets, the similarity MinHash actually "
+    "approximates), plus candidate precision (the fraction of proposed "
+    "pairs surviving exact verification — the wasted-verify-work "
+    "meter).  These two numbers are what the LSH parameters (16 perms, "
+    "4 bands, chunk guard) trade; a 100 TB deployment runs this on a "
+    "sample with synthetic plants before trusting a parameter change.  "
+    "Deliberately NOT gauged against the blocked-exact twin: that "
+    "truth set is token-SET Jaccard, which saturates on the small-"
+    "vocab fixture (most doc pairs share most distinct tokens), so it "
+    "measures a different similarity than the shingle-based bands "
+    "propose.  Uses the md5 twin so the gauge is oracle-checkable end "
+    "to end; a recall floor is asserted in tests.",
+    tags=("llm", "dedup", "neardup", "quality"),
+)
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = docs_with_near_dups(spark, sf_dir)
+    cand = minhash_lsh_candidates(corpus, use_md5=True).localCheckpoint(
+        eager=True
+    )
+    verified = minhash_lsh_pairs(corpus, use_md5=True).select("id_a", "id_b")
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 3000000).alias("id_b"),
+    )
+    hits = planted.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        planted.agg(F.count(F.lit(1)).alias("n_planted"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+        .select(
+            "n_planted",
+            "n_candidates",
+            "n_hits",
+            "n_verified",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_planted"), 6
+            ).alias("planted_recall"),
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_candidates"), 6
+            ).alias("candidate_precision"),
+        )
+    )

@@ -1116,3 +1116,15 @@ def test_substring_spans_match_pure_python_reference(spark, tmp_path):
             for r in substring_dedup_spans(spark, str(sf)).collect()
         }
         assert got == py_spans(docs), f"seed {seed}"
+
+
+def test_minhash_lsh_recall_floor(spark, sf_dir):
+    """The LSH gauge must recover essentially all planted near-dups at
+    this operating point (16 perms / 4 bands on last-token-dropped
+    copies) and verification must not be mostly wasted work."""
+    from mapreducer_spark.operators.dedup import minhash_lsh_recall
+
+    r = minhash_lsh_recall(spark, sf_dir).collect()[0]
+    assert r.planted_recall >= 0.95
+    assert r.candidate_precision >= 0.5
+    assert r.n_hits <= r.n_candidates
