@@ -468,3 +468,102 @@ def outliers_zscore(e: DataFrame) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def _skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
+    cnts = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("k"))
+    top10 = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .agg(F.sum("cnt").alias("top10_rows"))
+    )
+    base = cnts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+    )
+    return base.crossJoin(F.broadcast(top10)).select(
+        F.lit(label).alias("key_name"),
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.col("top10_rows").cast("long").alias("top10_rows"),
+        F.round(
+            F.col("max_key_rows")
+            / (F.col("n_rows").cast("double") / F.col("n_keys")),
+            6,
+        ).alias("max_over_mean"),
+        F.round(
+            F.col("top10_rows").cast("double") / F.col("n_rows"), 6
+        ).alias("top10_share"),
+    )
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+WITH k1 AS (
+  SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY 1
+),
+t1 AS (
+  SELECT SUM(cnt) AS top10_rows FROM (
+    SELECT cnt FROM k1 ORDER BY cnt DESC, k LIMIT 10
+  )
+),
+s1 AS (
+  SELECT 'orders.o_custkey' AS key_name,
+         COUNT(*) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         MAX(cnt) AS max_key_rows
+  FROM k1
+),
+k2 AS (
+  SELECT user_id AS k, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+t2 AS (
+  SELECT SUM(cnt) AS top10_rows FROM (
+    SELECT cnt FROM k2 ORDER BY cnt DESC, k LIMIT 10
+  )
+),
+s2 AS (
+  SELECT 'events.user_id' AS key_name,
+         COUNT(*) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         MAX(cnt) AS max_key_rows
+  FROM k2
+)
+SELECT s1.key_name, s1.n_keys, s1.n_rows, s1.max_key_rows,
+       CAST(t1.top10_rows AS BIGINT) AS top10_rows,
+       round(s1.max_key_rows / (CAST(s1.n_rows AS DOUBLE) / s1.n_keys), 6)
+         AS max_over_mean,
+       round(CAST(t1.top10_rows AS DOUBLE) / s1.n_rows, 6) AS top10_share
+FROM s1 CROSS JOIN t1
+UNION ALL
+SELECT s2.key_name, s2.n_keys, s2.n_rows, s2.max_key_rows,
+       CAST(t2.top10_rows AS BIGINT) AS top10_rows,
+       round(s2.max_key_rows / (CAST(s2.n_rows AS DOUBLE) / s2.n_keys), 6)
+         AS max_over_mean,
+       round(CAST(t2.top10_rows AS DOUBLE) / s2.n_rows, 6) AS top10_share
+FROM s2 CROSS JOIN t2
+""",
+    doc="Join-key skew detector — the measurement that DECIDES the "
+    "skew strategy (functions/agg.py's salted fallback, AQE skew "
+    "join, broadcast): per join key, distinct-key count, max and "
+    "top-10 key concentration, and max-over-mean ratio.  A ratio near "
+    "1 means hash partitioning balances; a ratio of thousands means "
+    "one reducer owns the key and salting is mandatory.  One "
+    "map-side-combined count per key column plus a 10-row top-k — "
+    "runs as a cheap pre-flight on a sample at 100 TB.",
+    tags=("profiling", "skew"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return _skew_profile(orders, "o_custkey", "orders.o_custkey").unionByName(
+        _skew_profile(events, "user_id", "events.user_id")
+    )
