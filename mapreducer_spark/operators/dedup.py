@@ -1415,6 +1415,13 @@ def _duplicated_shingle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingle_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-token shingle stream with positions: (doc_id, pos, h)."""
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return shingle_occurrences_df(d)
+
+
+def shingle_occurrences_df(d: DataFrame) -> DataFrame:
+    """Shingle stream over any (doc_id, text) frame — shared by the
+    batch substring-dedup family and the streaming incremental index
+    (streaming/jobs.py::run_substring_dedup_stream)."""
     toks = d.select(
         "doc_id",
         F.filter(

@@ -730,3 +730,75 @@ def cms_cells_stream(events: DataFrame) -> DataFrame:
     from mapreducer_spark.operators.sketches import cms_cells
 
     return cms_cells(events.select("user_id"))
+
+
+def run_substring_dedup_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    spans_dir: str,
+    checkpoint: str,
+) -> None:
+    """Streaming incremental substring dedup — the daily-ingest shape of
+    operators/dedup.py::incremental_substring_spans run continuously:
+    each micro-batch of documents (1) re-shingles ONLY its own docs
+    map-side, (2) probes the snapshot-versioned shingle index built by
+    every PRIOR batch for cross-batch repeats, (3) emits the maximal
+    repeated spans found in the new docs, and (4) appends its own
+    shingle counts to the index as a new snapshot generation.
+
+    Index design: an append-only (h, cnt) partial-count table — reading
+    it is groupBy(h).sum(cnt) over the generations (mergeable partial
+    states, the same contract as incremental_daily_agg), so the index
+    UPDATE is a metadata-only snapshot append, never a rewrite.  Spans
+    land under spans_dir/batch_id=N with mode=overwrite, so a replayed
+    batch rewrites its own directory instead of duplicating
+    (run_quality_router's idempotence pattern); the index append
+    dedups replays via the snapshot tag.
+    """
+    from pyspark.sql import Window
+
+    from mapreducer_spark.operators.dedup import (
+        _spans_from_dup_occurrences,
+        shingle_occurrences_df,
+    )
+    from mapreducer_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh_new = shingle_occurrences_df(
+            batch_df.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
+        try:
+            old_idx = (
+                snapshot_read(spark, index_dir)
+                .groupBy("h")
+                .agg(F.sum("cnt").alias("old_cnt"))
+            )
+        except FileNotFoundError:
+            old_idx = spark.createDataFrame([], "h long, old_cnt long")
+        new_cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+        marked = sh_new.withColumn("new_cnt", new_cnt).join(
+            old_idx, "h", "left"
+        )
+        dup_occ = marked.where(
+            F.col("old_cnt").isNotNull() | (F.col("new_cnt") > 1)
+        )
+        spans = _spans_from_dup_occurrences(dup_occ)
+        spans.write.mode("overwrite").parquet(
+            os.path.join(spans_dir, f"batch_id={batch_id}")
+        )
+        batch_counts = sh_new.groupBy("h").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        snapshot_write(
+            batch_counts, index_dir, op="append", tag=f"batch-{batch_id}"
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
