@@ -1142,9 +1142,7 @@ _BIGRAM_MIN_COUNT = 2  # hapax bigrams are pruned from the model (the
 _BACKOFF_ALPHA = 0.4  # Brants et al. 2007's fixed Stupid Backoff weight
 
 
-@register(
-    "doc_bigram_perplexity",
-    oracle=f"""
+_BIGRAM_PPL_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
 ),
@@ -1182,7 +1180,12 @@ SELECT doc_id,
        round(CAST(SUM(CASE WHEN backed_off THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS backoff_frac
 FROM scored GROUP BY doc_id
-""",
+"""
+
+
+@register(
+    "doc_bigram_perplexity",
+    oracle=_BIGRAM_PPL_ORACLE,
     doc="Per-document bigram LM score under Stupid Backoff (Brants et "
     "al. 2007): S(w|v) = count(vw)/count(v) when the bigram survives "
     f"the min-count-{_BIGRAM_MIN_COUNT} trim, else "
@@ -1480,5 +1483,93 @@ def doc_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(lvl2).cast("double") / F.count(F.lit(1)), 6
             ).alias("unigram_backoff_frac"),
+        )
+    )
+
+
+_PPL_GRID = (-1.0, -0.5, 0.0, 0.5, 1.0)  # thresholds at mu + j*sigma
+
+
+@register(
+    "perplexity_filter_calibration",
+    oracle=f"""
+WITH scores AS ({_BIGRAM_PPL_ORACLE}),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(avg_log2_s AS DECIMAL(18,4))) AS DOUBLE)
+           / COUNT(*) AS mu,
+         sqrt(CAST(SUM(CAST(round(avg_log2_s * avg_log2_s, 8)
+                            AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(CAST(avg_log2_s AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*))
+                * (CAST(SUM(CAST(avg_log2_s AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*))) AS sigma
+  FROM scores
+),
+grid AS (
+  SELECT CAST(j AS DOUBLE) AS j, m.mu + j * m.sigma AS th
+  FROM (VALUES (-1.0), (-0.5), (0.0), (0.5), (1.0)) g(j) CROSS JOIN m
+)
+SELECT g.j AS z_offset,
+       round(g.th, 6) AS threshold,
+       CAST(SUM(CASE WHEN s.avg_log2_s >= g.th THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       round(CAST(SUM(CASE WHEN s.avg_log2_s >= g.th THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS frac_kept,
+       CAST(SUM(CASE WHEN s.avg_log2_s >= g.th THEN s.n_bigrams ELSE 0 END)
+            AS BIGINT) AS bigrams_kept
+FROM scores s CROSS JOIN grid g
+GROUP BY g.j, g.th
+""",
+    doc="Perplexity-filter operating-curve: for thresholds at mu + "
+    f"j*sigma of the corpus's own bigram-score distribution (j in "
+    f"{_PPL_GRID}), how many docs and how many bigram positions a "
+    "keep-if-score-above gate retains — the calibration a CCNet-style "
+    "pipeline runs to pick its filter threshold for a target retention "
+    "rate.  Corpus-RELATIVE thresholds (not absolute bits) so the "
+    "curve is meaningful at any scale/vocab; moments come from one "
+    "tiny decimal-exact aggregate broadcast over the scored frame, "
+    "the same no-global-sort stance as curriculum_difficulty_phases.",
+    tags=("llm", "text", "quality"),
+)
+def perplexity_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = doc_bigram_perplexity(spark, sf_dir)
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("avg_log2_s").cast("decimal(18,4)")).cast("double")
+    s2 = F.sum(
+        F.round(F.col("avg_log2_s") * F.col("avg_log2_s"), 8).cast(
+            "decimal(28,8)"
+        )
+    ).cast("double")
+    mu = s1 / n
+    m = scores.agg(mu.alias("mu"), F.sqrt(s2 / n - mu * mu).alias("sigma"))
+    grid = m.select(
+        "mu",
+        "sigma",
+        F.explode(
+            F.array(*[F.lit(j).cast("double") for j in _PPL_GRID])
+        ).alias("j"),
+    ).select("j", (F.col("mu") + F.col("j") * F.col("sigma")).alias("th"))
+    kept = F.when(F.col("avg_log2_s") >= F.col("th"), 1).otherwise(0)
+    return (
+        scores.crossJoin(F.broadcast(grid))
+        .groupBy(F.col("j").alias("z_offset"), F.col("th"))
+        .agg(
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 6).alias(
+                "frac_kept"
+            ),
+            F.sum(
+                F.when(
+                    F.col("avg_log2_s") >= F.col("th"), F.col("n_bigrams")
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("bigrams_kept"),
+        )
+        .select(
+            "z_offset",
+            F.round("th", 6).alias("threshold"),
+            "n_kept",
+            "frac_kept",
+            "bigrams_kept",
         )
     )
