@@ -85,6 +85,60 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """End-to-end corpus curation: Gopher quality gate -> exact content
+    dedup (keep min doc_id) -> optional substring-span removal -> commit
+    the cleaned corpus as a snapshot version.  The operational verb a
+    training-data team runs nightly; every stage is the same expression
+    pipeline the oracle-checked queries use."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.functions.hashes import md5_int64
+    from mapreducer_spark.operators.curation import repetition_metrics
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.sources.snapshots import snapshot_write
+
+    spark = _get_spark(args)
+    d = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
+    n_in = d.count()
+    metrics = repetition_metrics(d)
+    kept = metrics.where("keep").select("doc_id").join(d, "doc_id")
+    w = Window.partitionBy(md5_int64(F.col("text"))).orderBy("doc_id")
+    survivors = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    if args.drop_substring_spans:
+        from mapreducer_spark.operators.dedup import (
+            corpus_after_substring_dedup,
+        )
+
+        cleaned = corpus_after_substring_dedup(spark, args.sf_dir).select(
+            "doc_id", F.col("kept_text").alias("text")
+        )
+        survivors = (
+            survivors.drop("text")
+            .join(cleaned, "doc_id")
+            .where(F.length("text") > 0)
+        )
+    version = snapshot_write(survivors, args.out, op="overwrite")
+    n_out = survivors.count()
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_out": n_out,
+                "dropped": n_in - n_out,
+                "snapshot_version": version,
+                "table_dir": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_snapshot_history(args: argparse.Namespace) -> int:
     import json
 
@@ -200,6 +254,20 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--path", required=True)
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=cmd_compact)
+
+    cu = sub.add_parser(
+        "curate",
+        help="quality-gate + dedup the documents table and commit the "
+        "cleaned corpus as a snapshot version",
+    )
+    cu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cu.add_argument("out", help="snapshot table dir for the cleaned corpus")
+    cu.add_argument(
+        "--drop-substring-spans",
+        action="store_true",
+        help="also remove corpus-repeated >=k-token spans (ExactSubstr)",
+    )
+    cu.set_defaults(fn=cmd_curate)
 
     sh = sub.add_parser(
         "snapshot-history", help="list a snapshot table's versions"

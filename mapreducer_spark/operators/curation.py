@@ -1223,3 +1223,106 @@ def sequence_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (last_block - first_block).cast("long").alias("n_splits"),
         )
     )
+
+
+@register(
+    "curation_pipeline_summary",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+base AS (
+  SELECT doc_id, text, {_ORACLE_TOKS} AS t FROM corpus
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_frac,
+         CAST(list_max(list_transform(
+                list_distinct({_oracle_ngrams('t', 2)}),
+                g -> len(list_filter({_oracle_ngrams('t', 2)}, x -> x = g))
+              )) AS DOUBLE) / (len(t) - 1) AS top_bigram
+  FROM base WHERE len(t) >= 2
+),
+kept AS (
+  SELECT b.doc_id, b.text, m.n_tokens
+  FROM m JOIN base b USING (doc_id)
+  WHERE m.n_tokens >= {_MIN_TOKENS}
+    AND m.dup_frac <= {_DUP_TOKEN_MAX}
+    AND m.top_bigram <= {_TOP_BIGRAM_MAX}
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY {oracle_md5_int64("text")} ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT
+  (SELECT COUNT(*) FROM base) AS n_docs_in,
+  (SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM kept)
+    AS n_quality_dropped,
+  (SELECT COUNT(*) FROM kept) - (SELECT COUNT(*) FROM ranked WHERE rn = 1)
+    AS n_dup_dropped,
+  (SELECT COUNT(*) FROM ranked WHERE rn = 1) AS n_docs_out,
+  (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+   FROM ranked WHERE rn = 1) AS tokens_out,
+  (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+   FROM ranked WHERE rn = 1) AS kept_id_sum
+""",
+    doc="End-to-end curation capstone in ONE declarative plan: Gopher "
+    "repetition gate -> exact content dedup (keep min doc_id) -> "
+    "surviving doc/token accounting, with kept_id_sum pinning the "
+    "exact surviving SET.  The point is architectural: the whole "
+    "pipeline is a single Catalyst plan (quality metrics are per-row "
+    "expressions, the dedup is one narrow hash shuffle), so at 100 TB "
+    "the stages fuse into one pass over the corpus plus one shuffle — "
+    "no intermediate materialization between 'stages' unless the "
+    "operator chooses to checkpoint.",
+    tags=("llm", "curation", "quality", "dedup"),
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreducer_spark.operators.curation import repetition_metrics
+    from mapreducer_spark.operators.dedup import docs_with_exact_dups
+
+    # The exact-dup construction (doc_id % 10 copies at +1000000), so the
+    # dedup stage of the pipeline is LIVE in the hash check — on the
+    # duplicate-free raw fixture n_dup_dropped would be pinned at 0.
+    d = docs_with_exact_dups(spark, sf_dir)
+    metrics = repetition_metrics(d)
+    kept = (
+        metrics.where("keep")
+        .select("doc_id", "n_tokens")
+        .join(d, "doc_id")
+    )
+    w = Window.partitionBy(md5_int64(F.col("text"))).orderBy("doc_id")
+    ranked = kept.withColumn("rn", F.row_number().over(w))
+    survivors = ranked.where(F.col("rn") == 1)
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_docs_in"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("__n_kept")))
+        .crossJoin(
+            survivors.agg(
+                F.count(F.lit(1)).alias("n_docs_out"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0))
+                .cast("long")
+                .alias("tokens_out"),
+                F.coalesce(F.sum("doc_id"), F.lit(0))
+                .cast("long")
+                .alias("kept_id_sum"),
+            )
+        )
+        .select(
+            "n_docs_in",
+            (F.col("n_docs_in") - F.col("__n_kept")).alias(
+                "n_quality_dropped"
+            ),
+            (F.col("__n_kept") - F.col("n_docs_out")).alias("n_dup_dropped"),
+            "n_docs_out",
+            "tokens_out",
+            "kept_id_sum",
+        )
+    )

@@ -407,3 +407,52 @@ def test_session_memo_hits_and_evicts_stale_apps(spark):
     memo._CACHE[("dead-app-id", "x")] = a
     memo.session_memo(spark, ("memo_test_k2",), lambda: spark.range(1))
     assert ("dead-app-id", "x") not in memo._CACHE
+
+
+def test_cli_curate_writes_snapshot_consistent_with_capstone(
+    spark, sf_dir, tmp_path
+):
+    """The curate verb's survivor set must equal the oracle-checked
+    curation_pipeline_summary numbers on the raw fixture (quality gate +
+    exact dedup; the capstone's synthetic +1000000 copies are all exact
+    dups of kept docs, so n_docs_out is identical), and the output must
+    be a readable snapshot table.  --drop-substring-spans additionally
+    empties fully-duplicated docs."""
+    import json
+
+    from mapreducer_spark.sources.snapshots import snapshot_read
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cli_main(
+            ["curate", str(tmp_path / "t1"), "--sf-dir", sf_dir]
+        )
+    assert rc == 0
+    stats = json.loads(out.getvalue().strip().splitlines()[-1])
+    from mapreducer_spark.registry import all_queries
+
+    capstone = (
+        all_queries()["curation_pipeline_summary"].fn(spark, sf_dir).collect()[0]
+    )
+    assert stats["docs_in"] == 500
+    assert stats["docs_out"] == capstone.n_docs_out
+    tbl = snapshot_read(spark, str(tmp_path / "t1"))
+    assert tbl.count() == capstone.n_docs_out
+    assert set(tbl.columns) == {"doc_id", "text"}
+
+    out2 = io.StringIO()
+    with redirect_stdout(out2):
+        rc = cli_main(
+            [
+                "curate",
+                str(tmp_path / "t2"),
+                "--sf-dir",
+                sf_dir,
+                "--drop-substring-spans",
+            ]
+        )
+    assert rc == 0
+    stats2 = json.loads(out2.getvalue().strip().splitlines()[-1])
+    assert stats2["docs_out"] <= stats["docs_out"]
+    tbl2 = snapshot_read(spark, str(tmp_path / "t2"))
+    assert tbl2.where("length(text) = 0").count() == 0
