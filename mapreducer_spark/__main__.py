@@ -102,7 +102,12 @@ def cmd_curate(args: argparse.Namespace) -> int:
     spark = _get_spark(args)
     d = load_table(spark, args.sf_dir, "documents").select("doc_id", "text")
     n_in = d.count()
-    metrics = repetition_metrics(d)
+    # Checkpoint before filtering on `keep`: pushed into the scan, the
+    # predicate re-evaluates the Gopher HOF tree per reference (same fix
+    # as curation_pipeline_summary).
+    metrics = repetition_metrics(d).select("doc_id", "keep").localCheckpoint(
+        eager=True
+    )
     kept = metrics.where("keep").select("doc_id").join(d, "doc_id")
     w = Window.partitionBy(md5_int64(F.col("text"))).orderBy("doc_id")
     survivors = (
