@@ -1775,3 +1775,156 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_precision"),
         )
     )
+
+
+_SELF_K = 5  # intra-doc span width: degenerate looping text repeats
+# SHORT phrases many times, so the self-repetition detector runs at a
+# finer granularity than the corpus-level _SUBSTR_K
+
+
+_ORACLE_DOCS_WITH_LOOPS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id,
+         substr(text, 1, 60) || ' ' || substr(text, 1, 60) || ' '
+           || substr(text, 1, 60) AS text
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def docs_with_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized looping docs: the fixture corpus never repeats a
+    5-token phrase within one doc, so every doc_id % 11 == 0 gains a
+    copy whose text is its first 60 chars repeated 3x — the model-loop
+    artifact the detector exists to catch.  Identical construction in
+    the oracle, so the detection branch is hash-LIVE, not just the
+    all-zeros path."""
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    head = F.substring("text", 1, 60)
+    loops = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat_ws(" ", head, head, head).alias("text"),
+    )
+    return d.unionByName(loops)
+
+
+@register(
+    "intra_doc_repeated_spans",
+    oracle=f"""
+WITH corpus AS ({_ORACLE_DOCS_WITH_LOOPS}),
+toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM corpus
+),
+sh AS (
+  SELECT doc_id, i AS pos,
+         {oracle_md5_int64(f"array_to_string(list_slice(t, i, i + {_SELF_K} - 1), ' ')")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SELF_K} + 1)) AS g(i)
+  WHERE len(t) >= {_SELF_K}
+),
+occ AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY doc_id, h) AS n_occ
+  FROM sh
+),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM occ WHERE n_occ > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_pos IS NULL OR pos - prev_pos > {_SELF_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id,
+         MIN(pos) AS span_start,
+         MAX(pos) + {_SELF_K} - 1 AS span_end
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_self_spans,
+       CAST(COALESCE(s.rep_tokens, 0) AS BIGINT) AS self_rep_tokens,
+       ROUND(CAST(COALESCE(s.rep_tokens, 0) AS DOUBLE) / len(t.t), 6)
+         AS self_rep_frac
+FROM toks t
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(span_end - span_start + 1) AS rep_tokens
+  FROM spans GROUP BY doc_id
+) s ON s.doc_id = t.doc_id
+""",
+    doc="INTRA-document repetition detector — the generation-artifact "
+    f"filter: maximal spans of >= {_SELF_K}-token phrases repeated "
+    "WITHIN the same doc (model looping, boilerplate stutter), "
+    "reported per doc as span count, covered tokens, and fraction.  "
+    "Complements gopher_repetition_rules (bag-level dup-token ratios "
+    "can't localize runs) and substring_dedup_spans (corpus-level "
+    "cross-doc repeats): the occurrence window partitions by "
+    "(doc_id, hash), so nothing ever leaves its document — the whole "
+    "pipeline is doc-local after one doc-keyed shuffle, trivially "
+    "linear at 100 TB.",
+    tags=("llm", "dedup", "text", "quality"),
+)
+def intra_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = docs_with_loops(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+            lambda x: F.length(x) > 0,
+        ).alias("t"),
+    )
+    sh = toks.where(F.size("t") >= _SELF_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_SELF_K - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    md5_int64(
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i, F.lit(_SELF_K))
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("doc_id", "h"))
+    dup_occ = sh.withColumn("n_occ", n_occ).where(F.col("n_occ") > 1)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = dup_occ.select("doc_id", "pos").withColumn(
+        "prev_pos", F.lag("pos").over(wdoc)
+    )
+    new_island = F.when(
+        F.col("prev_pos").isNull()
+        | (F.col("pos") - F.col("prev_pos") > _SELF_K),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    isl = lagged.withColumn("grp", F.sum(new_island).over(wdoc))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (_SELF_K - 1)).alias("span_end"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + 1
+        ).alias("rep_tokens"),
+    )
+    rep = F.coalesce(F.col("rep_tokens"), F.lit(0)).cast("long")
+    return toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias(
+            "n_self_spans"
+        ),
+        rep.alias("self_rep_tokens"),
+        F.round(rep.cast("double") / F.size("t"), 6).alias("self_rep_frac"),
+    )
