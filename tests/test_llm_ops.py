@@ -1128,3 +1128,70 @@ def test_minhash_lsh_recall_floor(spark, sf_dir):
     assert r.planted_recall >= 0.95
     assert r.candidate_precision >= 0.5
     assert r.n_hits <= r.n_candidates
+
+
+def test_sequence_packing_matches_pure_python_reference(spark, tmp_path):
+    """Third-implementation parity for the two-phase prefix sum: on
+    seeded random corpora (doc lengths 1..120 tokens), Spark's bucketed
+    decomposition must equal a pure-Python naive packing (global sort by
+    (md5-hash, doc_id), sequential cumsum) — independent of both the
+    Spark formulation and the DuckDB window oracle."""
+    import glob
+    import hashlib
+    import random
+    import shutil
+
+    from mapreducer_spark.operators.curation import (
+        _PACK_CTX,
+        sequence_packing_offsets,
+    )
+    from tests.conftest import SF_DIR
+    from tests.oracle import TABLES
+
+    def md5_int64(text: str) -> int:
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    vocab = [f"tok{i}" for i in range(40)]
+    for seed in (3, 71):
+        rng = random.Random(seed)
+        docs = {
+            d: " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 120))
+            )
+            for d in range(80)
+        }
+        expected = {}
+        offset = 0
+        for d, text in sorted(
+            docs.items(), key=lambda kv: (md5_int64(kv[1]), kv[0])
+        ):
+            n = len(text.split())
+            first, last = offset // _PACK_CTX, (offset + n - 1) // _PACK_CTX
+            expected[d] = (n, offset, first, last, last - first)
+            offset += n
+
+        sf = tmp_path / f"sf_pack{seed}"
+        sf.mkdir()
+        for t in TABLES:
+            if t != "documents":
+                shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
+        frame = spark.createDataFrame(
+            [(d, text, "en", "synth", len(text)) for d, text in docs.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = tmp_path / f"pack_out{seed}"
+        frame.coalesce(1).write.parquet(str(out))
+        (part,) = glob.glob(str(out / "part-*.parquet"))
+        shutil.copy(part, sf / "documents.parquet")
+
+        got = {
+            r.doc_id: (
+                r.n_tokens,
+                r.start_offset,
+                r.first_block,
+                r.last_block,
+                r.n_splits,
+            )
+            for r in sequence_packing_offsets(spark, str(sf)).collect()
+        }
+        assert got == expected, f"seed {seed}"
