@@ -2002,3 +2002,107 @@ def embedding_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "embedding_profile",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         round(sqrt(list_sum(list_transform(ve, x -> x * x))), 6) AS nrm
+  FROM v
+),
+dims AS (
+  SELECT i AS dim,
+         CAST(SUM(CAST(round(ve[i], 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS mu,
+         CAST(SUM(CAST(round(ve[i] * ve[i], 7) AS DECIMAL(18,7))) AS DOUBLE)
+           / COUNT(*) AS ex2
+  FROM v, UNNEST(generate_series(1, {_SQ_DIMS})) AS g(i)
+  GROUP BY i
+),
+dimstats AS (
+  SELECT round(MAX(abs(mu)), 6) AS dim_mean_absmax,
+         round(MIN(ex2 - mu * mu), 6) AS dim_var_min,
+         round(MAX(ex2 - mu * mu), 6) AS dim_var_max
+  FROM dims
+)
+SELECT
+  (SELECT COUNT(*) FROM v) AS n_vectors,
+  (SELECT round(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(*), 6) FROM norms) AS avg_norm,
+  (SELECT round(MIN(nrm), 6) FROM norms) AS min_norm,
+  (SELECT round(MAX(nrm), 6) FROM norms) AS max_norm,
+  d.dim_mean_absmax,
+  d.dim_var_min,
+  d.dim_var_max
+FROM dimstats d
+""",
+    doc="Embedding-table QA profile — the pre-flight a vector pipeline "
+    "runs before trusting cosine math: norm distribution (un-normalized "
+    "embeddings silently turn cosine ranking into norm ranking for dot-"
+    "product shortcuts), worst per-dimension mean offset (centering "
+    "check), and the per-dimension variance range (anisotropy check — "
+    "a collapsed dimension starves IVF/PQ subspaces).  Per-dim moments "
+    "use the round-then-decimal-sum recipe so the profile is partition-"
+    "order invariant; the posexplode is the one 64x row expansion, "
+    "feeding a 64-group partial agg — linear, and in production run "
+    "on a sample.",
+    tags=("llm", "similarity", "vector", "profiling"),
+)
+def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    v = em.select("vec_id", ve.alias("ve"))
+    nrm = F.round(
+        F.sqrt(F.aggregate("ve", F.lit(0.0), lambda a, x: a + x * x)), 6
+    )
+    norm_stats = v.select(nrm.alias("nrm")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+    dims = (
+        v.select(F.posexplode("ve").alias("dim0", "val"))
+        .groupBy("dim0")
+        .agg(
+            (
+                F.sum(F.round("val", 7).cast("decimal(18,7)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+            (
+                F.sum(
+                    F.round(F.col("val") * F.col("val"), 7).cast(
+                        "decimal(18,7)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ex2"),
+        )
+    )
+    dimstats = dims.agg(
+        F.round(F.max(F.abs("mu")), 6).alias("dim_mean_absmax"),
+        F.round(F.min(F.col("ex2") - F.col("mu") * F.col("mu")), 6).alias(
+            "dim_var_min"
+        ),
+        F.round(F.max(F.col("ex2") - F.col("mu") * F.col("mu")), 6).alias(
+            "dim_var_max"
+        ),
+    )
+    return norm_stats.crossJoin(F.broadcast(dimstats)).select(
+        "n_vectors",
+        "avg_norm",
+        "min_norm",
+        "max_norm",
+        "dim_mean_absmax",
+        "dim_var_min",
+        "dim_var_max",
+    )
