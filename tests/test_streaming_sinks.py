@@ -580,3 +580,85 @@ def test_substring_dedup_stream_matches_batch_incremental(spark, tmp_path):
     assert {(r.h, r.cnt) for r in idx.collect()} == {
         (r.h, r.cnt) for r in full.collect()
     }
+
+
+def test_substring_dedup_stream_restart_appends_index(spark, tmp_path):
+    """Restart semantics: a SECOND run over the same checkpoint with one
+    more input file processes only the new batch — prior batch dirs are
+    untouched, the new batch's spans probe the index built by run 1,
+    and the index gains exactly one generation (tag-deduped, no
+    replays)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.operators.dedup import shingle_occurrences_df
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_read,
+    )
+    from mapreducer_spark.streaming.jobs import run_substring_dedup_stream
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.where("doc_id % 3 = 0")
+    b2 = docs.where("doc_id % 3 = 1")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def add(name, frame):
+        out = tmp_path / f"stage_{name}"
+        frame.coalesce(1).write.parquet(str(out))
+        (part,) = glob.glob(str(out / "part-*.parquet"))
+        shutil.copy(part, in_dir / f"{name}.parquet")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(in_dir)
+        )
+        run_substring_dedup_stream(
+            stream,
+            str(tmp_path / "idx"),
+            str(tmp_path / "spans"),
+            str(tmp_path / "ckpt"),
+        )
+
+    add("b1", b1)
+    run()
+    hist1 = snapshot_history(str(tmp_path / "idx"))
+    assert [h["tag"] for h in hist1] == ["batch-0"]
+    spans_b0 = spark.read.parquet(str(tmp_path / "spans" / "batch_id=0"))
+    b0_rows = {tuple(r) for r in spans_b0.collect()}
+
+    run()  # no new input: nothing changes
+    assert len(snapshot_history(str(tmp_path / "idx"))) == 1
+
+    add("b2", b2)
+    run()
+    hist2 = snapshot_history(str(tmp_path / "idx"))
+    assert [h["tag"] for h in hist2] == ["batch-0", "batch-1"]
+    # Batch 0's output untouched by the restart.
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(
+            str(tmp_path / "spans" / "batch_id=0")
+        ).collect()
+    } == b0_rows
+    # Index now equals full b1+b2 shingle counts.
+    idx = (
+        snapshot_read(spark, str(tmp_path / "idx"))
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = (
+        shingle_occurrences_df(b1.unionByName(b2))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert {(r.h, r.cnt) for r in idx.collect()} == {
+        (r.h, r.cnt) for r in full.collect()
+    }
