@@ -2106,3 +2106,72 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_var_min",
         "dim_var_max",
     )
+
+
+_HARDNEG_K = 3
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, ve AS qv
+  FROM v WHERE vec_id < {_N_QUERIES}
+)
+SELECT q_id, vec_id AS neg_id, neg_label, sim, rnk FROM (
+  SELECT q.q_id, c.vec_id, c.label AS neg_label,
+         round(list_cosine_similarity(q.qv, c.ve), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY round(list_cosine_similarity(q.qv, c.ve), 6) DESC,
+                    c.vec_id) AS rnk
+  FROM q JOIN v c
+    ON c.label <> q.q_label AND c.vec_id <> q.q_id
+) WHERE rnk <= {_HARDNEG_K}
+""",
+    doc="Hard-negative mining for contrastive training: per anchor, the "
+    f"top-{_HARDNEG_K} most-similar vectors with a DIFFERENT label — "
+    "the negatives that actually move an embedding model (random "
+    "negatives are trivially separable).  Same broadcast-anchor x "
+    "candidate-scan shape as similarity_topk with the label-mismatch "
+    "predicate fused into the scan; at 100 TB the scan side would be "
+    "the IVF-probed candidate set instead of the full table, same "
+    "contract.  Complements contrastive_negative_pairs (curation.py), "
+    "which samples RANDOM negatives by hash.",
+    tags=("llm", "similarity", "vector", "curation"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    v = em.select("vec_id", "label", ve.alias("ve"))
+    q = v.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("ve").alias("qv"),
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("ve")), 6)
+    return (
+        v.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("label") != F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id"))
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            sim.alias("sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("sim").desc(), F.col("neg_id")
+                )
+            ),
+        )
+        .where(F.col("rnk") <= _HARDNEG_K)
+    )
