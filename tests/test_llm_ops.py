@@ -1195,3 +1195,119 @@ def test_sequence_packing_matches_pure_python_reference(spark, tmp_path):
             for r in sequence_packing_offsets(spark, str(sf)).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_lm_scoring_matches_pure_python_reference(spark, tmp_path):
+    """Third-implementation parity for the Stupid-Backoff LM ladder: on
+    a seeded random corpus, doc_bigram_perplexity and
+    doc_trigram_perplexity must equal a pure-Python reference LM built
+    from collections.Counter — independent of both engines' SQL
+    formulations.  Exercises every backoff branch (small vocab + short
+    docs make hapax n-grams common)."""
+    import glob
+    import math
+    import random
+    import shutil
+    from collections import Counter
+    from decimal import Decimal
+
+    from mapreducer_spark.operators.textstats import (
+        _BACKOFF_ALPHA,
+        _BIGRAM_MIN_COUNT,
+        _TRIGRAM_MIN_COUNT,
+        doc_bigram_perplexity,
+        doc_trigram_perplexity,
+    )
+    from tests.conftest import SF_DIR
+    from tests.oracle import TABLES
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(2, 40))]
+        for d in range(60)
+    }
+
+    uni = Counter(t for toks in docs.values() for t in toks)
+    n_total = sum(uni.values())
+    big_all = Counter(
+        (toks[i], toks[i + 1])
+        for toks in docs.values()
+        for i in range(len(toks) - 1)
+    )
+    big_model = {k: c for k, c in big_all.items() if c >= _BIGRAM_MIN_COUNT}
+    tri_model = Counter(
+        (toks[i], toks[i + 1], toks[i + 2])
+        for toks in docs.values()
+        for i in range(len(toks) - 2)
+    )
+    tri_model = {k: c for k, c in tri_model.items() if c >= _TRIGRAM_MIN_COUNT}
+
+    def round6(x):
+        # Mirror the engines: round half away from zero at 6 dp.
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding="ROUND_HALF_UP")
+        )
+
+    def avg4(logps):
+        s = sum(Decimal(repr(lp)).quantize(Decimal("0.000001")) for lp in logps)
+        return float(
+            (s / len(logps)).quantize(Decimal("0.0001"), rounding="ROUND_HALF_UP")
+        )
+
+    def py_bigram(toks):
+        logps = []
+        for i in range(len(toks) - 1):
+            v, w_ = toks[i], toks[i + 1]
+            if (v, w_) in big_model:
+                s = big_model[(v, w_)] / uni[v]
+            else:
+                s = _BACKOFF_ALPHA * (uni[w_] / n_total)
+            logps.append(round6(math.log2(s)))
+        return avg4(logps)
+
+    def py_trigram(toks):
+        logps = []
+        for i in range(len(toks) - 2):
+            u, v, w_ = toks[i], toks[i + 1], toks[i + 2]
+            if (u, v, w_) in tri_model:
+                s = tri_model[(u, v, w_)] / big_all[(u, v)]
+            elif (v, w_) in big_model:
+                s = _BACKOFF_ALPHA * (big_model[(v, w_)] / uni[v])
+            else:
+                s = _BACKOFF_ALPHA * _BACKOFF_ALPHA * (uni[w_] / n_total)
+            logps.append(round6(math.log2(s)))
+        return avg4(logps)
+
+    sf = tmp_path / "sf_lm"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
+    frame = spark.createDataFrame(
+        [
+            (d, " ".join(toks), "en", "synth", len(" ".join(toks)))
+            for d, toks in docs.items()
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "lm_out"
+    frame.coalesce(1).write.parquet(str(out))
+    (part,) = glob.glob(str(out / "part-*.parquet"))
+    shutil.copy(part, sf / "documents.parquet")
+
+    got_b = {
+        r.doc_id: r.avg_log2_s
+        for r in doc_bigram_perplexity(spark, str(sf)).collect()
+    }
+    for d, toks in docs.items():
+        if len(toks) >= 2:
+            assert got_b[d] == py_bigram(toks), f"bigram doc {d}"
+
+    got_t = {
+        r.doc_id: r.avg_log2_s
+        for r in doc_trigram_perplexity(spark, str(sf)).collect()
+    }
+    for d, toks in docs.items():
+        if len(toks) >= 3:
+            assert got_t[d] == py_trigram(toks), f"trigram doc {d}"
