@@ -749,3 +749,82 @@ def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_sum").cast("double") / F.col("n_events"), 6
         ).alias("avg_value"),
     )
+
+
+_BURST_Z = 2.0  # an hourly bucket is a burst when its count exceeds
+# its event_type's mean by this many (exact-moment) standard deviations
+
+
+@register(
+    "event_burst_detection",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS w_start,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS DOUBLE)
+           / COUNT(*) AS mu,
+         sqrt(CAST(SUM(CAST(n_events * n_events AS DECIMAL(28,0)))
+                   AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*))
+                * (CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS DOUBLE)
+                   / COUNT(*))) AS sigma
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.w_start, h.n_events,
+       round(CASE WHEN s.sigma > 0
+                  THEN (h.n_events - s.mu) / s.sigma ELSE 0.0 END, 6)
+         AS zscore
+FROM hourly h JOIN stats s USING (event_type)
+WHERE CASE WHEN s.sigma > 0
+           THEN (h.n_events - s.mu) / s.sigma ELSE 0.0 END > {_BURST_Z}
+""",
+    doc="Time-series anomaly gate: hourly event-count buckets z-scored "
+    "against their event_type's exact moments, emitting buckets more "
+    f"than {_BURST_Z} sigma above mean — the traffic-burst / "
+    "ingestion-anomaly detector an ops pipeline alerts on.  Two "
+    "aggregations (hourly buckets, then per-type moments over the "
+    "BUCKET rows — thousands, not events) + a broadcast join back; "
+    "sigma=0 guarded on both engines (the curriculum_difficulty_phases "
+    "lesson, ADVICE r7).  The streaming twin is windowed_counts_stream "
+    "+ this same stateless scoring in foreachBatch.",
+    tags=("events", "window-time", "profiling"),
+)
+def event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), _FMT_SPARK).alias("w_start"),
+            "n_events",
+        )
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("n_events").cast("decimal(18,0)")).cast("double")
+    s2 = F.sum(
+        (F.col("n_events") * F.col("n_events")).cast("decimal(28,0)")
+    ).cast("double")
+    mu = s1 / n
+    stats = hourly.groupBy("event_type").agg(
+        mu.alias("mu"), F.sqrt(s2 / n - mu * mu).alias("sigma")
+    )
+    z = F.when(
+        F.col("sigma") > 0,
+        (F.col("n_events") - F.col("mu")) / F.col("sigma"),
+    ).otherwise(F.lit(0.0))
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(z > _BURST_Z)
+        .select(
+            "event_type", "w_start", "n_events", F.round(z, 6).alias("zscore")
+        )
+    )
