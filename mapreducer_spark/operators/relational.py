@@ -1169,3 +1169,70 @@ def waiting_suppliers_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "customer_revenue_concentration",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev,
+         NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM per_cust
+),
+total AS (
+  SELECT CAST(SUM(CAST(round(rev, 2) AS DECIMAL(18,2))) AS DOUBLE) AS t
+  FROM per_cust
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(rev, 2) AS DECIMAL(18,2))) AS DOUBLE)
+         AS decile_revenue,
+       round(CAST(SUM(CAST(round(rev, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             / (SELECT t FROM total), 6) AS revenue_share
+FROM ranked GROUP BY decile
+""",
+    doc="Revenue-concentration (Pareto/Lorenz) curve: customers ranked "
+    "into revenue deciles, each decile's share of total revenue — the "
+    "whale-analysis every marketplace runs.  The NTILE sorts the "
+    "per-customer AGGREGATE rows (|customers|, already reduced ~15x "
+    "from orders), not the fact table — the same group-level-sort "
+    "stance as the decile stats operators; shares are decimal-exact.",
+    tags=("relational", "window", "profiling"),
+)
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.agg import dec_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(dec_sum("o_totalprice").alias("rev"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    ranked = per_cust.withColumn("decile", F.ntile(10).over(w))
+    total = per_cust.agg(
+        F.sum(F.round("rev", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("__t")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round("rev", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("decile_revenue"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_revenue",
+            F.round(F.col("decile_revenue") / F.col("__t"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )
