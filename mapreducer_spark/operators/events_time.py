@@ -828,3 +828,87 @@ def event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "w_start", "n_events", F.round(z, 6).alias("zscore")
         )
     )
+
+
+# Precomputed half-life decay weights: day-bucketed ages look up a
+# PINNED literal table (rendered identically into the oracle SQL), so
+# no transcendental function ever runs inside either engine — exp/pow
+# are the one expression family with no cross-engine bit guarantee.
+_DECAY_HALFLIFE_DAYS = 7
+_DECAY_MAX_DAYS = 56  # ages past the horizon weigh 0 (8 half-lives)
+_DECAY_WEIGHTS = tuple(
+    round(0.5 ** (d / _DECAY_HALFLIFE_DAYS), 6)
+    for d in range(_DECAY_MAX_DAYS + 1)
+)
+
+
+@register(
+    "user_activity_decay_scores",
+    oracle=f"""
+WITH mx AS (SELECT MAX(ts) AS anchor FROM events),
+aged AS (
+  SELECT user_id,
+         CAST("value" AS DOUBLE) AS v,
+         CAST(date_diff('day', date_trunc('day', ts),
+                        date_trunc('day', (SELECT anchor FROM mx)))
+              AS INT) AS age_days
+  FROM events
+),
+weighted AS (
+  SELECT user_id,
+         CASE WHEN age_days > {_DECAY_MAX_DAYS}
+              THEN CAST(0 AS DECIMAL(8,6))
+              ELSE ([{", ".join(str(w) for w in _DECAY_WEIGHTS)}])[age_days + 1]
+         END AS w,
+         CAST(v AS DECIMAL(18,2)) AS vd
+  FROM aged
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(w * vd), 4) AS DOUBLE) AS decay_score
+FROM weighted GROUP BY user_id
+""",
+    doc="Half-life-decayed user activity score: each event's value "
+    f"weighted by 0.5^(age_days/{_DECAY_HALFLIFE_DAYS}) relative to "
+    "the newest event's day, summed per user — the recency-weighted "
+    "engagement feature behind retention/churn models.  The decay "
+    f"curve is a PINNED {_DECAY_MAX_DAYS + 1}-entry literal table "
+    "identical in both engines (day-bucketed lookup, zero beyond 8 "
+    "half-lives) because exp/pow carry no cross-engine bit guarantee — "
+    "the same reason the repo's cosine stays in deterministic folds.  "
+    "Anchor is a 1-row broadcast max; the rest is one map-side lookup "
+    "+ a per-user decimal-summed agg.",
+    tags=("events", "window-time", "profiling"),
+)
+def user_activity_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("__anchor"))
+    age = F.datediff(
+        F.date_trunc("day", "__anchor").cast("date"),
+        F.date_trunc("day", "ts").cast("date"),
+    )
+    # EXACT decimal arithmetic end to end: the weight table parses from
+    # strings to DECIMAL(8,6) (DuckDB's numeric literals are decimals
+    # already), value is 2dp-representable, and a decimal x decimal
+    # product is exact — so there is NO double rounding anywhere to
+    # tie-split across engines.  (The first cut rounded w*v doubles at
+    # 6dp and hit the r6-documented rounding-tie class at 10x: ~10 of
+    # 86M rows landed on .xxxxx5.)
+    weights = F.array(
+        *[F.lit(str(w)).cast("decimal(8,6)") for w in _DECAY_WEIGHTS]
+    )
+    w = F.when(
+        age > _DECAY_MAX_DAYS, F.lit("0").cast("decimal(8,6)")
+    ).otherwise(F.element_at(weights, age + 1))
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (w * F.col("value").cast("decimal(18,2)")).alias("wv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("wv"), 4).cast("double").alias("decay_score"),
+        )
+    )

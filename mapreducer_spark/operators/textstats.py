@@ -1573,3 +1573,66 @@ def perplexity_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             "bigrams_kept",
         )
     )
+
+
+@register(
+    "source_token_entropy",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, tok FROM (
+    SELECT source, {ORACLE_TOKENS_SNIPPET} AS tok FROM documents
+  ) WHERE length(tok) > 0
+),
+freq AS (
+  SELECT source, tok, COUNT(*) AS cnt FROM tok GROUP BY source, tok
+),
+tot AS (
+  SELECT source, CAST(SUM(cnt) AS DOUBLE) AS n FROM freq GROUP BY source
+)
+SELECT f.source,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       round(CAST(SUM(CAST(round(
+                -(f.cnt / t.n) * log2(f.cnt / t.n), 8)
+                AS DECIMAL(18,8))) AS DOUBLE), 4) AS entropy_bits
+FROM freq f JOIN tot t USING (source)
+GROUP BY f.source, t.n
+""",
+    doc="Per-source unigram Shannon entropy — the lexical-diversity "
+    "gauge curation recipes use to spot boilerplate farms (a source "
+    "whose entropy sits far below its peers repeats itself): H = "
+    "-sum p log2 p over each source's own token distribution, with "
+    "token count and distinct count for context.  One (source, token) "
+    "count agg (map-side combined), a tiny per-source total join, and "
+    "decimal-summed per-term contributions (round-then-sum, the "
+    "doc_unigram_logprob recipe) so H is partition-order exact.",
+    tags=("llm", "text", "quality", "profiling"),
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)).alias("tok"),
+    ).where(F.length("tok") > 0)
+    freq = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.groupBy("source").agg(
+        F.sum("cnt").cast("double").alias("__n")
+    )
+    p = F.col("cnt") / F.col("__n")
+    term = F.round(-p * F.log2(p), 8)
+    return (
+        freq.join(F.broadcast(tot), "source")
+        .groupBy("source", "__n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.sum(term.cast("decimal(18,8)")).cast("double"), 4
+            ).alias("entropy_bits"),
+        )
+        .select(
+            "source",
+            F.col("__n").cast("long").alias("n_tokens"),
+            "n_distinct",
+            "entropy_bits",
+        )
+    )
