@@ -912,3 +912,53 @@ def user_activity_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("wv"), 4).cast("double").alias("decay_score"),
         )
     )
+
+
+_WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "rolling_weekly_active_users",
+    oracle=f"""
+WITH fanned AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) + CAST(i AS INT) AS report_day,
+         user_id
+  FROM events, UNNEST(generate_series(0, {_WAU_WINDOW_DAYS - 1})) AS g(i)
+),
+bounds AS (
+  SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events
+)
+SELECT report_day,
+       COUNT(DISTINCT user_id) AS active_users
+FROM fanned CROSS JOIN bounds
+WHERE report_day <= max_day
+GROUP BY report_day
+""",
+    doc=f"Rolling {_WAU_WINDOW_DAYS}-day active users (WAU): distinct "
+    "users whose last event is within the trailing window of each "
+    "report day.  Sliding DISTINCT is the classic non-mergeable "
+    "window aggregate — per-day sets can't be added — so the "
+    "distributed restatement FANS each event OUT to the "
+    f"{_WAU_WINDOW_DAYS} report days it supports (map-side sequence "
+    "explode) and reduces to one plain per-day distinct-agg; cost is "
+    "window_days x |events| narrow rows, fully mergeable, no state "
+    "machine.  Leading edge truncated at the corpus's last day; "
+    "early report days cover partial windows by definition.",
+    tags=("events", "window-time"),
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    fanned = e.select(
+        F.explode(
+            F.sequence(day, F.date_add(day, _WAU_WINDOW_DAYS - 1))
+        ).alias("report_day"),
+        "user_id",
+    )
+    bounds = e.agg(F.max(day).alias("__max_day"))
+    return (
+        fanned.crossJoin(F.broadcast(bounds))
+        .where(F.col("report_day") <= F.col("__max_day"))
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
