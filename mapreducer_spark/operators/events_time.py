@@ -962,3 +962,58 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "user_stickiness_dau_wau",
+    oracle=f"""
+WITH dau AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS report_day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+fanned AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) + CAST(i AS INT) AS report_day,
+         user_id
+  FROM events, UNNEST(generate_series(0, {_WAU_WINDOW_DAYS - 1})) AS g(i)
+),
+wau AS (
+  SELECT report_day, COUNT(DISTINCT user_id) AS wau
+  FROM fanned GROUP BY report_day
+)
+SELECT d.report_day, d.dau, w.wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w USING (report_day)
+""",
+    doc="DAU/WAU stickiness ratio per day — the engagement-depth metric "
+    "product teams track (1.0 = every weekly user shows up daily).  "
+    "Composes the per-day distinct count with the fan-out WAU "
+    "(rolling_weekly_active_users' shape, restricted to days that "
+    "have native activity via the inner join, so no trailing "
+    "fan-out-only days appear).  Two distinct-aggs + a day-keyed "
+    "join of ~|days| rows.",
+    tags=("events", "window-time", "profiling"),
+)
+def user_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    dau = e.groupBy(day.alias("report_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    fanned = e.select(
+        F.explode(
+            F.sequence(day, F.date_add(day, _WAU_WINDOW_DAYS - 1))
+        ).alias("report_day"),
+        "user_id",
+    )
+    wau = fanned.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "report_day").select(
+        "report_day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
