@@ -441,3 +441,53 @@ def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_docs", "n_removed", "n_kept", "kept_id_sum", "kept_token_sum")
     )
+
+
+@register(
+    "neardup_degree_stats",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         regexp_replace(text, ' [a-z0-9]+$', '') AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+toksets AS (
+  SELECT
+    doc_id,
+    regexp_extract(text, '^[a-z0-9]+') AS block,
+    list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
+  FROM corpus
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toksets a JOIN toksets b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.tok_set, b.tok_set))) >= 0.8
+),
+degrees AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT id_a AS v FROM pairs UNION ALL SELECT id_b AS v FROM pairs
+  ) GROUP BY v
+)
+SELECT deg, COUNT(*) AS n_docs
+FROM degrees GROUP BY deg
+""",
+    doc="Near-dup graph degree distribution: how many docs have k "
+    "near-duplicate partners — the structure report that predicts "
+    "connected-component behavior BEFORE running the iterative CC "
+    "(a heavy right tail means mega-clusters and motivates the LSH "
+    "chunk guard; a flat deg=1 histogram means pairwise dedup "
+    "suffices).  Reuses the session-memoized pair frame; two "
+    "count-aggs on |pairs| rows.",
+    tags=("llm", "dedup", "graph", "profiling"),
+)
+def neardup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
+    vertices = pairs.select(F.col("id_a").alias("v")).unionByName(
+        pairs.select(F.col("id_b").alias("v"))
+    )
+    degrees = vertices.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    return degrees.groupBy("deg").agg(F.count(F.lit(1)).alias("n_docs"))

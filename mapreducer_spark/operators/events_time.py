@@ -1017,3 +1017,117 @@ def user_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(dayofweek(ts) AS INT) AS dow,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+    AS daily_mean
+  FROM daily
+)
+SELECT d.dow,
+       COUNT(*) AS n_days,
+       CAST(SUM(CAST(d.n AS DECIMAL(18,0))) AS BIGINT) AS total_events,
+       round((CAST(SUM(CAST(d.n AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))
+             / b.daily_mean, 6) AS seasonality_index
+FROM daily d CROSS JOIN base b
+GROUP BY d.dow, b.daily_mean
+""",
+    doc="Day-of-week seasonality index: each weekday's mean daily event "
+    "count relative to the overall daily mean (1.0 = no weekly "
+    "seasonality) — the multiplicative factor a capacity planner or "
+    "anomaly baseline divides out before z-scoring (the companion "
+    "normalization to event_burst_detection).  Two bucket-level "
+    "aggregations + a 1-row broadcast mean.  Spark dayofweek is "
+    "1=Sunday and DuckDB 0=Sunday, so Spark subtracts 1 (the "
+    "events_dow_hour_heatmap convention).",
+    tags=("events", "window-time", "profiling"),
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = daily.agg(
+        (
+            F.sum(F.col("n").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__daily_mean")
+    )
+    return (
+        daily.crossJoin(F.broadcast(base))
+        .groupBy("dow", "__daily_mean")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("n").cast("decimal(18,0)"))
+            .cast("long")
+            .alias("total_events"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "total_events",
+            F.round(
+                (F.col("total_events").cast("double") / F.col("n_days"))
+                / F.col("__daily_mean"),
+                6,
+            ).alias("seasonality_index"),
+        )
+    )
+
+
+@register(
+    "user_growth_accretion",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+new_per_day AS (
+  SELECT first_day AS report_day, COUNT(*) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT report_day, new_users,
+       CAST(SUM(new_users) OVER (
+         ORDER BY report_day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM new_per_day
+""",
+    doc="User-growth accretion curve: first-seen day per user -> new "
+    "users per day -> running cumulative total.  The running sum "
+    "orders |distinct days| rows (tens), not events — the global "
+    "window is over a dimension-sized frame, which is the one place "
+    "an unpartitioned ordered window is the RIGHT call (contrast "
+    "sequence_packing_offsets, where the corpus-sized equivalent "
+    "needed the two-phase decomposition).",
+    tags=("events", "window-time", "profiling"),
+)
+def user_growth_accretion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(
+        F.col("first_day").alias("report_day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.orderBy("report_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "report_day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
