@@ -456,3 +456,23 @@ def test_cli_curate_writes_snapshot_consistent_with_capstone(
     assert stats2["docs_out"] <= stats["docs_out"]
     tbl2 = snapshot_read(spark, str(tmp_path / "t2"))
     assert tbl2.where("length(text) = 0").count() == 0
+
+
+def test_catalog_is_current():
+    """CATALOG.md must match the registry — regenerate with
+    `python tools/gen_catalog.py` after adding queries."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from gen_catalog import render
+
+    committed = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "CATALOG.md"),
+        encoding="utf-8",
+    ).read()
+    assert committed == render(), (
+        "CATALOG.md is stale — run `python tools/gen_catalog.py`"
+    )
