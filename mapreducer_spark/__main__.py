@@ -144,6 +144,25 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot_diff(args: argparse.Namespace) -> int:
+    from mapreducer_spark.sources.snapshots import snapshot_diff
+
+    spark = _get_spark(args)
+    df = snapshot_diff(
+        spark,
+        args.table_dir,
+        args.from_version,
+        args.to_version,
+        args.keys.split(","),
+    )
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_snapshot_history(args: argparse.Namespace) -> int:
     import json
 
@@ -295,6 +314,18 @@ def main(argv: list[str] | None = None) -> int:
     sr.add_argument("--out", default=None)
     sr.add_argument("--limit", type=int, default=20)
     sr.set_defaults(fn=cmd_snapshot_read)
+
+    sd = sub.add_parser(
+        "snapshot-diff",
+        help="CDC between two snapshot versions (insert/delete/update rows)",
+    )
+    sd.add_argument("table_dir")
+    sd.add_argument("from_version", type=int)
+    sd.add_argument("to_version", type=int)
+    sd.add_argument("--keys", required=True, help="comma-separated key columns")
+    sd.add_argument("--out", default=None)
+    sd.add_argument("--limit", type=int, default=20)
+    sd.set_defaults(fn=cmd_snapshot_diff)
 
     se = sub.add_parser(
         "snapshot-expire",

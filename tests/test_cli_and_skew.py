@@ -476,3 +476,25 @@ def test_catalog_is_current():
     assert committed == render(), (
         "CATALOG.md is stale — run `python tools/gen_catalog.py`"
     )
+
+
+def test_cli_snapshot_diff(spark, tmp_path):
+    """snapshot-diff CLI: CDC rows between two committed versions."""
+    from mapreducer_spark.sources.snapshots import snapshot_write
+
+    tdir = str(tmp_path / "snap_cli_diff")
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), tdir
+    )
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id long, s string"),
+        tdir,
+    )
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = cli_main(
+            ["snapshot-diff", tdir, "0", "1", "--keys", "id", "--limit", "10"]
+        )
+    assert rc == 0
+    text = out.getvalue()
+    assert "update" in text and "insert" in text
