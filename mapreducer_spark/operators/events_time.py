@@ -1131,3 +1131,74 @@ def user_growth_accretion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+_GAP_BUCKETS = (  # (upper bound in seconds, label) — CASE-chain on both
+    (60, "lt_1m"),
+    (300, "lt_5m"),
+    (1800, "lt_30m"),
+    (7200, "lt_2h"),
+    (86400, "lt_1d"),
+)
+
+
+@register(
+    "user_gap_distribution",
+    oracle=f"""
+WITH gaps AS (
+  SELECT CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+bucketed AS (
+  SELECT CASE
+    {" ".join(f"WHEN gap_s < {ub} THEN '{lbl}'" for ub, lbl in _GAP_BUCKETS)}
+    ELSE 'ge_1d' END AS gap_bucket
+  FROM gaps WHERE gap_s IS NOT NULL
+)
+SELECT gap_bucket,
+       COUNT(*) AS n_gaps,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM bucketed), 6) AS share
+FROM bucketed GROUP BY gap_bucket
+""",
+    doc="Inter-event gap distribution: consecutive same-user gaps "
+    "bucketed into fixed time bands (minute/hour/day scale) with "
+    "corpus shares — the cadence fingerprint behind session-gap "
+    "tuning (event_sessions' 30-minute threshold should sit in a "
+    "histogram valley) and churn-risk features.  One user-keyed "
+    "window for the lag, then a literal CASE chain (no log/float "
+    "bucket math to diverge across engines) and a count-agg.",
+    tags=("events", "window-time", "profiling", "session"),
+)
+def user_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).cast("long")
+    expr = None
+    for ub, lbl in _GAP_BUCKETS:
+        cond = F.col("gap_s") < ub
+        expr = F.when(cond, lbl) if expr is None else expr.when(cond, lbl)
+    expr = expr.otherwise("ge_1d")
+    gaps = (
+        e.select(gap_s.alias("gap_s"))
+        .where(F.col("gap_s").isNotNull())
+        .select(expr.alias("gap_bucket"))
+    )
+    total = gaps.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    return (
+        gaps.groupBy("gap_bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gap_bucket",
+            "n_gaps",
+            F.round(F.col("n_gaps").cast("double") / F.col("__t"), 6).alias(
+                "share"
+            ),
+        )
+    )
