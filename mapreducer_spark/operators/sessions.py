@@ -219,3 +219,132 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to"
         ),
     )
+
+
+@register(
+    "open_orders_timeline",
+    oracle="""
+WITH spans AS (
+  SELECT o.o_orderkey,
+         CAST(date_trunc('day', o.o_orderdate) AS DATE) AS start_day,
+         CAST(date_trunc('day', MAX(l.l_shipdate)) AS DATE) AS close_day
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+opened AS (
+  SELECT start_day AS report_day, COUNT(*) AS n_opened FROM spans GROUP BY 1
+),
+closed AS (
+  SELECT close_day AS report_day, COUNT(*) AS n_closed FROM spans GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(o.report_day, c.report_day) AS report_day,
+         COALESCE(o.n_opened, 0) AS n_opened,
+         COALESCE(c.n_closed, 0) AS n_closed
+  FROM opened o FULL OUTER JOIN closed c ON o.report_day = c.report_day
+)
+SELECT report_day, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (
+         ORDER BY report_day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_at_eod
+FROM merged
+""",
+    doc="Open-orders backlog timeline (sweep-line interval counting): "
+    "each order is open from its order day until its last lineitem "
+    "ships; +1/-1 day deltas merge into a per-day ledger whose running "
+    "sum is the end-of-day backlog — the interval-overlap count that "
+    "would be quadratic as a range join, done as two dimension-sized "
+    "aggs + one |days|-row cumulative window.  An order closing on "
+    "day D is not open at D's EOD.",
+    tags=("relational", "window-time", "profiling"),
+)
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("start_day"),
+            F.date_trunc("day", "last_ship").cast("date").alias("close_day"),
+        )
+    )
+    opened = spans.groupBy(F.col("start_day").alias("report_day")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    closed = spans.groupBy(F.col("close_day").alias("report_day")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    merged = opened.join(closed, "report_day", "full_outer").select(
+        "report_day",
+        F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+    w = (
+        Window.orderBy("report_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return merged.select(
+        "report_day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("long")
+        .alias("open_at_eod"),
+    )
+
+
+@register(
+    "customer_reorder_intervals",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              LAG(CAST(date_trunc('day', o_orderdate) AS DATE)) OVER w,
+              CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT)
+           AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT
+  COUNT(DISTINCT o_custkey) AS n_repeat_customers,
+  COUNT(*) AS n_intervals,
+  CAST(MIN(gap_days) AS BIGINT) AS min_days,
+  CAST(MAX(gap_days) AS BIGINT) AS max_days,
+  round(CAST(SUM(CAST(gap_days AS DECIMAL(18,0))) AS DOUBLE)
+        / COUNT(*), 4) AS avg_days_between
+FROM seq WHERE gap_days IS NOT NULL
+""",
+    doc="Repeat-purchase cadence: per-customer consecutive order-date "
+    "gaps (lag over the order sequence), summarized as repeat-customer "
+    "count, interval count, min/max, and decimal-exact mean days "
+    "between orders — the retention metric behind replenishment and "
+    "win-back timing.  One customer-keyed window + one global agg.",
+    tags=("relational", "window", "profiling"),
+)
+def customer_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.date_trunc("day", "o_orderdate").cast("date")
+    gap = F.datediff(day, F.lag(day).over(w)).cast("long")
+    seq = o.select("o_custkey", gap.alias("gap_days")).where(
+        F.col("gap_days").isNotNull()
+    )
+    return seq.agg(
+        F.countDistinct("o_custkey").alias("n_repeat_customers"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.min("gap_days").alias("min_days"),
+        F.max("gap_days").alias("max_days"),
+        F.round(
+            F.sum(F.col("gap_days").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_days_between"),
+    )
