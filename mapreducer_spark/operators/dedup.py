@@ -1928,3 +1928,62 @@ def intra_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep.alias("self_rep_tokens"),
         F.round(rep.cast("double") / F.size("t"), 6).alias("self_rep_frac"),
     )
+
+
+@register(
+    "dedup_survivorship_by_source",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'mirror' AS source, text
+  FROM documents WHERE doc_id % 10 = 0
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY {oracle_md5_int64("text")} ORDER BY doc_id) AS rn
+  FROM corpus
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+       round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS loss_rate
+FROM ranked GROUP BY source
+""",
+    doc="Exact-dedup survivorship by source: after keep-min-doc_id "
+    "content dedup, which source loses its docs to earlier copies — "
+    "the report that identifies scraper/mirror sources whose content "
+    "is wholly derivative (here a synthesized 'mirror' source "
+    "republishing every 10th doc loses 100%, pinning the live "
+    "branch).  One content-hash window + a source rollup; at 100 TB "
+    "this is the attribution readout attached to any dedup run.",
+    tags=("llm", "dedup", "quality", "profiling"),
+)
+def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    mirror = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    corpus = d.unionByName(mirror)
+    w = Window.partitionBy(md5_int64(F.col("text"))).orderBy("doc_id")
+    ranked = corpus.withColumn("rn", F.row_number().over(w))
+    lost = F.when(F.col("rn") > 1, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(lost).cast("long").alias("n_lost"),
+        F.round(
+            F.sum(lost).cast("double") / F.count(F.lit(1)), 6
+        ).alias("loss_rate"),
+    )

@@ -1236,3 +1236,59 @@ def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DECIMAL(22,4)) AS r
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT CAST(SUM(r) AS DOUBLE) AS t FROM rev)
+SELECT
+  COUNT(*) AS n_suppliers,
+  round(CAST(SUM(CAST(round(
+          (CAST(r AS DOUBLE) / (SELECT t FROM tot))
+          * (CAST(r AS DOUBLE) / (SELECT t FROM tot)), 12)
+        AS DECIMAL(18,12))) AS DOUBLE), 6) AS hhi,
+  round(MAX(CAST(r AS DOUBLE) / (SELECT t FROM tot)), 6) AS top_share
+FROM rev
+""",
+    doc="Supplier revenue concentration: the Herfindahl-Hirschman index "
+    "(sum of squared revenue shares; 1/n = perfectly even, 1.0 = "
+    "monopoly) plus the single largest share — the supply-risk readout "
+    "next to customer_revenue_concentration's demand-side deciles.  "
+    "Decimal-exact per-supplier revenue, shares squared in double and "
+    "round-then-decimal-summed so the index is partition-order exact; "
+    "one supplier-keyed agg + a 1-row total.",
+    tags=("relational", "agg", "profiling"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("decimal(22,4)")
+        .alias("r")
+    )
+    tot = rev.agg(F.sum("r").cast("double").alias("__t"))
+    share = F.col("r").cast("double") / F.col("__t")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(
+                    F.round(share * share, 12).cast("decimal(18,12)")
+                ).cast("double"),
+                6,
+            ).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+    )
