@@ -1636,3 +1636,107 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+_ZIPF_TOP_N = 100
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS cnt FROM (
+    SELECT {ORACLE_TOKENS_SNIPPET} AS tok FROM documents
+  ) WHERE length(tok) > 0 GROUP BY tok
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM freq
+),
+pts AS (
+  SELECT CAST(round(log2(CAST(rank AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         CAST(round(log2(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+  FROM ranked WHERE rank <= {_ZIPF_TOP_N}
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts
+)
+SELECT n AS n_terms,
+       round(CAST(round(n * sxy - sx * sy, 6) AS DOUBLE)
+             / CAST(round(n * sxx - sx * sx, 6) AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(round(n * sxy - sx * sy, 6) AS DOUBLE)
+              * CAST(round(n * sxy - sx * sy, 6) AS DOUBLE))
+             / (CAST(round(n * sxx - sx * sx, 6) AS DOUBLE)
+                * CAST(round(n * syy - sy * sy, 6) AS DOUBLE)), 6)
+         AS r_squared
+FROM s
+""",
+    doc="Zipf's-law fit over the corpus unigram distribution: "
+    f"least-squares slope of log2(count) vs log2(rank) on the top "
+    f"{_ZIPF_TOP_N} tokens, with R^2 — natural language sits near "
+    "slope -1 with high R^2; machine-generated or truncated-vocab "
+    "corpora bend away (a corpus-level language-ness gauge next to "
+    "the per-doc LM scores).  Every regression moment is an EXACT "
+    "decimal sum of exact decimal products (the only doubles are the "
+    "6dp-rounded log2 points and the final two divisions, identical "
+    "on both engines), so the fit is partition-order invariant.  One "
+    "vocab-sized count agg + a {_ZIPF_TOP_N}-row window + a 1-row "
+    "moment agg.",
+    tags=("llm", "text", "profiling"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    freq = (
+        d.select(
+            F.explode(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)
+            ).alias("tok")
+        )
+        .where(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    pts = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ZIPF_TOP_N)
+        .select(
+            F.round(F.log2(F.col("rank").cast("double")), 6)
+            .cast("decimal(12,6)")
+            .alias("x"),
+            F.round(F.log2(F.col("cnt").cast("double")), 6)
+            .cast("decimal(12,6)")
+            .alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # Round the DECIMAL moments to 6dp BEFORE the double cast: the
+    # scale-12 moment products cross 2^53 unscaled at 10x, where the
+    # decimal->double cast splits 1 ulp across engines (the documented
+    # pricing_summary class — this query hit it in the 10x sweep).
+    cov = F.round(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 6
+    ).cast("double")
+    varx = F.round(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), 6
+    ).cast("double")
+    vary = F.round(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), 6
+    ).cast("double")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r_squared"),
+    )
