@@ -1740,3 +1740,131 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov / varx, 6).alias("zipf_slope"),
         F.round((cov * cov) / (varx * vary), 6).alias("r_squared"),
     )
+
+
+@register(
+    "doc_charclass_profile",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars,
+       round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS alpha_frac,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS digit_frac,
+       round(CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS space_frac,
+       round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS other_frac
+FROM documents
+WHERE length(text) > 0
+""",
+    doc="Character-class profile per doc: alpha/digit/space/other "
+    "fractions — the cheapest binary-junk and markup detector (a doc "
+    "that is 40% 'other' is not prose), run before any tokenizer "
+    "touches the bytes.  Pure per-row regexp_replace counting, zero "
+    "shuffle; the four classes partition the char set so the "
+    "fractions sum to 1 exactly.",
+    tags=("llm", "text", "quality", "profiling"),
+)
+def doc_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+
+    def frac(pattern: str):
+        return F.round(
+            F.length(F.regexp_replace("text", pattern, "")).cast("double")
+            / F.length("text"),
+            6,
+        )
+
+    return d.where(F.length("text") > 0).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        frac("[^a-zA-Z]").alias("alpha_frac"),
+        frac("[^0-9]").alias("digit_frac"),
+        frac("[^ ]").alias("space_frac"),
+        frac("[a-zA-Z0-9 ]").alias("other_frac"),
+    )
+
+
+@register(
+    "cross_source_ngram_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           generate_series(1, len(t) - 3),
+           i -> array_to_string(t[i:i + 3], ' ')
+         )) AS gram
+  FROM toks WHERE len(t) >= 4
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM grams GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       round(CAST(i.n_shared AS DOUBLE)
+             / (sa.sz + sb.sz - i.n_shared), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+""",
+    doc="Cross-source 4-gram overlap matrix: distinct-gram Jaccard "
+    "between every source pair — the redundancy map that tells a "
+    "mixture designer which sources are near-copies of each other "
+    "(upweighting both double-counts the same text).  Gram sets "
+    "deduplicate per source map-side; the pair stage joins on the "
+    "GRAM (posting-list style), so cost is shared-gram postings, "
+    "never |sources|^2 x |grams|.",
+    tags=("llm", "text", "dedup", "profiling"),
+)
+def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("source", _tokens_col().alias("t")).where(
+        F.size("t") >= 4
+    )
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, F.lit(4))),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
