@@ -2175,3 +2175,70 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= _HARDNEG_K)
     )
+
+
+_SIMHIST_MOD = 10  # deterministic anchor sample: vec_id % 10 == 0
+
+
+@register(
+    "embedding_similarity_histogram",
+    oracle=f"""
+WITH sample AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+  WHERE vec_id % {_SIMHIST_MOD} = 0
+),
+pairs AS (
+  SELECT round(list_cosine_similarity(a.ve, b.ve), 6) AS sim
+  FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+),
+banded AS (
+  SELECT CAST(floor((sim + 1.0) * 10) AS BIGINT) AS band FROM pairs
+)
+SELECT band,
+       round(band / 10.0 - 1.0, 1) AS band_lo,
+       COUNT(*) AS n_pairs,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM banded), 6) AS share
+FROM banded GROUP BY band
+""",
+    doc="Pairwise-cosine distribution on a deterministic "
+    f"1/{_SIMHIST_MOD} anchor sample (all pairs within the sample — "
+    "quadratic only in the SAMPLE, the honest way to see the "
+    "similarity landscape without touching |corpus|^2): counts per "
+    "0.1-wide cosine band.  This is the context every similarity "
+    "threshold in the repo is picked against (embedding_neardup's "
+    "0.999, SemDeDup's cluster bounds) — on random embeddings the "
+    "mass concentrates near 0, so any near-1 threshold is separated "
+    "from the bulk by construction.  Band index is exact integer "
+    "floor math on the rounded cosine; no float bucket boundaries "
+    "to straddle.",
+    tags=("llm", "similarity", "vector", "profiling"),
+)
+def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    sample = em.where(F.col("vec_id") % _SIMHIST_MOD == 0).select(
+        "vec_id", ve.alias("ve")
+    )
+    a = sample.select(F.col("vec_id").alias("id_a"), F.col("ve").alias("va"))
+    b = sample.select(F.col("vec_id").alias("id_b"), F.col("ve").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+    )
+    banded = pairs.select(
+        F.floor((F.col("sim") + 1.0) * 10).cast("long").alias("band")
+    )
+    total = banded.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            F.round(F.col("band") / 10.0 - 1.0, 1).alias("band_lo"),
+            "n_pairs",
+            F.round(F.col("n_pairs").cast("double") / F.col("__t"), 6).alias(
+                "share"
+            ),
+        )
+    )
