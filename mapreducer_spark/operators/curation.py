@@ -1159,7 +1159,14 @@ FROM ord
     "context windows): every doc's global start offset in the "
     "content-hash-ordered token stream, plus which blocks it lands in "
     "and how many block boundaries split it — the placement map a "
-    "trainer's data loader materializes.  The global running offset is "
+    "trainer's data loader materializes.  Sibling of reshape.py's "
+    "sequence_packing (doc_id-order concat via "
+    "functions/agg.global_running_sum, which range-partitions and "
+    "collects per-partition totals to the driver): THIS variant packs "
+    "in content-hash order (the deterministic shuffle a trainer "
+    "actually wants) and its prefix sum stays fully declarative — "
+    "hash-PREFIX buckets need no range sampling, no driver collect, "
+    "and no checkpoint pinning.  The global running offset is "
     "NOT a single-partition ordered window: the content hash's top "
     f"bits range-partition the order into {_PACK_BUCKETS} buckets "
     "(bucket id is a prefix of the sort key, so (bucket, h) order IS "
