@@ -1281,7 +1281,14 @@ SELECT
     doc="End-to-end curation capstone in ONE declarative plan: Gopher "
     "repetition gate -> exact content dedup (keep min doc_id) -> "
     "surviving doc/token accounting, with kept_id_sum pinning the "
-    "exact surviving SET.  The point is architectural: the whole "
+    "exact surviving SET.  Sibling of textstats.py's "
+    "corpus_curation_pipeline (token-count gate -> lang-scoped "
+    "normalized dedup -> hash sampling -> per-LANG corpus stats): "
+    "that one emits the surviving corpus's shape, THIS one emits the "
+    "LOSS ACCOUNTING (what each stage dropped, over a corpus with "
+    "synthesized duplicates so the dedup stage is hash-live) — the "
+    "two reports a curation run publishes together.  The point is "
+    "architectural: the whole "
     "pipeline is a single Catalyst plan (quality metrics are per-row "
     "expressions, the dedup is one narrow hash shuffle), so at 100 TB "
     "the stages fuse into one pass over the corpus plus one shuffle — "
