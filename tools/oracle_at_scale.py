@@ -89,6 +89,14 @@ DEFAULT_PICKS = [
     "sequence_packing_offsets",
     "copurchase_bfs_recursive",
     "part_copurchase_pagerank",
+    # late round 8: the two queries whose first cuts the sweep CAUGHT
+    # (rounding-tie, 2^53 cast) stay in the default set as regression
+    # guards, plus the detectors added after the first r8 batch.
+    "user_activity_decay_scores",
+    "corpus_zipf_fit",
+    "intra_doc_repeated_spans",
+    "embedding_profile",
+    "rolling_weekly_active_users",
 ]
 
 
