@@ -24,7 +24,14 @@ Findings to date (all fixed, each invisible at gate scale):
   before the cast);
 - dsir_importance: near-zero negative averages round to -0.0 in DuckDB
   vs 0.0 in Spark and the stringified hash tells them apart (fix:
-  + 0.0 canonicalization).
+  + 0.0 canonicalization);
+- user_activity_decay_scores (r8, caught pre-ship): rounding w*v
+  DOUBLE products at 6dp tie-split ~10/86M rows across engines (fix:
+  exact decimal x decimal products, no double rounding at all);
+- corpus_zipf_fit (r8, caught pre-ship): scale-12 decimal regression
+  moments crossed 2^53 unscaled at 10x and the decimal->double cast
+  split 1 ulp (fix: round moments to 6dp decimals before the cast —
+  the pricing_summary recipe).
 
 Usage: python tools/oracle_at_scale.py [query ...]
 Prints one JSON line per query and writes nothing else; commit the
