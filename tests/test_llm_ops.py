@@ -1311,3 +1311,79 @@ def test_lm_scoring_matches_pure_python_reference(spark, tmp_path):
     for d, toks in docs.items():
         if len(toks) >= 3:
             assert got_t[d] == py_trigram(toks), f"trigram doc {d}"
+
+
+def test_intra_doc_spans_match_pure_python_reference(spark, tmp_path):
+    """Brute-force parity for the intra-document repetition detector on
+    a seeded corpus with planted loops."""
+    import glob
+    import random
+    import shutil
+
+    from mapreducer_spark.operators.dedup import (
+        _SELF_K,
+        intra_doc_repeated_spans,
+    )
+    from tests.conftest import SF_DIR
+    from tests.oracle import TABLES
+
+    rng = random.Random(41)
+    vocab = [f"v{i}" for i in range(30)]
+    docs = {}
+    for d in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 50))]
+        if d % 4 == 0 and len(toks) >= _SELF_K:
+            # Plant a loop: repeat the doc's first phrase twice more.
+            phrase = toks[: _SELF_K + rng.randint(0, 3)]
+            toks = toks + phrase + phrase
+        docs[d] = toks
+
+    def py_stats(toks):
+        counts = {}
+        for i in range(len(toks) - _SELF_K + 1):
+            g = tuple(toks[i : i + _SELF_K])
+            counts[g] = counts.get(g, 0) + 1
+        dup_pos = [
+            i + 1
+            for i in range(len(toks) - _SELF_K + 1)
+            if counts[tuple(toks[i : i + _SELF_K])] > 1
+        ]
+        spans = []
+        run = []
+        for p in dup_pos:
+            if run and p - run[-1] > _SELF_K:
+                spans.append((run[0], run[-1] + _SELF_K - 1))
+                run = []
+            run.append(p)
+        if run:
+            spans.append((run[0], run[-1] + _SELF_K - 1))
+        rep = sum(e - s + 1 for s, e in spans)
+        return len(spans), rep
+
+    sf = tmp_path / "sf_loops"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
+    frame = spark.createDataFrame(
+        [
+            (d, " ".join(toks), "en", "synth", len(" ".join(toks)))
+            for d, toks in docs.items()
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tmp_path / "loops_out"
+    frame.coalesce(1).write.parquet(str(out))
+    (part,) = glob.glob(str(out / "part-*.parquet"))
+    shutil.copy(part, sf / "documents.parquet")
+
+    # The registered query adds its own synthesized loop copies at
+    # +4000000; restrict the comparison to the base docs.
+    got = {
+        r.doc_id: (r.n_self_spans, r.self_rep_tokens)
+        for r in intra_doc_repeated_spans(spark, str(sf)).collect()
+        if r.doc_id < 4000000
+    }
+    expected = {d: py_stats(toks) for d, toks in docs.items()}
+    assert got == expected
+    assert any(v[0] > 0 for v in expected.values()), "plants must fire"
