@@ -383,3 +383,46 @@ def test_streaming_cms_grid_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_rolling_wau_matches_pure_python_reference(spark, sf_dir):
+    """Brute-force parity for the fan-out WAU: per report day, the
+    distinct users with >= 1 event in the trailing 7 days, computed
+    naively in Python over the raw events."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from mapreducer_spark.operators.events_time import (
+        _WAU_WINDOW_DAYS,
+        rolling_weekly_active_users,
+    )
+    from mapreducer_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id")
+        .collect()
+    )
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r.ts.date()].add(r.user_id)
+    days = sorted(by_day)
+    expected = {}
+    all_report_days = set()
+    for d in days:
+        for k in range(_WAU_WINDOW_DAYS):
+            all_report_days.add(d + dt.timedelta(days=k))
+    max_day = max(days)
+    for rd in sorted(all_report_days):
+        if rd > max_day:
+            continue
+        users = set()
+        for k in range(_WAU_WINDOW_DAYS):
+            users |= by_day.get(rd - dt.timedelta(days=k), set())
+        expected[rd] = len(users)
+
+    got = {
+        r.report_day: r.active_users
+        for r in rolling_weekly_active_users(spark, sf_dir).collect()
+    }
+    assert got == expected
