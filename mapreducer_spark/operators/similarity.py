@@ -2242,3 +2242,192 @@ def embedding_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): quantization-aware IVF — the FAISS "IVF16,SQ8" serving
+# shape.  The coarse quantizer (frozen IVF centroids) routes queries to
+# nprobe clusters exactly as ann_ivf_topk does, but the in-cluster scan
+# scores int8 scalar-quantized codes (asymmetric: raw query vs
+# dequantized candidates — the query is never quantized at serve time).
+# This is THE memory-bandwidth configuration for 100 TB ANN: the probed
+# partitions stream 4x fewer bytes than float32, and the two recall
+# columns decompose the quality cost — recall_vs_exact bundles probe
+# loss + quantization loss, recall_vs_ivf isolates quantization loss
+# alone (same probed clusters, full-precision vs int8 scoring).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sq8_recall_oracle_sql() -> str | None:
+    ctes = _ivf_oracle_ctes()
+    if ctes is None:
+        return None
+    return f"""
+WITH {ctes},
+{_sq_oracle_calib().strip()},
+sq_scored AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_cosine_similarity(p.qv, d.dv), 6) AS sim
+  FROM probes p
+  JOIN assigned a ON p.cluster = a.cluster
+  JOIN deq d ON d.vec_id = a.vec_id
+  WHERE p.q_id <> a.vec_id
+),
+sq_topk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY sim DESC, vec_id
+           ) AS rnk
+    FROM sq_scored
+  ) WHERE rnk <= {_TOP_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT eq.q_id, ec.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY eq.q_id
+             ORDER BY round(list_cosine_similarity(eq.qv, ec.cv), 6) DESC,
+                      ec.vec_id
+           ) AS rnk
+    FROM (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}) eq
+    CROSS JOIN (SELECT vec_id, v AS cv FROM e) ec
+    WHERE eq.q_id <> ec.vec_id
+  ) WHERE rnk <= {_TOP_K}
+),
+r1 AS (
+  SELECT x.q_id,
+         round(CAST(COUNT(s.vec_id) AS DOUBLE) / COUNT(*), 6)
+           AS recall_vs_exact
+  FROM exact x
+  LEFT JOIN sq_topk s ON s.q_id = x.q_id AND s.vec_id = x.vec_id
+  GROUP BY x.q_id
+),
+r2 AS (
+  SELECT i.q_id,
+         round(CAST(COUNT(s.vec_id) AS DOUBLE) / COUNT(*), 6)
+           AS recall_vs_ivf
+  FROM ivf_topk i
+  LEFT JOIN sq_topk s ON s.q_id = i.q_id AND s.vec_id = i.vec_id
+  GROUP BY i.q_id
+)
+SELECT r1.q_id, r1.recall_vs_exact, r2.recall_vs_ivf
+FROM r1 JOIN r2 ON r1.q_id = r2.q_id
+"""
+
+
+@register(
+    "ann_ivf_int8_recall",
+    oracle=_ivf_sq8_recall_oracle_sql(),
+    doc="Quantization-aware IVF (the FAISS IVF,SQ8 serving shape): "
+    "frozen-index coarse routing exactly as ann_ivf_topk, but the "
+    "in-cluster scan scores int8 scalar-quantized codes ASYMMETRICALLY "
+    "(raw full-precision query vs dequantized candidates — queries are "
+    "never quantized at serve time).  Two recall@10 columns decompose "
+    "the quality budget: recall_vs_exact = probe loss + quantization "
+    "loss vs the global brute-force top-k; recall_vs_ivf isolates "
+    "quantization loss alone (same probed clusters, float32 vs int8 "
+    "scoring).  Scale shape: the int8 calibration is a 1-row broadcast "
+    "(sampled, never a full scan), assignment/routing are map-side "
+    "argmax over the one-row broadcast index, and the probed-cluster "
+    "scan streams 4x fewer bytes than float32 — the memory-bandwidth "
+    "lever that makes 100 TB ANN serveable.  Composes the frozen IVF "
+    "index (tools/train_ivf_index.py) with embedding_int8_recall_at_k's "
+    "calibration; fingerprint drift drops the oracle to rows-only "
+    "rather than serving a stale index.",
+    tags=("llm", "similarity", "vector"),
+)
+def ann_ivf_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.vectors import norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = _centroid_list(em, sf_dir)
+    index = _index_frame(spark, cents)
+    params = _sq_params(em)
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    deq = em.crossJoin(F.broadcast(params)).select(
+        "vec_id", "embedding", _sq_dequant(ve).alias("dv")
+    )
+    # Cluster assignment on the FULL-precision vector (the coarse
+    # quantizer sees raw data at build time), dv riding along.
+    assigned = (
+        fan_out(deq)
+        .select(
+            "vec_id",
+            "dv",
+            "embedding",
+            norm(F.col("embedding")).alias("__vn"),
+        )
+        .crossJoin(F.broadcast(index))
+        .select(
+            "vec_id",
+            "dv",
+            F.array_max(_cluster_sims(F.col("embedding"), F.col("__vn")))
+            .getField("cid")
+            .alias("cluster"),
+        )
+    )
+    probes = (
+        em.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding")).alias("__qn"),
+        )
+        .crossJoin(F.broadcast(index))
+        .select(
+            "q_id",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.sort_array(_cluster_sims(F.col("qv"), F.col("__qn")))
+                    ),
+                    1,
+                    _N_PROBE,
+                )
+            ).alias("c"),
+        )
+        .select("q_id", "qv", F.col("c.cid").alias("cluster"))
+    )
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    sq_topk = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("dv")), 6).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_k))
+        .where(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
+    ivf = _ivf_topk(em, cents).select("q_id", "vec_id")
+
+    def _recall(ref: DataFrame, colname: str) -> DataFrame:
+        hits = (
+            ref.join(sq_topk, ["q_id", "vec_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            ref.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .join(hits, "q_id", "left")
+            .select(
+                "q_id",
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("k"),
+                    6,
+                ).alias(colname),
+            )
+        )
+
+    return _recall(exact, "recall_vs_exact").join(
+        _recall(ivf, "recall_vs_ivf"), "q_id"
+    )

@@ -1868,3 +1868,131 @@ def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 (cont.): interpolated Kneser-Ney bigram scoring — the
+# smoothing that Stupid Backoff approximates.  KN's continuation
+# probability is TYPE-based (in how many distinct contexts does w
+# appear), which fixes the classic failure of count-based backoff:
+# "Francisco" has a high unigram count but appears after almost nothing
+# except "San", so a count-backoff model badly over-scores it in novel
+# contexts while KN correctly does not.  Completes the LM-scoring
+# ladder: unigram logprob -> bigram/trigram Stupid Backoff -> bigram
+# interpolated KN.
+# --------------------------------------------------------------------------
+
+_KN_DISCOUNT = 0.75  # Chen & Goodman 1998's fixed absolute discount
+
+
+_KN_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+big AS (
+  SELECT prev, cur, COUNT(*) AS bcnt FROM pairs GROUP BY prev, cur
+),
+ctx AS (
+  SELECT prev, CAST(SUM(bcnt) AS DOUBLE) AS cv, COUNT(*) AS n1v
+  FROM big GROUP BY prev
+),
+cont AS (
+  SELECT cur, COUNT(*) AS n1w FROM big GROUP BY cur
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM big),
+scored AS (
+  SELECT p.doc_id,
+         round(log2((g.bcnt - {_KN_DISCOUNT}) / c.cv
+                    + ({_KN_DISCOUNT} * c.n1v / c.cv) * (n.n1w / t.b)),
+               6) AS logp,
+         round({_KN_DISCOUNT} * c.n1v / c.cv, 6) AS lam
+  FROM pairs p
+  JOIN big g ON g.prev = p.prev AND g.cur = p.cur
+  JOIN ctx c ON c.prev = p.prev
+  JOIN cont n ON n.cur = p.cur
+  CROSS JOIN tot t
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_log2_p,
+       round(CAST(SUM(CAST(lam AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_lambda
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_kneser_ney_bigram",
+    oracle=_KN_BIGRAM_ORACLE,
+    doc="Per-document bigram score under INTERPOLATED Kneser-Ney "
+    f"(Chen & Goodman 1998, fixed discount D={_KN_DISCOUNT}): "
+    "P(w|v) = (c(vw)-D)/c(v) + (D*N1+(v.)/c(v)) * (N1+(.w)/B) with "
+    "context counts c(v) taken from the bigram table (so each context "
+    "distribution sums to exactly 1) and a TYPE-based continuation "
+    "probability N1+(.w)/B — the smoothing signal Stupid Backoff "
+    "cannot express (a token frequent in only one context stops being "
+    "over-scored elsewhere).  avg_log2_p is bits-per-bigram; "
+    "avg_lambda is the mean interpolation mass D*N1+(v.)/c(v) handed "
+    "to the continuation model (high = the doc lives in sparse "
+    "contexts).  Scale shape: one pair-count shuffle; the bigram-type "
+    "table and its two tiny rollups (per-context, per-continuation) "
+    "are vocab-bounded broadcasts; corpus rows never shuffle except "
+    "the final per-doc agg.  Per-position logprobs "
+    "round-then-decimal-sum for partition-order independence (house "
+    "recipe, same as doc_bigram_perplexity).",
+    tags=("llm", "text", "quality"),
+)
+def doc_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", _tokens_col().alias("t"))
+    pairs = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("prev"),
+                    F.element_at("t", i + 1).alias("cur"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.cur")
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bcnt"))
+    ctx = big.groupBy("prev").agg(
+        F.sum("bcnt").cast("double").alias("cv"),
+        F.count(F.lit(1)).alias("n1v"),
+    )
+    cont = big.groupBy("cur").agg(F.count(F.lit(1)).alias("n1w"))
+    tot = big.agg(F.count(F.lit(1)).cast("double").alias("__b"))
+    d_lit = F.lit(_KN_DISCOUNT)
+    p_kn = (F.col("bcnt") - d_lit) / F.col("cv") + (
+        d_lit * F.col("n1v") / F.col("cv")
+    ) * (F.col("n1w") / F.col("__b"))
+    logp = F.round(F.log2(p_kn), 6)
+    lam = F.round(d_lit * F.col("n1v") / F.col("cv"), 6)
+    return (
+        pairs.join(F.broadcast(big), ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(cont), "cur")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_log2_p"),
+            F.round(
+                F.sum(lam.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_lambda"),
+        )
+    )

@@ -104,6 +104,7 @@ DEFAULT_PICKS = [
     "intra_doc_repeated_spans",
     "embedding_profile",
     "rolling_weekly_active_users",
+    "doc_kneser_ney_bigram",
 ]
 
 
