@@ -12,7 +12,9 @@ Picks cover every operator family whose plan CHANGES behavior with
 scale (adaptive LSH bits, AQE skew handling, broadcast-vs-shuffle
 switches) plus the newest round's operators.  Excluded by design:
 - queries whose oracle embeds frozen gate-scale artifacts (IVF/PQ
-  centroid literals) — the index is fixture-versioned.
+  centroid literals) — the index is fixture-versioned.  To sweep them,
+  set SPARK_GRAFT_ORACLE_SF=.scale10/sf1 so the oracles render the sf1
+  frozen index (how the r7/r8 IVF rows were produced).
 (approx_price_quantiles was excluded through r6 because the GK sketch
 is honestly approximate past its accuracy param; round 7 replaced the
 implementation with exact two-phase distributed selection, so it now
