@@ -107,6 +107,7 @@ DEFAULT_PICKS = [
     "embedding_profile",
     "rolling_weekly_active_users",
     "doc_kneser_ney_bigram",
+    "kmv_set_operations",
 ]
 
 
