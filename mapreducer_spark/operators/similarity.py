@@ -2431,3 +2431,168 @@ def ann_ivf_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall(exact, "recall_vs_exact").join(
         _recall(ivf, "recall_vs_ivf"), "q_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): top principal direction by distributed power iteration
+# — the eigensolve half of the PCA/whitening story whose front half
+# embedding_gram_matrix already computes.  The whole iteration is
+# RELATIONAL (64-row matrix frames, broadcast joins — the PageRank
+# shape), so the only corpus-sized work is the one Gram pass; every
+# subsequent step is metadata-sized and would run unchanged with the
+# Gram partials streaming in from 1000 executors.  Determinism recipe:
+# the Gram cells are already exact (2^40 fixed-point); each mat-vec
+# product is a DECIMAL(18,6) x DECIMAL(18,9) exact-decimal sum (the
+# user_activity_decay_scores lesson: never round DOUBLE products — ties
+# split across engines), and only the normalization quotient (divided
+# by an irrational sqrt, tie-free in practice) rounds in double.
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+_PCA_DIMS = 64
+
+
+def _pca_oracle_sql() -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        steps.append(f"""
+w{t} AS (
+  SELECT m.i AS k,
+         CAST(round(SUM(CAST(m.g AS DECIMAL(18,6))
+                        * CAST(v.val AS DECIMAL(18,9))), 9)
+              AS DECIMAL(18,9)) AS wd
+  FROM full_m m JOIN {prev} v ON v.k = m.j
+  GROUP BY m.i
+),
+n{t} AS (SELECT sqrt(CAST(SUM(wd * wd) AS DOUBLE)) AS nrm FROM w{t}),
+v{t} AS (
+  SELECT k, round(CAST(wd AS DOUBLE) / n.nrm, 9) AS val
+  FROM w{t} CROSS JOIN n{t} n
+)""")
+        prev = f"v{t}"
+    chain = ",".join(steps)
+    return f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT i.i - 1 AS i, j.j - 1 AS j,
+         CAST(floor(v[i.i] * v[j.j] * {float(_GRAM_SCALE)}) AS HUGEINT) AS p
+  FROM e, generate_series(1, {_PCA_DIMS}) AS i(i),
+       generate_series(1, {_PCA_DIMS}) AS j(j)
+  WHERE i.i <= j.j
+),
+gram AS MATERIALIZED (
+  SELECT i, j, round(CAST(SUM(p) AS DOUBLE) / {float(_GRAM_SCALE)}, 6) AS g
+  FROM cells GROUP BY i, j
+),
+full_m AS (
+  SELECT i, j, g FROM gram
+  UNION ALL SELECT j AS i, i AS j, g FROM gram WHERE i < j
+),
+tr AS (
+  SELECT CAST(SUM(CAST(g AS DECIMAL(18,6))) AS DOUBLE) AS trace
+  FROM gram WHERE i = j
+),
+v0 AS (
+  SELECT s.i - 1 AS k, 0.125 AS val
+  FROM generate_series(1, {_PCA_DIMS}) AS s(i)
+),{chain}
+SELECT v.k AS dim,
+       round(v.val, 6) AS loading,
+       round(n.nrm, 6) AS eigenvalue,
+       round(n.nrm / t.trace, 6) AS explained_frac
+FROM v{_PCA_ITERS} v
+CROSS JOIN n{_PCA_ITERS} n CROSS JOIN tr t
+"""
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=_pca_oracle_sql(),
+    doc="Top principal direction of the embedding second-moment matrix "
+    f"X'X by {_PCA_ITERS} fixed power-iteration steps — the eigensolve "
+    "half of out-of-core PCA/whitening (embedding_gram_matrix computes "
+    "the front half; its docstring defers the eigensolve, done here "
+    "WITHOUT leaving the plan).  One row per dimension: the loading, "
+    "plus the 2-norm Rayleigh estimate ||Xv|| of the top eigenvalue "
+    "and its share of trace(X'X) (= total energy; explained_frac is "
+    "what a Matryoshka/dimension-truncation decision actually reads).  "
+    "Fixed iteration budget from the deterministic v0 = 1/8 vector, "
+    "like part_copurchase_pagerank's bounded rounds — convergence "
+    "diagnostics belong to the consumer.  Scale shape: the ONLY "
+    "corpus-sized stage is the Gram pass (d*d fixed-point longs per "
+    "Arrow batch, localCheckpointed once); all 8 steps are broadcast "
+    "joins over 64-row frames.  Determinism: Gram cells are exact "
+    "2^40 fixed-point; mat-vec products are exact DECIMAL(18,6) x "
+    "DECIMAL(18,9) sums (never rounded DOUBLE products — the "
+    "user_activity_decay_scores tie class); only the normalization "
+    "quotient (by an irrational sqrt) rounds in double, at 9dp.  "
+    "Uncentered PCA by design: for mean-centered loadings, subtract "
+    "embedding_centroid_per_label's global mean pass first (same "
+    "machinery, one extra broadcast).",
+    tags=("llm", "vector", "iterative", "python"),
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gram = embedding_gram_matrix(spark, sf_dir).localCheckpoint(eager=True)
+    full_m = gram.select("i", "j", F.col("gram").alias("g")).unionByName(
+        gram.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"),
+            F.col("gram").alias("g"),
+        )
+    )
+    trace = (
+        gram.where(F.col("i") == F.col("j"))
+        .agg(
+            F.sum(F.col("gram").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("trace")
+        )
+    )
+    v = spark.range(_PCA_DIMS).select(
+        F.col("id").cast("int").alias("k"), F.lit(0.125).alias("val")
+    )
+    # Norm as a single-partition window over the 64-row frame: each
+    # iterate references its predecessor exactly ONCE, so the plan grows
+    # linearly in _PCA_ITERS (no checkpoints, no doubled subtrees; the
+    # 64-row "global" window is metadata-sized by construction).
+    w_all = Window.partitionBy()
+    nrm_col = F.sqrt(
+        F.sum(F.col("wd") * F.col("wd")).over(w_all).cast("double")
+    )
+    w = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            full_m.join(F.broadcast(v), full_m["j"] == v["k"])
+            .groupBy(full_m["i"].alias("k"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("g").cast("decimal(18,6)")
+                        * F.col("val").cast("decimal(18,9)")
+                    ),
+                    9,
+                )
+                .cast("decimal(18,9)")
+                .alias("wd")
+            )
+        )
+        v = w.select(
+            "k",
+            F.round(F.col("wd").cast("double") / nrm_col, 9).alias("val"),
+        )
+    return (
+        w.select("k", "wd", nrm_col.alias("nrm"))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("k").alias("dim"),
+            # round-9-then-round-6, matching the oracle's v-then-output
+            # double rounding exactly (they differ on x.xxxxxx49999...5).
+            F.round(
+                F.round(F.col("wd").cast("double") / F.col("nrm"), 9), 6
+            ).alias("loading"),
+            F.round("nrm", 6).alias("eigenvalue"),
+            F.round(F.col("nrm") / F.col("trace"), 6).alias(
+                "explained_frac"
+            ),
+        )
+    )

@@ -108,6 +108,7 @@ DEFAULT_PICKS = [
     "rolling_weekly_active_users",
     "doc_kneser_ney_bigram",
     "kmv_set_operations",
+    "embedding_pca_power_iteration",
 ]
 
 
