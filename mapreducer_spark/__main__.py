@@ -200,6 +200,19 @@ def cmd_snapshot_expire(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot_compact(args: argparse.Namespace) -> int:
+    from mapreducer_spark.sources.snapshots import snapshot_compact
+
+    spark = _get_spark(args)
+    v = snapshot_compact(
+        spark,
+        args.table_dir,
+        target_rows_per_file=args.target_rows_per_file,
+    )
+    print(f"compacted into version {v}")
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from mapreducer_spark.sql_api import sql
 
@@ -342,6 +355,21 @@ def main(argv: list[str] | None = None) -> int:
         "(floor 300s: smaller windows could race an in-flight commit)",
     )
     se.set_defaults(fn=cmd_snapshot_expire)
+
+    sc = sub.add_parser(
+        "snapshot-compact",
+        help="OPTIMIZE a snapshot table: rewrite the head's generations "
+        "into one right-sized generation (history still time-travels; "
+        "expire reclaims the superseded generations)",
+    )
+    sc.add_argument("table_dir")
+    sc.add_argument(
+        "--target-rows-per-file",
+        type=int,
+        default=1_000_000,
+        help="output file sizing: ceil(rows / target) files",
+    )
+    sc.set_defaults(fn=cmd_snapshot_compact)
 
     sq = sub.add_parser("sql", help="run SQL over the fixture tables")
     sq.add_argument("query")

@@ -263,6 +263,92 @@ def snapshot_history(table_dir: str) -> list[dict]:
     return [_read_manifest(table_dir, v) for v in _list_versions(table_dir)]
 
 
+_MAX_COMPACT_RETRIES = 5
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_rows_per_file: int = 1_000_000,
+    _test_pre_commit_hook=None,
+) -> int:
+    """OPTIMIZE: rewrite the head version's generations into ONE
+    right-sized generation and commit it as a new version (op
+    ``"compact"``).  Returns the committed version number.
+
+    Why it exists: a long-lived append table accumulates one generation
+    dir per commit (a streaming publisher adds one per batch), and each
+    generation carries its own small files — the classic lakehouse
+    small-file problem.  Readers then pay per-file open cost and the
+    scheduler per-split overhead.  Compaction is METADATA-COMPATIBLE
+    maintenance: the new manifest lists a single generation holding the
+    same rows, history still time-travels (pinned versions keep their
+    original generation lists until expired), and ``snapshot_expire``
+    reclaims the superseded generations once no kept manifest references
+    them.
+
+    Concurrency: compaction must NOT blind-rebase like append does — an
+    append that lands between the compactor's read and its commit holds
+    rows the compacted generation doesn't have, so chaining manifests
+    would silently drop them.  Instead the commit is a COMPARE-AND-SWAP
+    on the head version: the compactor attempts exactly ``head + 1``,
+    and on losing the race it RESTARTS from the new head (re-reads,
+    re-compacts, bounded by ``_MAX_COMPACT_RETRIES``) — Delta's
+    OPTIMIZE conflict semantics.  The abandoned generation is left for
+    the orphan sweep.
+
+    ``target_rows_per_file`` sizes the rewrite: ceil(rows / target)
+    output files via repartition — at 100 TB the same rewrite runs as a
+    full-cluster job and the commit is still one manifest create.
+    ``_test_pre_commit_hook`` is a test seam invoked after the compacted
+    generation is on disk and before the commit attempt (how the race
+    test interleaves a concurrent append deterministically).
+    """
+    last_err: str | None = None
+    for _ in range(_MAX_COMPACT_RETRIES):
+        versions = _list_versions(table_dir)
+        if not versions:
+            raise FileNotFoundError(f"no snapshot versions under {table_dir!r}")
+        head_v = versions[-1]
+        head = _read_manifest(table_dir, head_v)
+        n_rows = head.get("rows", 0)
+        n_files = max(1, -(-max(n_rows, 1) // target_rows_per_file))
+        df = snapshot_read(spark, table_dir, version=head_v)
+        gen = f"{_GEN_PREFIX}{uuid.uuid4().hex[:12]}"
+        gen_dir = os.path.join(table_dir, gen)
+        df.repartition(n_files).write.mode("error").parquet(gen_dir)
+        if _test_pre_commit_hook is not None:
+            _test_pre_commit_hook()
+        manifest = {
+            "version": head_v + 1,
+            "data_dirs": [gen],
+            "op": "compact",
+            "rows": n_rows,
+            "compacted_from": head_v,
+            "committed_at": time.time(),
+        }
+        try:
+            os.utime(gen_dir)
+        except OSError:
+            pass
+        try:
+            with open(
+                _manifest_path(table_dir, head_v + 1), "x", encoding="utf-8"
+            ) as f:
+                json.dump(manifest, f)
+            return head_v + 1
+        except FileExistsError:
+            # Concurrent commit landed on our target version: its rows
+            # are not in our generation, so restart from the NEW head
+            # (never chain — that is append's rebase, wrong here).
+            last_err = f"lost CAS race at version {head_v + 1}"
+            continue
+    raise RuntimeError(
+        f"could not compact {table_dir!r} after {_MAX_COMPACT_RETRIES} "
+        f"head changes ({last_err})"
+    )
+
+
 _ORPHAN_GRACE_SEC = 24 * 3600
 # Floor under orphan_grace_sec: the sweep must never race an in-flight
 # commit, and a writer can legitimately spend minutes between its last

@@ -498,3 +498,20 @@ def test_cli_snapshot_diff(spark, tmp_path):
     assert rc == 0
     text = out.getvalue()
     assert "update" in text and "insert" in text
+
+
+def test_cli_snapshot_compact(spark, tmp_path, capsys):
+    """snapshot-compact CLI verb over a multi-generation table."""
+    from mapreducer_spark.__main__ import main
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 10).selectExpr("id"), tdir, op="overwrite")
+    snapshot_write(spark.range(10, 20).selectExpr("id"), tdir, op="append")
+    assert main(["snapshot-compact", tdir]) == 0
+    out = capsys.readouterr().out
+    assert "compacted into version 2" in out
+    assert snapshot_history(tdir)[-1]["op"] == "compact"

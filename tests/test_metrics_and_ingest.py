@@ -614,3 +614,95 @@ def test_snapshot_read_as_of_timestamp(spark, tmp_path):
         snapshot_read(spark, tdir, as_of=t0 - 10)
     with pytest.raises(ValueError, match="not both"):
         snapshot_read(spark, tdir, version=0, as_of=t0)
+
+
+def test_snapshot_compact_lifecycle(spark, tmp_path):
+    """OPTIMIZE lifecycle: appends accumulate generations/small files ->
+    compact rewrites them into ONE right-sized generation with identical
+    rows -> history still time-travels -> expire reclaims the superseded
+    generations."""
+    import os
+
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_expire,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = lambda lo, hi: (  # noqa: E731
+        spark.range(lo, hi).selectExpr("id", "CAST(id * 2 AS LONG) AS v")
+    )
+    snapshot_write(df(0, 100).repartition(4), tdir, op="overwrite")
+    snapshot_write(df(100, 200).repartition(4), tdir, op="append")
+    snapshot_write(df(200, 300).repartition(4), tdir, op="append")
+    gens_before = [n for n in os.listdir(tdir) if n.startswith("gen-")]
+    assert len(gens_before) == 3
+
+    v = snapshot_compact(spark, tdir, target_rows_per_file=1_000_000)
+    assert v == 3
+    hist = snapshot_history(tdir)
+    assert hist[-1]["op"] == "compact"
+    assert hist[-1]["rows"] == 300
+    assert hist[-1]["compacted_from"] == 2
+    # One generation, one data file (300 rows << target).
+    comp_gens = hist[-1]["data_dirs"]
+    assert len(comp_gens) == 1
+    files = [
+        f
+        for f in os.listdir(os.path.join(tdir, comp_gens[0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    # Identical rows; pre-compact version still time-travels.
+    want = {(i, 2 * i) for i in range(300)}
+    assert {(r.id, r.v) for r in snapshot_read(spark, tdir).collect()} == want
+    assert {
+        (r.id, r.v) for r in snapshot_read(spark, tdir, version=2).collect()
+    } == want
+    # VACUUM reclaims the three superseded generations.
+    snapshot_expire(tdir, keep_last=1)
+    gens_after = [n for n in os.listdir(tdir) if n.startswith("gen-")]
+    assert gens_after == comp_gens
+    assert snapshot_read(spark, tdir).count() == 300
+
+
+def test_snapshot_compact_cas_race_preserves_concurrent_append(spark, tmp_path):
+    """A concurrent append landing between the compactor's read and its
+    commit must NEVER be dropped: the compactor loses the CAS on the
+    version number, restarts from the new head, and the final table
+    holds the appended rows.  (Blind append-style rebase here would
+    silently drop them — the exact failure mode the CAS exists for.)"""
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 50).selectExpr("id"), tdir, op="overwrite"
+    )
+    fired = []
+
+    def race_once():
+        if not fired:
+            fired.append(True)
+            snapshot_write(
+                spark.range(50, 80).selectExpr("id"), tdir, op="append"
+            )
+
+    v = snapshot_compact(
+        spark, tdir, target_rows_per_file=1_000_000,
+        _test_pre_commit_hook=race_once,
+    )
+    # v0 overwrite, v1 the racing append, v2 the (retried) compaction.
+    assert v == 2
+    hist = snapshot_history(tdir)
+    assert [m["op"] for m in hist] == ["overwrite", "append", "compact"]
+    assert hist[-1]["rows"] == 80
+    got = {r.id for r in snapshot_read(spark, tdir).collect()}
+    assert got == set(range(80))
