@@ -384,6 +384,33 @@ _KMV_K = 64  # sketch size (expected relative error ~1/sqrt(K) ~ 12.5%)
 _KMV_UMOD = 1 << 30  # hash -> (0, 1] uniform domain, u = h / (UMOD + 1)
 
 
+def kmv_merge(frame: DataFrame, key_cols: list) -> DataFrame:
+    """Min-merge (key..., h) sketch rows: K smallest distinct hashes per
+    key group.  The KMV merge operator — associative, commutative, and
+    IDEMPOTENT (merging the same sketch twice is a no-op), which is what
+    lets 1000 executors or 365 daily jobs each sketch their slice and
+    fold the results in any order, and lets a streaming replay converge
+    without tag bookkeeping."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (
+        frame.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select(*key_cols, "h")
+    )
+
+
+def kmv_minima(frame: DataFrame, key_cols: list, item_col: str) -> DataFrame:
+    """KMV sketch builder: K smallest md5-uniform item hashes per key
+    group — shared by the batch set-operations query and the streaming
+    sketch maintainer (streaming/jobs.py::run_kmv_sketch_stream), one
+    definition so the two can never drift (the cms_cell_col pattern)."""
+    h = (md5_int64(F.col(item_col)) % _KMV_UMOD) + 1
+    return kmv_merge(frame.select(*key_cols, h.alias("h")), key_cols)
+
+
 @register(
     "kmv_set_operations",
     oracle=f"""
@@ -503,8 +530,6 @@ LEFT JOIN xi ON xi.grain = p.grain AND xi.source_a = p.source_a
     tags=("sketch", "agg", "approx", "llm", "text"),
 )
 def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = fan_out(load_table(spark, sf_dir, "documents"))
     grams = doc_gram_frame(d).select(
         F.lit("gram4").alias("grain"), "source", F.col("gram").alias("item")
@@ -515,14 +540,7 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("item"),
     )
     items = grams.unionByName(docs)
-    h = (md5_int64(F.col("item")) % _KMV_UMOD) + 1
-    hashes = items.select("grain", "source", h.alias("h")).distinct()
-    w = Window.partitionBy("grain", "source").orderBy("h")
-    sk = (
-        hashes.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _KMV_K)
-        .select("grain", "source", "h")
-    )
+    sk = kmv_minima(items, ["grain", "source"], "item")
     thetas = sk.groupBy("grain", "source").agg(
         F.when(F.count(F.lit(1)) == _KMV_K, F.max("h"))
         .otherwise(F.lit(_KMV_UMOD + 1))

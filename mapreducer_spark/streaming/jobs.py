@@ -802,3 +802,56 @@ def run_substring_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_kmv_sketch_stream(
+    events_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint: str,
+) -> None:
+    """Streaming maintenance of the per-event_type KMV distinct-user
+    sketch (operators/sketches.py::kmv_set_operations's primitive): each
+    micro-batch sketches its own users, MIN-MERGES with the sketch
+    table's head, and commits the merged sketch as a new snapshot
+    version.  Downstream consumers answer distinct-count and cross-set
+    union/intersection questions from the tiny versioned sketch table
+    without ever rescanning the event history — the streaming half of
+    the "mergeable across days" claim.
+
+    Replay safety needs NO tag bookkeeping, unlike the publisher jobs:
+    kmv_merge is idempotent (re-merging an already-folded batch is a
+    no-op), so a restarted/replayed batch converges to the identical
+    sketch — proven by the restart parity test.  The commit is an
+    overwrite (the sketch is a <= K*|types| row summary; versions also
+    give a sketch-as-of-batch history for free), and the merge reads
+    only the head — cost per batch is O(batch + K*|types|), independent
+    of stream lifetime."""
+    from mapreducer_spark.operators.sketches import kmv_merge, kmv_minima
+    from mapreducer_spark.sources.snapshots import snapshot_read, snapshot_write
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = kmv_minima(
+            batch_df.select(
+                "event_type", F.col("user_id").cast("string").alias("item")
+            ),
+            ["event_type"],
+            "item",
+        )
+        try:
+            old = snapshot_read(spark, sketch_dir).select("event_type", "h")
+        except FileNotFoundError:
+            old = spark.createDataFrame([], "event_type string, h long")
+        merged = kmv_merge(old.unionByName(batch_sk), ["event_type"])
+        snapshot_write(
+            merged, sketch_dir, op="overwrite", tag=f"batch-{batch_id}"
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

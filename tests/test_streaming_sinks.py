@@ -662,3 +662,71 @@ def test_substring_dedup_stream_restart_appends_index(spark, tmp_path):
     assert {(r.h, r.cnt) for r in idx.collect()} == {
         (r.h, r.cnt) for r in full.collect()
     }
+
+
+def test_kmv_sketch_stream_parity_and_idempotent_replay(spark, tmp_path):
+    """Streaming KMV maintenance == batch sketch of the full data (the
+    mergeability proof), and a full replay with a fresh checkpoint
+    leaves the sketch UNCHANGED (min-merge idempotence — the property
+    that makes the job replay-safe without tag bookkeeping)."""
+    import glob
+    import shutil
+
+    from mapreducer_spark.operators.sketches import kmv_minima
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_read,
+    )
+    from mapreducer_spark.streaming.jobs import run_kmv_sketch_stream
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"stage_{k}"
+        ev.where(f"user_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = glob.glob(str(out / "part-*.parquet"))
+        shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema("event_type string, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    sketch_dir = str(tmp_path / "sketch")
+    run_kmv_sketch_stream(stream(), sketch_dir, str(tmp_path / "ckpt1"))
+
+    want = {
+        tuple(r)
+        for r in kmv_minima(
+            ev.select(
+                "event_type", F.col("user_id").cast("string").alias("item")
+            ),
+            ["event_type"],
+            "item",
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in snapshot_read(spark, sketch_dir)
+        .select("event_type", "h")
+        .collect()
+    }
+    assert got == want
+    n_versions = len(snapshot_history(sketch_dir))
+    assert n_versions == 3  # one sketch version per micro-batch
+
+    # Full replay (fresh checkpoint, same input): sketch unchanged.
+    run_kmv_sketch_stream(stream(), sketch_dir, str(tmp_path / "ckpt2"))
+    got2 = {
+        tuple(r)
+        for r in snapshot_read(spark, sketch_dir)
+        .select("event_type", "h")
+        .collect()
+    }
+    assert got2 == want
