@@ -706,3 +706,32 @@ def test_snapshot_compact_cas_race_preserves_concurrent_append(spark, tmp_path):
     assert hist[-1]["rows"] == 80
     got = {r.id for r in snapshot_read(spark, tdir).collect()}
     assert got == set(range(80))
+
+
+def test_snapshot_append_chains_onto_compacted_head(spark, tmp_path):
+    """An append AFTER compaction rebases onto the compacted head: the
+    new manifest lists [compacted_gen, new_gen] and the rows compose —
+    the steady-state of a long-lived table (appends accumulate, periodic
+    compaction folds them, appends continue)."""
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(spark.range(0, 40).selectExpr("id"), tdir, op="overwrite")
+    snapshot_write(spark.range(40, 70).selectExpr("id"), tdir, op="append")
+    v_compact = snapshot_compact(spark, tdir, target_rows_per_file=1_000_000)
+    snapshot_write(spark.range(70, 90).selectExpr("id"), tdir, op="append")
+
+    hist = snapshot_history(tdir)
+    head = hist[-1]
+    assert head["op"] == "append" and head["rows"] == 90
+    compacted_gen = hist[v_compact]["data_dirs"][0]
+    assert head["data_dirs"][0] == compacted_gen
+    assert len(head["data_dirs"]) == 2
+    assert {r.id for r in snapshot_read(spark, tdir).collect()} == set(
+        range(90)
+    )
