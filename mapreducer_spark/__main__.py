@@ -213,6 +213,36 @@ def cmd_snapshot_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export_wds(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.sources.tables import load_table
+    from mapreducer_spark.sources.wds import write_wds_shards
+
+    spark = _get_spark(args)
+    docs = load_table(spark, args.sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("key"), "text", "lang", "source"
+    )
+    df = base.selectExpr(
+        "key", "'txt' AS ext", "CAST(text AS BINARY) AS payload"
+    ).unionByName(
+        base.selectExpr(
+            "key",
+            "'json' AS ext",
+            "CAST(to_json(struct(key, lang, source)) AS BINARY) AS payload",
+        )
+    )
+    man = write_wds_shards(df, args.out, n_shards=args.n_shards).collect()
+    for m in sorted(man, key=lambda r: r.shard):
+        print(
+            f"{m.shard}  samples={m.n_samples}  files={m.n_files}  "
+            f"bytes={m.n_bytes}"
+        )
+    print(f"total samples: {sum(m.n_samples for m in man)}")
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     from mapreducer_spark.sql_api import sql
 
@@ -370,6 +400,16 @@ def main(argv: list[str] | None = None) -> int:
         help="output file sizing: ceil(rows / target) files",
     )
     sc.set_defaults(fn=cmd_snapshot_compact)
+
+    ew = sub.add_parser(
+        "export-wds",
+        help="export the documents corpus as WebDataset tar shards "
+        "(text + json sidecar per sample) — the trainer-facing format",
+    )
+    ew.add_argument("out")
+    ew.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ew.add_argument("--n-shards", type=int, default=8)
+    ew.set_defaults(fn=cmd_export_wds)
 
     sq = sub.add_parser("sql", help="run SQL over the fixture tables")
     sq.add_argument("query")

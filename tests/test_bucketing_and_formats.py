@@ -117,3 +117,62 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.orc(out)
     assert back.schema == c.schema
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in c.collect()}
+
+
+def test_wds_shard_roundtrip_and_reproducibility(spark, tmp_path):
+    """WebDataset tar-shard I/O: multi-modality samples roundtrip
+    exactly through write_wds_shards -> read_wds_shards; shard
+    assignment is content-hash deterministic (all of a key's files in
+    one shard); and writing the same frame twice yields BYTE-IDENTICAL
+    shards (pinned tar headers — what makes shard-level caching/rsync
+    of a regenerated dataset work)."""
+    import hashlib
+    import os
+
+    from mapreducer_spark.sources.wds import read_wds_shards, write_wds_shards
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(40)
+        .select("doc_id", "text")
+    )
+    # Two modalities per sample: the text payload and a json-ish sidecar.
+    base = docs.selectExpr("CAST(doc_id AS STRING) AS key", "text")
+    df = base.selectExpr(
+        "key", "'txt' AS ext", "CAST(text AS BINARY) AS payload"
+    ).unionByName(
+        base.selectExpr(
+            "key",
+            "'json' AS ext",
+            "CAST(concat('{\"id\": ', key, '}') AS BINARY) AS payload",
+        )
+    )
+
+    out1 = str(tmp_path / "shards1")
+    man = write_wds_shards(df, out1, n_shards=4).collect()
+    assert sum(m.n_samples for m in man) == 40
+    assert sum(m.n_files for m in man) == 80
+    assert len(man) <= 4
+
+    back = read_wds_shards(spark, os.path.join(out1, "*.tar"))
+    got = {(r.key, r.ext): bytes(r.payload) for r in back.collect()}
+    want = {(r.key, r.ext): bytes(r.payload) for r in df.collect()}
+    assert got == want
+    # Sample contiguity: both of a key's files landed in the same shard.
+    by_key = {}
+    for r in back.collect():
+        by_key.setdefault(r.key, set()).add(r.shard)
+    assert all(len(s) == 1 for s in by_key.values())
+
+    # Reproducibility: second write is byte-identical per shard.
+    out2 = str(tmp_path / "shards2")
+    write_wds_shards(df, out2, n_shards=4).collect()
+    for m in man:
+        h1 = hashlib.sha256(
+            open(os.path.join(out1, m.shard), "rb").read()
+        ).hexdigest()
+        h2 = hashlib.sha256(
+            open(os.path.join(out2, m.shard), "rb").read()
+        ).hexdigest()
+        assert h1 == h2, m.shard

@@ -515,3 +515,26 @@ def test_cli_snapshot_compact(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "compacted into version 2" in out
     assert snapshot_history(tdir)[-1]["op"] == "compact"
+
+
+def test_cli_export_wds(spark, tmp_path, capsys):
+    """export-wds CLI: corpus -> tar shards, manifest printed, shards
+    readable back with one txt + one json file per document."""
+    from mapreducer_spark.__main__ import main
+    from mapreducer_spark.sources.wds import read_wds_shards
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "wds")
+    rc = main(["export-wds", out, "--sf-dir", SF_DIR, "--n-shards", "4"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "total samples:" in printed
+    from pyspark.sql import functions as F
+
+    back = read_wds_shards(spark, out + "/*.tar")
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    counts = {
+        r["ext"]: r["n"]
+        for r in back.groupBy("ext").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"txt": n_docs, "json": n_docs}
