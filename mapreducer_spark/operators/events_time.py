@@ -1202,3 +1202,92 @@ def user_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): linear interpolation over per-key daily gaps — the
+# imputation sibling of last_purchase_locf (carry-forward) and
+# monthly_gap_fill (zero-fill): missing interior days get the straight
+# line between the surrounding observations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_interpolation",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2, 3
+),
+nx AS (
+  SELECT user_id, event_type, d, v,
+    LEAD(d) OVER (PARTITION BY user_id, event_type ORDER BY d) AS nd,
+    LEAD(v) OVER (PARTITION BY user_id, event_type ORDER BY d) AS nv
+  FROM obs
+)
+SELECT user_id, event_type, d + CAST(s.k AS INTEGER) AS day,
+       CAST(nd - d AS BIGINT) AS gap_days,
+       round(v + (nv - v) * s.k / (nd - d), 6) AS v_interp
+FROM nx, unnest(generate_series(1, (nd - d) - 1)) s(k)
+WHERE nd IS NOT NULL AND (nd - d) > 1
+""",
+    doc="Linear interpolation of per-(user, event_type) daily value "
+    "sums across interior gaps: for every consecutive observed pair "
+    "(d, v) -> (nd, nv) with nd - d > 1, emit the missing days at "
+    "v + (nv - v) * k / (nd - d).  Only GAP rows are emitted, so the "
+    "output is bounded by actual missingness, never |keys| x |spine| "
+    "(the dense-spine trap monthly_gap_fill's 80-row month spine can "
+    "afford but a per-user daily grid cannot at 100 TB).  Determinism: "
+    "the endpoint values are exact DECIMAL(18,2) sums cast once to "
+    "double (value is 2dp-representable, the events_time recipe), and "
+    "the interpolation is a fixed IEEE sequence ((nv-v)*k)/gap + v — "
+    "each op exactly rounded, identical in both engines — rounded at "
+    "6dp.  Scale shape: one groupBy shuffle to the daily grain, one "
+    "window shuffle per (user, type) key for LEAD, then a map-side "
+    "sequence explode; no join, no spine materialization.  The "
+    "size-guard on the sequence bound is load-bearing: sequence(1, 0) "
+    "is DESCENDING in Spark, so gaps of 1 day are filtered before the "
+    "explode, not after.",
+    tags=("events", "window", "timeseries", "imputation"),
+)
+def event_value_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(dec_sum("value").alias("v"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("d")
+    nx = obs.select(
+        "user_id",
+        "event_type",
+        "d",
+        "v",
+        F.lead("d").over(w).alias("nd"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    gap = F.datediff("nd", "d")
+    return (
+        nx.where(F.col("nd").isNotNull() & (gap > 1))
+        .select(
+            "user_id",
+            "event_type",
+            "d",
+            "v",
+            "nv",
+            gap.cast("long").alias("gap_days"),
+            F.explode(F.sequence(F.lit(1), gap - 1)).alias("k"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.date_add("d", F.col("k")).alias("day"),
+            "gap_days",
+            F.round(
+                F.col("v")
+                + (F.col("nv") - F.col("v")) * F.col("k") / F.col("gap_days"),
+                6,
+            ).alias("v_interp"),
+        )
+    )

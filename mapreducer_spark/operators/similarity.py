@@ -2596,3 +2596,105 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): label-separability AUC — the eval primitive that turns
+# the centroid frame into a classifier quality report.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroid_auc",
+    oracle="""
+WITH flat AS (
+  SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS val
+  FROM embeddings, range(1, 1000) t(pos)
+  WHERE t.pos <= len(embedding)
+),
+cent AS (
+  SELECT label AS clabel, pos,
+    round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS cv
+  FROM flat GROUP BY label, pos
+),
+cvec AS (SELECT clabel, list(cv ORDER BY pos) AS cv FROM cent GROUP BY clabel),
+scored AS (
+  SELECT c.clabel,
+         CASE WHEN e.label = c.clabel THEN 1 ELSE 0 END AS is_pos,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+           AS score
+  FROM embeddings e CROSS JOIN cvec c
+),
+g AS (
+  SELECT clabel, score, SUM(is_pos) AS np_s, COUNT(*) AS n_s
+  FROM scored GROUP BY clabel, score
+),
+r AS (
+  SELECT clabel, np_s, n_s,
+    SUM(n_s) OVER (PARTITION BY clabel ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+)
+SELECT clabel AS label,
+  CAST(SUM(np_s) AS BIGINT) AS n_pos,
+  CAST(SUM(n_s) - SUM(np_s) AS BIGINT) AS n_neg,
+  round(CAST(SUM(np_s * (2 * (cum - n_s + 1) + n_s - 1))
+             - SUM(np_s) * (SUM(np_s) + 1) AS DOUBLE)
+        / (2.0 * SUM(np_s) * (SUM(n_s) - SUM(np_s))), 6) AS auc
+FROM r GROUP BY clabel
+""",
+    doc="One-vs-rest ROC AUC of 'cosine to own-label centroid' as a "
+    "classifier score, per label — the Mann-Whitney rank-sum eval that "
+    "turns embedding_centroid_per_label's frame into a separability "
+    "report (how well does each class's mean direction retrieve its "
+    "own members?).  AUC is computed tie-correctly via average ranks, "
+    "in ALL-INTEGER arithmetic until the single final division: "
+    "sum-over-positives of (2*min_rank + ties - 1) is exactly "
+    "2*sum(avg_rank), so auc = (sum2r - np*(np+1)) / (2*np*nn) with "
+    "every term a BIGINT — no float accumulation to diverge across "
+    "engines; only the last division rounds (at 6dp).  Scale shape: "
+    "scores group to DISTINCT (label, score) rows BEFORE any window, "
+    "so the per-label rank prefix-sum runs over collapsed score "
+    "groups, not raw rows (the sequence_packing_offsets decomposition "
+    "would distribute it further if score cardinality ever demanded); "
+    "centroids are a 10-row broadcast over one corpus scan.  "
+    "Cross-check: scored reuses the exact embedding_neardup "
+    "round(cosine,6) contract already proven engine-identical.",
+    tags=("llm", "similarity", "vector", "eval"),
+)
+def label_centroid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cent = embedding_centroid_per_label(spark, sf_dir)
+    cvec = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("cv")
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scored = em.crossJoin(F.broadcast(cvec)).select(
+        "clabel",
+        F.when(F.col("label") == F.col("clabel"), 1).otherwise(0).alias("is_pos"),
+        F.round(cosine(v, F.col("cv")), 6).alias("score"),
+    )
+    g = scored.groupBy("clabel", "score").agg(
+        F.sum("is_pos").alias("np_s"), F.count(F.lit(1)).alias("n_s")
+    )
+    w = Window.partitionBy("clabel").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select("clabel", "np_s", "n_s", F.sum("n_s").over(w).alias("cum"))
+    np_t = F.sum("np_s")
+    n_t = F.sum("n_s")
+    sum2r = F.sum(
+        F.col("np_s") * (2 * (F.col("cum") - F.col("n_s") + 1) + F.col("n_s") - 1)
+    )
+    return r.groupBy(F.col("clabel").alias("label")).agg(
+        np_t.alias("n_pos"),
+        (n_t - np_t).alias("n_neg"),
+        F.round(
+            (sum2r - np_t * (np_t + 1)).cast("double")
+            / (2.0 * np_t * (n_t - np_t)),
+            6,
+        ).alias("auc"),
+    )

@@ -1996,3 +1996,107 @@ def doc_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_lambda"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 (cont.): PMI collocation extraction
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 40
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+WITH toks AS (SELECT {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+nuni AS (SELECT COUNT(*) AS nu FROM uni),
+big AS (
+  SELECT t[s.i] AS w1, t[s.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+bcnt AS (
+  SELECT w1, w2, COUNT(*) AS cxy FROM big
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+nbig AS (SELECT COUNT(*) AS nb FROM big)
+SELECT b.w1, b.w2, b.cxy, ca.c AS cx, cb.c AS cy,
+  round(log2(b.cxy) + log2(nuni.nu) + log2(nuni.nu) - log2(nbig.nb)
+        - log2(ca.c) - log2(cb.c), 6) AS pmi
+FROM bcnt b JOIN ucnt ca ON ca.w = b.w1 JOIN ucnt cb ON cb.w = b.w2, nuni, nbig
+ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+""",
+    doc="PMI-ranked bigram collocations (Church & Hanks 1990), the "
+    "classic corpus-linguistics collocation extractor: pmi(x,y) = "
+    "log2 p(xy) - log2 p(x) - log2 p(y) with unigram probabilities "
+    "from the token stream and the joint from the bigram stream, "
+    f"floored at cxy >= {_PMI_MIN_COUNT} so hapax noise (PMI's known "
+    "failure mode: rare pairs max it out) never surfaces.  Determinism "
+    "recipe: each log2 argument is an exact BIGINT count cast to "
+    "double (counts << 2^53), the six log terms fold left-to-right in "
+    "the SAME order in both engines, and the sum rounds at 6dp — the "
+    "doc_unigram_logprob pattern; ordering is on the ROUNDED pmi with "
+    "a (w1, w2) tie-break so the LIMIT cutoff is engine-invariant.  "
+    "Scale shape: two map-side-combined count shuffles (unigrams, "
+    "bigrams) over one scan each; the >= floor shrinks surviving "
+    "collocations by ~1000x BEFORE the two vocabulary joins, which AQE "
+    "then plans as broadcasts of the floored side; the corpus itself "
+    "is never joined or re-shuffled.  Totals ride along as 1-row "
+    "broadcast cross joins, never a driver collect.",
+    tags=("llm", "text", "ngram"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(_tokens_col().alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nuni = uni.agg(F.sum("c").alias("nu"))
+    # Token array materialized as a column BEFORE the pairing lambda
+    # (the bigram_topk lesson: Catalyst re-evaluates non-materialized
+    # expressions per element); size >= 2 guard is load-bearing —
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark.
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bcnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= _PMI_MIN_COUNT)
+    )
+    nbig = pairs.agg(F.count(F.lit(1)).alias("nb"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    pmi = F.round(
+        F.log2("cxy")
+        + F.log2("nu")
+        + F.log2("nu")
+        - F.log2("nb")
+        - F.log2("cx")
+        - F.log2("cy"),
+        6,
+    )
+    return (
+        bcnt.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(nuni))
+        .crossJoin(F.broadcast(nbig))
+        .select("w1", "w2", "cxy", "cx", "cy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

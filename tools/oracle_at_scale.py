@@ -109,6 +109,12 @@ DEFAULT_PICKS = [
     "doc_kneser_ney_bigram",
     "kmv_set_operations",
     "embedding_pca_power_iteration",
+    # round 8 fourth session: PMI log-fold order, AUC integer rank-sum,
+    # and the interpolation IEEE sequence each encode a determinism
+    # recipe worth guarding at 10x.
+    "pmi_collocations",
+    "label_centroid_auc",
+    "event_value_interpolation",
 ]
 
 
