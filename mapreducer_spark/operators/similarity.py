@@ -2698,3 +2698,114 @@ def label_centroid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): mutual nearest-neighbor pair mining — the bitext-mining
+# primitive (CCMatrix/LASER-style, margin-free baseline).
+# ---------------------------------------------------------------------------
+
+_MNN_BITS = 6
+
+
+@register(
+    "mutual_nn_pairs",
+    oracle=f"""
+WITH base AS (
+  SELECT e.vec_id, d.source, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+bucketed AS (
+  SELECT vec_id, source, v, {oracle_sign_bucket("v", _MNN_BITS)} AS bucket
+  FROM base
+),
+cand AS (
+  SELECT a.vec_id AS xa, b.vec_id AS xb, a.source AS sa, b.source AS sb,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.source <> b.source
+),
+best AS (
+  SELECT xa, xb, sa, sb, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY xa
+                                 ORDER BY cos_sim DESC, xb) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT p.xa AS id_a, p.xb AS id_b, p.sa AS source_a, p.sb AS source_b,
+       p.cos_sim
+FROM best p JOIN best q ON q.xa = p.xb AND q.xb = p.xa
+WHERE p.xa < p.xb
+""",
+    doc="Mutual nearest-neighbor pair mining across sources — the "
+    "embedding-space alignment primitive behind bitext mining "
+    "(CCMatrix / LASER: a pair survives only if x is y's best foreign "
+    "match AND y is x's): each vector's top-1 neighbor from any OTHER "
+    "source, restricted to its sign-bucket LSH block "
+    f"({_MNN_BITS}-bit, the embedding_neardup blocking), then an "
+    "equi-self-join keeps exactly the mutual pairs.  Mutuality is the "
+    "cheap high-precision filter: one-directional top-1 is noisy, the "
+    "handshake squares the precision.  Determinism: top-1 ranks on the "
+    "ROUNDED 6dp cosine with a vec_id tie-break, so the winner is "
+    "engine-invariant even at rounding-equal similarities.  Scale "
+    "shape: blocking caps candidates at sum-per-bucket products "
+    "(never the |A|x|B| cross join), the rank is a per-vector window "
+    "over its bucket candidates, and the mutual handshake joins two "
+    "|V|-row frames on the (x,y) key — broadcastable when one side's "
+    "survivors are small.  Margin-based scoring (Artetxe & Schwenk "
+    "ratio-to-k-NN-mean) would slot in as one extra window over the "
+    "same candidate frame.",
+    tags=("llm", "similarity", "vector", "mining"),
+)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = (
+        fan_out(em)
+        .join(docs, em.vec_id == docs.doc_id)
+        .select(
+            "vec_id",
+            "source",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    bucketed = base.withColumn("bucket", sign_bucket(F.col("v"), _MNN_BITS))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.source") != F.col("b.source")),
+    ).select(
+        F.col("a.vec_id").alias("xa"),
+        F.col("b.vec_id").alias("xb"),
+        F.col("a.source").alias("sa"),
+        F.col("b.source").alias("sb"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("xa").orderBy(F.col("cos_sim").desc(), F.col("xb"))
+    # best is consumed twice by the mutual handshake; the eager
+    # localCheckpoint pins ONE candidate+rank evaluation (a self-join
+    # of a lazy frame re-runs the whole candidate stage per side).
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    p = best.alias("p")
+    q = best.alias("q")
+    return (
+        p.join(
+            q,
+            (F.col("q.xa") == F.col("p.xb")) & (F.col("q.xb") == F.col("p.xa")),
+        )
+        .where(F.col("p.xa") < F.col("p.xb"))
+        .select(
+            F.col("p.xa").alias("id_a"),
+            F.col("p.xb").alias("id_b"),
+            F.col("p.sa").alias("source_a"),
+            F.col("p.sb").alias("source_b"),
+            F.col("p.cos_sim").alias("cos_sim"),
+        )
+    )

@@ -2100,3 +2100,115 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 (cont.): categorical mutual information — corpus composition
+# diagnostics (how much does knowing the source tell you about the lang?)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lang_source_mutual_information",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+ml AS (SELECT lang, SUM(c) AS cl FROM cells GROUP BY lang),
+ms AS (SELECT source, SUM(c) AS cs FROM cells GROUP BY source),
+tot AS (SELECT SUM(c) AS n FROM cells),
+terms AS (
+  SELECT round((CAST(c.c AS DOUBLE) / tot.n)
+               * (log2(c.c) + log2(tot.n) - log2(ml.cl) - log2(ms.cs)),
+               9) AS mi_term
+  FROM cells c JOIN ml ON ml.lang = c.lang
+               JOIN ms ON ms.source = c.source, tot
+),
+hl AS (
+  SELECT round(-(CAST(cl AS DOUBLE) / tot.n) * (log2(cl) - log2(tot.n)), 9)
+    AS t
+  FROM ml, tot
+),
+hs AS (
+  SELECT round(-(CAST(cs AS DOUBLE) / tot.n) * (log2(cs) - log2(tot.n)), 9)
+    AS t
+  FROM ms, tot
+)
+SELECT
+  (SELECT CAST(n AS BIGINT) FROM tot) AS n_docs,
+  round(CAST((SELECT SUM(CAST(mi_term AS DECIMAL(18,9))) FROM terms)
+             AS DOUBLE), 6) AS mi_bits,
+  round(CAST((SELECT SUM(CAST(t AS DECIMAL(18,9))) FROM hl) AS DOUBLE), 6)
+    AS h_lang,
+  round(CAST((SELECT SUM(CAST(t AS DECIMAL(18,9))) FROM hs) AS DOUBLE), 6)
+    AS h_source
+""",
+    doc="Mutual information I(lang; source) in bits, beside both "
+    "marginal entropies — the corpus-composition diagnostic that "
+    "quantifies how skewed the language mix is ACROSS sources (MI ~ 0: "
+    "every source has the same language profile, safe to mix freely; "
+    "MI ~ H(lang): language is determined by source, so source "
+    "sampling IS language sampling and the temperature-mixing quotas "
+    "must account for it).  Complements source_token_entropy (within-"
+    "source lexical diversity) with the between-column association.  "
+    "Determinism: every p*log2 cell term is an exact-count expression "
+    "rounded at 9dp, summed as DECIMAL(18,9) (order-invariant), and "
+    "the total rounds at 6dp — the doc_unigram_logprob fold recipe "
+    "applied to information-theoretic sums.  Scale shape: one "
+    "groupBy(lang, source) shuffle over one scan; everything after "
+    "runs on |langs| x |sources| cells joined to two marginal frames "
+    "and a 1-row broadcast total — metadata-sized at any corpus "
+    "scale.",
+    tags=("llm", "text", "stats"),
+)
+def lang_source_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    ml = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    tot = cells.agg(F.sum("c").alias("n"))
+
+    def _dec_sum_6(df: DataFrame, col: str, out: str) -> DataFrame:
+        return df.agg(
+            F.round(
+                F.sum(F.col(col).cast("decimal(18,9)")).cast("double"), 6
+            ).alias(out)
+        )
+
+    terms = (
+        cells.join(ml, "lang")
+        .join(ms, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * (
+                    F.log2("c")
+                    + F.log2("n")
+                    - F.log2("cl")
+                    - F.log2("cs")
+                ),
+                9,
+            ).alias("mi_term")
+        )
+    )
+    hl = ml.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            -(F.col("cl").cast("double") / F.col("n"))
+            * (F.log2("cl") - F.log2("n")),
+            9,
+        ).alias("t")
+    )
+    hs = ms.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            -(F.col("cs").cast("double") / F.col("n"))
+            * (F.log2("cs") - F.log2("n")),
+            9,
+        ).alias("t")
+    )
+    return (
+        tot.select(F.col("n").alias("n_docs"))
+        .crossJoin(F.broadcast(_dec_sum_6(terms, "mi_term", "mi_bits")))
+        .crossJoin(F.broadcast(_dec_sum_6(hl, "t", "h_lang")))
+        .crossJoin(F.broadcast(_dec_sum_6(hs, "t", "h_source")))
+    )

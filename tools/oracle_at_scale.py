@@ -115,6 +115,9 @@ DEFAULT_PICKS = [
     "pmi_collocations",
     "label_centroid_auc",
     "event_value_interpolation",
+    "mutual_nn_pairs",
+    "lang_source_mutual_information",
+    "value_outliers_mad",
 ]
 
 
