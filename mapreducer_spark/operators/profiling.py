@@ -710,3 +710,74 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_out").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): k-anonymity risk profile — the data-governance gate a
+# pipeline runs before releasing or training on user-derived tables.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_BIN = 5000
+
+
+@register(
+    "k_anonymity_profile",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {_KANON_BIN}) AS BIGINT) AS bal_bin,
+         COUNT(*) AS gsize
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(CASE WHEN gsize < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating,
+  CAST(SUM(CASE WHEN gsize < {_KANON_K} THEN gsize ELSE 0 END) AS BIGINT)
+    AS n_exposed,
+  CAST(MIN(gsize) AS BIGINT) AS min_group_size,
+  CAST(SUM(gsize) AS BIGINT) AS n_rows,
+  round(CAST(SUM(CASE WHEN gsize < {_KANON_K} THEN gsize ELSE 0 END)
+             AS DOUBLE) / SUM(gsize), 6) AS exposed_share
+FROM g GROUP BY c_nationkey
+""",
+    doc=f"k-anonymity risk report (Sweeney 2002) over the quasi-"
+    "identifier tuple (nation, market segment, account-balance band): "
+    f"a row is exposed when its QI equivalence class has fewer than "
+    f"k={_KANON_K} members — the re-identification gate a pipeline "
+    "runs BEFORE a user-derived table feeds training or leaves the "
+    "boundary (the structural complement of pii_redaction, which "
+    "scrubs values; this measures whether the remaining columns "
+    "still single people out).  Per-nation summary: equivalence-class "
+    "count, violating classes, exposed rows, worst class size, and "
+    "the exposed-row share.  Pure integer arithmetic to one final "
+    "6dp division — no float can drift.  Scale shape: one map-side-"
+    "combined groupBy to the QI grain (output bounded by the QI "
+    "domain, not rows), then a re-aggregation over class sizes; at "
+    "100 TB the QI histogram is millions of rows against billions "
+    "scanned, and MORE data only ever shrinks the violating share "
+    "(classes grow), so the op is cheapest exactly when the table is "
+    "biggest.",
+    tags=("governance", "quality", "agg"),
+)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _KANON_BIN).cast("long").alias("bal_bin"),
+    ).agg(F.count(F.lit(1)).alias("gsize"))
+    viol = F.col("gsize") < _KANON_K
+    return g.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0)).alias("n_violating"),
+        F.sum(F.when(viol, F.col("gsize")).otherwise(0)).alias("n_exposed"),
+        F.min("gsize").alias("min_group_size"),
+        F.sum("gsize").alias("n_rows"),
+        F.round(
+            F.sum(F.when(viol, F.col("gsize")).otherwise(0)).cast("double")
+            / F.sum("gsize"),
+            6,
+        ).alias("exposed_share"),
+    )

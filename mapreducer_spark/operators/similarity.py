@@ -2708,6 +2708,38 @@ def label_centroid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MNN_BITS = 6
 
 
+def _cross_source_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked cross-source candidate pairs (xa, xb, sa, sb, cos_sim),
+    both directions present — shared by mutual_nn_pairs (top-1
+    handshake) and margin_nn_pairs (ratio-margin scoring)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = (
+        fan_out(em)
+        .join(docs, em.vec_id == docs.doc_id)
+        .select(
+            "vec_id",
+            "source",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    bucketed = base.withColumn("bucket", sign_bucket(F.col("v"), _MNN_BITS))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.source") != F.col("b.source")),
+    ).select(
+        F.col("a.vec_id").alias("xa"),
+        F.col("b.vec_id").alias("xb"),
+        F.col("a.source").alias("sa"),
+        F.col("b.source").alias("sb"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+
+
+
 @register(
     "mutual_nn_pairs",
     oracle=f"""
@@ -2757,32 +2789,9 @@ WHERE p.xa < p.xb
     "same candidate frame.",
     tags=("llm", "similarity", "vector", "mining"),
 )
+
 def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    base = (
-        fan_out(em)
-        .join(docs, em.vec_id == docs.doc_id)
-        .select(
-            "vec_id",
-            "source",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        )
-    )
-    bucketed = base.withColumn("bucket", sign_bucket(F.col("v"), _MNN_BITS))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.source") != F.col("b.source")),
-    ).select(
-        F.col("a.vec_id").alias("xa"),
-        F.col("b.vec_id").alias("xb"),
-        F.col("a.source").alias("sa"),
-        F.col("b.source").alias("sb"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
-    )
+    cand = _cross_source_candidates(spark, sf_dir)
     w = Window.partitionBy("xa").orderBy(F.col("cos_sim").desc(), F.col("xb"))
     # best is consumed twice by the mutual handshake; the eager
     # localCheckpoint pins ONE candidate+rank evaluation (a self-join
@@ -2807,5 +2816,296 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.sa").alias("source_a"),
             F.col("p.sb").alias("source_b"),
             F.col("p.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+_MARGIN_K = 4
+_MARGIN_MIN = 0.05
+
+
+@register(
+    "margin_nn_pairs",
+    oracle=f"""
+WITH base AS (
+  SELECT e.vec_id, d.source, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+bucketed AS (
+  SELECT vec_id, source, v, {oracle_sign_bucket("v", _MNN_BITS)} AS bucket
+  FROM base
+),
+cand AS (
+  SELECT a.vec_id AS xa, b.vec_id AS xb, a.source AS sa, b.source AS sb,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.source <> b.source
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY xa
+                               ORDER BY cos_sim DESC, xb) AS rn
+  FROM cand
+),
+ak AS (
+  SELECT xa, SUM(CAST(cos_sim AS DECIMAL(18,6)))
+             * CAST(0.25 AS DECIMAL(3,2)) AS avg_k
+  FROM rk WHERE rn <= {_MARGIN_K} GROUP BY xa
+),
+scored AS (
+  SELECT c.xa, c.xb, c.sa, c.sb, c.cos_sim,
+         CAST(round(CAST(c.cos_sim AS DECIMAL(18,6))
+                    - (a1.avg_k + a2.avg_k) * CAST(0.5 AS DECIMAL(2,1)),
+                    6) AS DOUBLE) AS margin
+  FROM cand c JOIN ak a1 ON a1.xa = c.xa JOIN ak a2 ON a2.xa = c.xb
+),
+best AS (
+  SELECT xa, xb, sa, sb, cos_sim, margin FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY xa
+                                 ORDER BY margin DESC, xb) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT p.xa AS id_a, p.xb AS id_b, p.sa AS source_a, p.sb AS source_b,
+       p.cos_sim, p.margin
+FROM best p JOIN best q ON q.xa = p.xb AND q.xb = p.xa
+WHERE p.xa < p.xb AND p.margin >= {_MARGIN_MIN}
+""",
+    doc="Margin-scored mutual pair mining (Artetxe & Schwenk 2019): "
+    "mutual_nn_pairs upgraded from raw cosine to the margin criterion "
+    "— each candidate is scored RELATIVE to both endpoints' "
+    f"neighborhoods, margin = cos(x,y) - (avg_{_MARGIN_K}(x) + "
+    f"avg_{_MARGIN_K}(y))/2, where avg_k is the mean cosine of the "
+    "vector's k nearest blocked candidates (a FIXED-k mean: sparse "
+    "buckets with fewer than k candidates are zero-padded, i.e. "
+    "divided by k regardless — which keeps the statistic an exact "
+    "decimal scale shift AND penalizes thin neighborhoods).  "
+    "Margin kills the hub "
+    "problem raw-cosine handshakes suffer (a vector globally similar "
+    "to everything wins many handshakes; subtracting its neighborhood "
+    "mean re-centers it to zero advantage).  This is the paper's "
+    "'distance' margin variant — the ratio variant divides by the "
+    "same mean and blows up when isotropic neighborhoods average "
+    "near zero, so the difference form is the numerically honest one "
+    "here (same selection logic).  Determinism: the whole margin is "
+    "EXACT DECIMAL arithmetic — sum-of-6dp-cosines * 0.25, * 0.5, "
+    "subtraction — rounded once AS A DECIMAL at 6dp (half-away in "
+    "both engines) and only then cast to double; the first cut "
+    "rounded the DOUBLE difference instead and tie-split one gate "
+    "row (Spark rounds the shortest decimal repr, DuckDB the binary "
+    "value — the r6 rounding-tie class), which the exact-decimal "
+    "form makes structurally impossible.  Scale shape: identical to "
+    "mutual_nn_pairs (blocked candidates, per-vector windows, "
+    "|V|-row handshake join) plus one k-NN-mean window and a "
+    "two-sided join against the |V|-row avg_k frame — still no "
+    "cross join anywhere.",
+    tags=("llm", "similarity", "vector", "mining"),
+)
+def margin_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _cross_source_candidates(spark, sf_dir).localCheckpoint(eager=True)
+    w = Window.partitionBy("xa").orderBy(F.col("cos_sim").desc(), F.col("xb"))
+    ak = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MARGIN_K)
+        .groupBy("xa")
+        .agg(
+            (
+                F.sum(F.col("cos_sim").cast("decimal(18,6)"))
+                * F.lit(0.25).cast("decimal(3,2)")
+            ).alias("avg_k")
+        )
+    )
+    a1 = ak.select(F.col("xa").alias("k1"), F.col("avg_k").alias("ak1"))
+    a2 = ak.select(F.col("xa").alias("k2"), F.col("avg_k").alias("ak2"))
+    scored = (
+        cand.join(a1, cand["xa"] == a1["k1"])
+        .join(a2, cand["xb"] == a2["k2"])
+        .select(
+            "xa",
+            "xb",
+            "sa",
+            "sb",
+            "cos_sim",
+            F.round(
+                F.col("cos_sim").cast("decimal(18,6)")
+                - (F.col("ak1") + F.col("ak2"))
+                * F.lit(0.5).cast("decimal(2,1)"),
+                6,
+            )
+            .cast("double")
+            .alias("margin"),
+        )
+    )
+    w_m = Window.partitionBy("xa").orderBy(F.col("margin").desc(), F.col("xb"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_m))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    p = best.alias("p")
+    q = best.alias("q")
+    return (
+        p.join(
+            q,
+            (F.col("q.xa") == F.col("p.xb")) & (F.col("q.xb") == F.col("p.xa")),
+        )
+        .where(
+            (F.col("p.xa") < F.col("p.xb"))
+            & (F.col("p.margin") >= _MARGIN_MIN)
+        )
+        .select(
+            F.col("p.xa").alias("id_a"),
+            F.col("p.xb").alias("id_b"),
+            F.col("p.sa").alias("source_a"),
+            F.col("p.sb").alias("source_b"),
+            F.col("p.cos_sim").alias("cos_sim"),
+            F.col("p.margin").alias("margin"),
+        )
+    )
+
+
+_NDCG_K1 = 10
+_NDCG_K2 = 50
+
+
+def _dcg_term(pos_col):
+    return F.round(1.0 / F.log2(pos_col + 1), 9).cast("decimal(18,9)")
+
+
+@register(
+    "retrieval_ndcg",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT q.q_id, q.q_label, c.vec_id, c.label,
+         round(list_cosine_similarity(q.qv, c.cv), 6) AS sim
+  FROM q CROSS JOIN c WHERE q.q_id <> c.vec_id
+),
+topk AS (
+  SELECT q_id, q_label, vec_id, label, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_NDCG_K2}
+),
+rel AS (
+  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM scored WHERE label = q_label GROUP BY q_id
+),
+dcg AS (
+  SELECT q_id,
+    CAST(SUM(CASE WHEN rnk <= {_NDCG_K1} AND label = q_label
+         THEN CAST(round(1.0 / log2(rnk + 1), 9) AS DECIMAL(18,9))
+         ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS dcg10,
+    CAST(SUM(CASE WHEN label = q_label
+         THEN CAST(round(1.0 / log2(rnk + 1), 9) AS DECIMAL(18,9))
+         ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS dcg50
+  FROM topk GROUP BY q_id
+),
+idcg AS (
+  SELECT r.q_id AS iq_id,
+    CAST(list_sum(list_transform(generate_series(1, least(r.n_rel, {_NDCG_K1})),
+         i -> CAST(round(1.0 / log2(i + 1), 9) AS DECIMAL(18,9))))
+      AS DOUBLE) AS i10,
+    CAST(list_sum(list_transform(generate_series(1, least(r.n_rel, {_NDCG_K2})),
+         i -> CAST(round(1.0 / log2(i + 1), 9) AS DECIMAL(18,9))))
+      AS DOUBLE) AS i50
+  FROM rel r
+)
+SELECT d.q_id, r.n_rel,
+  round(d.dcg10 / i.i10, 6) AS ndcg_at_{_NDCG_K1},
+  round(d.dcg50 / i.i50, 6) AS ndcg_at_{_NDCG_K2}
+FROM dcg d JOIN rel r ON r.q_id = d.q_id JOIN idcg i ON i.iq_id = d.q_id
+""",
+    doc="nDCG@10 / nDCG@50 of exact cosine retrieval with binary "
+    "same-label relevance — the position-weighted retrieval eval that "
+    "completes the gauge ladder (recall@k counts hits, AUC ranks the "
+    "whole corpus, nDCG weights WHERE in the top-k the hits landed).  "
+    "IDCG uses the true ideal: sum of 1/log2(i+1) over "
+    "min(n_relevant, k) positions, so both the capped branch (k=10, "
+    "every label has >10 members) and the n_rel-limited branch (k=50, "
+    "most labels have <50) are live at gate scale.  Determinism: "
+    "every discount term rounds at 9dp and accumulates as "
+    "DECIMAL(18,9) — exact, order-invariant sums — and ranks come "
+    "from the ROW_NUMBER over (rounded sim, vec_id), the "
+    "similarity_topk contract; the one division per (query, k) "
+    "rounds at 6dp.  Scale shape: broadcast queries over one "
+    "candidate scan, per-query windows over <=k survivors; the IDCG "
+    "fold is a per-query array expression over at most k elements.",
+    tags=("llm", "similarity", "vector", "eval"),
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    qs = em.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        v.alias("qv"),
+    )
+    cs = em.select("vec_id", "label", v.alias("cv"))
+    scored = (
+        cs.crossJoin(F.broadcast(qs))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _NDCG_K2)
+    )
+    rel = (
+        scored.where(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    zero = F.lit(0).cast("decimal(18,9)")
+    is_rel = F.col("label") == F.col("q_label")
+    dcg = topk.groupBy("q_id").agg(
+        F.sum(
+            F.when(
+                (F.col("rnk") <= _NDCG_K1) & is_rel, _dcg_term(F.col("rnk"))
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias("dcg10"),
+        F.sum(F.when(is_rel, _dcg_term(F.col("rnk"))).otherwise(zero))
+        .cast("double")
+        .alias("dcg50"),
+    )
+
+    def _idcg(k: int) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+            zero,
+            lambda acc, i: (acc + _dcg_term(i)).cast("decimal(18,9)"),
+        ).cast("double")
+
+    idcg = rel.select(
+        F.col("q_id").alias("iq_id"),
+        _idcg(_NDCG_K1).alias("i10"),
+        _idcg(_NDCG_K2).alias("i50"),
+    )
+    return (
+        dcg.join(rel, "q_id")
+        .join(idcg, dcg["q_id"] == idcg["iq_id"])
+        .select(
+            "q_id",
+            "n_rel",
+            F.round(F.col("dcg10") / F.col("i10"), 6).alias(
+                f"ndcg_at_{_NDCG_K1}"
+            ),
+            F.round(F.col("dcg50") / F.col("i50"), 6).alias(
+                f"ndcg_at_{_NDCG_K2}"
+            ),
         )
     )

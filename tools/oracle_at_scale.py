@@ -118,6 +118,11 @@ DEFAULT_PICKS = [
     "mutual_nn_pairs",
     "lang_source_mutual_information",
     "value_outliers_mad",
+    # margin_nn_pairs' first cut tie-split a GATE row on a rounded
+    # DOUBLE difference — the exact-decimal rewrite stays guarded here.
+    "margin_nn_pairs",
+    "retrieval_ndcg",
+    "k_anonymity_profile",
 ]
 
 
