@@ -1387,3 +1387,166 @@ def test_intra_doc_spans_match_pure_python_reference(spark, tmp_path):
     expected = {d: py_stats(toks) for d, toks in docs.items()}
     assert got == expected
     assert any(v[0] > 0 for v in expected.values()), "plants must fire"
+
+
+def test_label_centroid_auc_matches_pure_python_reference(spark, tmp_path):
+    """Randomized third-implementation parity for the rank-sum AUC: on a
+    seeded clustered-embedding fixture, label_centroid_auc must equal an
+    independent pure-Python reference (explicit sorted tie-averaged
+    ranks).  The reference mimics the engine's numeric contract exactly
+    — sequential-fold cosine (same IEEE op order), shortest-repr
+    HALF_UP rounding via Decimal(repr(x)) — so the assert is EXACT
+    equality, not a tolerance; it shares no rank-sum algebra with the
+    Spark/DuckDB grouped-prefix-sum formulation."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreducer_spark.operators.similarity import label_centroid_auc
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    rng = random.Random(41)
+    dim, n_labels, n = 8, 5, 200
+    protos = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_labels)]
+    rows = []
+    for vid in range(n):
+        lb = vid % n_labels
+        vec = [protos[lb][d] + rng.gauss(0, 0.8) for d in range(dim)]
+        # store as float32 like the real fixture
+        rows.append((vid, [float(f"{v:.6g}") for v in vec], lb))
+    sf = tmp_path / "sf_auc"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(sf / "embeddings.parquet"))
+
+    got = {
+        r.label: (r.n_pos, r.n_neg, r.auc)
+        for r in label_centroid_auc(spark, str(sf)).collect()
+    }
+
+    # Pure-Python reference.  float32 storage means the collected values
+    # must round-trip through float32 exactly as Spark reads them.
+    import struct
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = {vid: [f32(v) for v in emb] for vid, emb, _ in rows}
+    labels = {vid: lb for vid, _, lb in rows}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def fold_norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    for lb in range(n_labels):
+        members = [vecs[v] for v in vecs if labels[v] == lb]
+        cent = [
+            r6(math.fsum(m[d] for m in members) / len(members))
+            for d in range(dim)
+        ]
+        scores = []
+        for vid, vec in vecs.items():
+            s = r6(fold_dot(vec, cent) / (fold_norm(vec) * fold_norm(cent)))
+            scores.append((s, labels[vid] == lb))
+        scores.sort(key=lambda t: t[0])
+        # tie-averaged ranks, explicitly
+        auc_sum = 0.0
+        i = 0
+        while i < len(scores):
+            j = i
+            while j < len(scores) and scores[j][0] == scores[i][0]:
+                j += 1
+            avg_rank = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+            auc_sum += avg_rank * sum(1 for k in range(i, j) if scores[k][1])
+            i = j
+        n_pos = sum(1 for _, p in scores if p)
+        n_neg = len(scores) - n_pos
+        auc = r6((auc_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+        assert got[lb][0] == n_pos and got[lb][1] == n_neg
+        assert got[lb][2] == auc, (lb, got[lb][2], auc)
+
+
+def test_retrieval_ndcg_matches_pure_python_reference(spark, tmp_path):
+    """Third-implementation parity for nDCG@k: explicit per-query sorted
+    retrieval lists and position-by-position discount sums in pure
+    Python, against the op's window + decimal-fold formulation.  Log
+    discounts may differ from the JVM at 1 ulp, so the assert carries a
+    1e-6 tolerance (counts are exact)."""
+    import math
+    import random
+    import struct
+
+    from mapreducer_spark.operators.similarity import (
+        _N_QUERIES,
+        _NDCG_K1,
+        _NDCG_K2,
+        retrieval_ndcg,
+    )
+
+    rng = random.Random(43)
+    dim, n_labels, n = 8, 4, 160
+    protos = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_labels)]
+    rows = []
+    for vid in range(n):
+        lb = vid % n_labels
+        vec = [protos[lb][d] + rng.gauss(0, 0.9) for d in range(dim)]
+        rows.append((vid, [float(f"{v:.6g}") for v in vec], lb))
+    sf = tmp_path / "sf_ndcg"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(sf / "embeddings.parquet"))
+
+    got = {
+        r.q_id: (r.n_rel, r[f"ndcg_at_{_NDCG_K1}"], r[f"ndcg_at_{_NDCG_K2}"])
+        for r in retrieval_ndcg(spark, str(sf)).collect()
+    }
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = {vid: [f32(v) for v in emb] for vid, emb, _ in rows}
+    labels = {vid: lb for vid, _, lb in rows}
+
+    def cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / math.sqrt(n1 * n2)
+
+    for q in range(_N_QUERIES):
+        ranked = sorted(
+            ((round(cos(vecs[q], vecs[c]), 6), c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        rel_flags = [labels[c] == labels[q] for _, c in ranked]
+        n_rel = sum(rel_flags)
+
+        def dcg(k):
+            return math.fsum(
+                1.0 / math.log2(i + 2)
+                for i, f in enumerate(rel_flags[:k]) if f
+            )
+
+        def idcg(k):
+            return math.fsum(
+                1.0 / math.log2(i + 2) for i in range(min(n_rel, k))
+            )
+
+        assert got[q][0] == n_rel
+        assert abs(got[q][1] - dcg(_NDCG_K1) / idcg(_NDCG_K1)) < 1e-6
+        assert abs(got[q][2] - dcg(_NDCG_K2) / idcg(_NDCG_K2)) < 1e-6
