@@ -781,3 +781,128 @@ def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exposed_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): CUPED variance-reduced experiment readout — the
+# experimentation-analytics primitive (Deng et al. 2013, WSDM).
+# ---------------------------------------------------------------------------
+
+_CUPED_BOUNDARY = "2024-01-16 00:00:00"
+
+
+@register(
+    "cuped_experiment_analysis",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+      AS arm,
+    SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_BOUNDARY}'
+         THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+      AS x,
+    SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_BOUNDARY}'
+         THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+      AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM u
+),
+t AS (
+  SELECT n, sx,
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+    (n * sxy - sx * sy) * (n * sxy - sx * sy)
+      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+  FROM m
+),
+a AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(x) AS DOUBLE) AS sxa, CAST(SUM(y) AS DOUBLE) AS sya
+  FROM u GROUP BY arm
+)
+SELECT a.arm, a.n_users,
+  round(a.sxa / a.n_users, 6) AS mean_pre,
+  round(a.sya / a.n_users, 6) AS mean_post,
+  round(t.theta, 6) AS theta,
+  round(a.sya / a.n_users
+        - t.theta * (a.sxa / a.n_users - t.sx / t.n), 6) AS cuped_mean,
+  round(t.r2, 6) AS var_reduction
+FROM a, t
+""",
+    doc="CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker "
+    "2013): per-user pre-period value X and post-period value Y in one "
+    "scan (fixed boundary literal), deterministic md5-parity arm "
+    "assignment, theta = cov(X,Y)/var(X) from POOLED users, and the "
+    "adjusted per-arm mean Ybar_a - theta*(Xbar_a - Xbar) — the "
+    "industry-standard trick that removes the pre-existing per-user "
+    "variance from the treatment comparison.  var_reduction reports "
+    "corr(X,Y)^2, the exact share of variance CUPED removes.  "
+    "Determinism: X, Y are exact DECIMAL(18,2) sums; the moment sums "
+    "Sx, Sy, Sxy, Sxx, Syy are exact decimal sums of exact decimal "
+    "products cast ONCE to double (unscaled values stay far below "
+    "2^53 at 10x — checked, the pricing_summary class); theta and "
+    "every mean are then fixed IEEE sequences identical in both "
+    "engines, rounded at 6dp.  Scale shape: one groupBy(user) "
+    "shuffle builds the covariate frame; the moment pass and the "
+    "per-arm pass are map-side-combinable aggregations over it, and "
+    "theta rides into the per-arm readout as a 1-row broadcast — at "
+    "100 TB nothing after the user-grain collapse sees more than "
+    "|users| rows.",
+    tags=("events", "stats", "experiment"),
+)
+def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.hashes import md5_int64
+
+    ev = load_table(spark, sf_dir, "events")
+    boundary = F.to_timestamp(F.lit(_CUPED_BOUNDARY))
+    vdec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    u = ev.groupBy(
+        "user_id",
+        (md5_int64(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).agg(
+        F.sum(F.when(F.col("ts") < boundary, vdec).otherwise(zero)).alias("x"),
+        F.sum(F.when(F.col("ts") >= boundary, vdec).otherwise(zero)).alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_xn = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_yn = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    t = m.select(
+        "n",
+        "sx",
+        (cov_n / var_xn).alias("theta"),
+        (cov_n * cov_n / (var_xn * var_yn)).alias("r2"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("double").alias("sxa"),
+        F.sum("y").cast("double").alias("sya"),
+    )
+    return a.crossJoin(F.broadcast(t)).select(
+        "arm",
+        "n_users",
+        F.round(F.col("sxa") / F.col("n_users"), 6).alias("mean_pre"),
+        F.round(F.col("sya") / F.col("n_users"), 6).alias("mean_post"),
+        F.round("theta", 6).alias("theta"),
+        F.round(
+            F.col("sya") / F.col("n_users")
+            - F.col("theta")
+            * (F.col("sxa") / F.col("n_users") - F.col("sx") / F.col("n")),
+            6,
+        ).alias("cuped_mean"),
+        F.round("r2", 6).alias("var_reduction"),
+    )

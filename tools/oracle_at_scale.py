@@ -123,6 +123,7 @@ DEFAULT_PICKS = [
     "margin_nn_pairs",
     "retrieval_ndcg",
     "k_anonymity_profile",
+    "cuped_experiment_analysis",
 ]
 
 
