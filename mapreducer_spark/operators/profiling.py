@@ -906,3 +906,69 @@ def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cuped_mean"),
         F.round("r2", 6).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): Benford first-digit forensics — the data-forensics
+# screen for fabricated or mechanically-generated numeric columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, COUNT(*) AS obs FROM d GROUP BY digit),
+n AS (SELECT SUM(obs) AS n FROM c)
+SELECT c.digit, CAST(c.obs AS BIGINT) AS obs,
+  round(CAST(c.obs AS DOUBLE) / n.n, 6) AS obs_share,
+  round(log2(1.0 + 1.0 / c.digit) / log2(10.0), 6) AS benford_share,
+  round((CAST(c.obs AS DOUBLE)
+         - n.n * (log2(1.0 + 1.0 / c.digit) / log2(10.0)))
+        * (CAST(c.obs AS DOUBLE)
+           - n.n * (log2(1.0 + 1.0 / c.digit) / log2(10.0)))
+        / (n.n * (log2(1.0 + 1.0 / c.digit) / log2(10.0))), 6) AS chi2_term
+FROM c, n
+""",
+    doc="Benford's-law first-digit screen over order totals: per-digit "
+    "observed share vs the log10(1 + 1/d) expectation and the "
+    "chi-square goodness-of-fit contribution — the classic forensic "
+    "test for fabricated, clipped, or mechanically-generated numeric "
+    "columns (TPC-H prices are banded-uniform and fail it loudly, "
+    "which is exactly the point: the op is a DETECTOR, and the "
+    "fixture is a true positive).  First digit is extracted from the "
+    "canonical DECIMAL(18,2) string rendering (identical in both "
+    "engines; >= 1 guard keeps a leading '0' and the 1/0 expectation "
+    "out of the domain).  Expectation uses log2(1+1/d)/log2(10) so "
+    "both engines evaluate the same IEEE sequence; counts are exact "
+    "integers and each chi2 term is one fixed double expression "
+    "rounded at 6dp.  Scale shape: one map-side-combined groupBy "
+    "over one scan collapses everything to <= 9 rows; the total "
+    "rides as a 1-row cross join.  Works unchanged on any positive "
+    "numeric column.",
+    tags=("stats", "quality", "forensics"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        o.where(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    n = c.agg(F.sum("obs").alias("n"))
+    e_share = F.log2(1.0 + 1.0 / F.col("digit")) / F.log2(F.lit(10.0))
+    dev = F.col("obs").cast("double") - F.col("n") * e_share
+    return c.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "obs",
+        F.round(F.col("obs").cast("double") / F.col("n"), 6).alias("obs_share"),
+        F.round(e_share, 6).alias("benford_share"),
+        F.round(dev * dev / (F.col("n") * e_share), 6).alias("chi2_term"),
+    )

@@ -124,6 +124,7 @@ DEFAULT_PICKS = [
     "retrieval_ndcg",
     "k_anonymity_profile",
     "cuped_experiment_analysis",
+    "benford_first_digit",
 ]
 
 
