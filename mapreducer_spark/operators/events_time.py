@@ -1291,3 +1291,89 @@ def event_value_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v_interp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): first-order Markov transition matrix over per-user
+# event streams — clickstream sequence analytics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+fm AS (SELECT from_type, SUM(n) AS n_from FROM t GROUP BY 1),
+tm AS (SELECT to_type, SUM(n) AS n_to FROM t GROUP BY 1),
+tot AS (SELECT SUM(n) AS n_all FROM t)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+  round(CAST(t.n AS DOUBLE) / fm.n_from, 6) AS p_transition,
+  round(CAST(tm.n_to AS DOUBLE) / tot.n_all, 6) AS p_to_marginal,
+  round(CAST(t.n AS DOUBLE) * tot.n_all / (fm.n_from * tm.n_to), 6) AS lift
+FROM t JOIN fm ON fm.from_type = t.from_type
+       JOIN tm ON tm.to_type = t.to_type, tot
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: maximum-likelihood P(to | from) for every event-type "
+    "pair, beside the stationary marginal P(to) and the lift ratio — "
+    "lift far from 1 is the sequence-dependence signal (which "
+    "transitions happen because of ORDER, not base rates) that feeds "
+    "funnel design and next-event models; the sequence sibling of "
+    "lang_source_mutual_information's static association.  Successor "
+    "pairs come from one LEAD window per user with a TOTAL order "
+    "(ts, event_id) so timestamp collisions cannot reorder across "
+    "engines.  Determinism: counts and marginals are exact BIGINTs "
+    "re-aggregated FROM the transition frame itself (never a second "
+    "corpus pass, and exactly consistent with it); each probability "
+    "is one double division rounded at 6dp.  Scale shape: one window "
+    "shuffle keyed by user (bounded per-user state), one "
+    "map-side-combined count shuffle to |types|^2 rows; everything "
+    "after is metadata-sized joins on the tiny matrix.",
+    tags=("events", "window", "stats", "sequence"),
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    t = (
+        s.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fm = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    tm = t.groupBy("to_type").agg(F.sum("n").alias("n_to"))
+    tot = t.agg(F.sum("n").alias("n_all"))
+    nd = F.col("n").cast("double")
+    return (
+        t.join(fm, "from_type")
+        .join(tm, "to_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(nd / F.col("n_from"), 6).alias("p_transition"),
+            F.round(F.col("n_to").cast("double") / F.col("n_all"), 6).alias(
+                "p_to_marginal"
+            ),
+            F.round(
+                nd * F.col("n_all") / (F.col("n_from") * F.col("n_to")), 6
+            ).alias("lift"),
+        )
+    )

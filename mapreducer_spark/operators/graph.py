@@ -281,3 +281,110 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not use_broadcast:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("v", F.round("rank", 8).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): market-basket association rules — the support /
+# confidence / lift readout over the same co-purchase baskets the graph
+# family walks.
+# ---------------------------------------------------------------------------
+
+_MBR_MIN_AB = 3
+_MBR_TOPK = 40
+
+
+@register(
+    "market_basket_rules",
+    oracle=f"""
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM po),
+pa AS (SELECT l_partkey AS part, COUNT(*) AS n_a FROM po GROUP BY 1),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_MBR_MIN_AB}
+)
+SELECT pc.part_a, pc.part_b, pc.n_ab, ca.n_a AS n_a, cb.n_a AS n_b,
+  round(CAST(pc.n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+  round(CAST(pc.n_ab AS DOUBLE) / ca.n_a, 6) AS conf_a_to_b,
+  round(CAST(pc.n_ab AS DOUBLE) / cb.n_a, 6) AS conf_b_to_a,
+  round(CAST(pc.n_ab AS DOUBLE) * n.n_orders / (ca.n_a * cb.n_a), 6) AS lift
+FROM pc JOIN pa ca ON ca.part = pc.part_a
+        JOIN pa cb ON cb.part = pc.part_b, n
+ORDER BY lift DESC, part_a, part_b LIMIT {_MBR_TOPK}
+""",
+    doc="Market-basket association rules (Agrawal & Srikant 1993 "
+    "measures, pair itemsets): per unordered part pair the support, "
+    "both directed confidences, and lift = N*n_ab/(n_a*n_b), floored "
+    f"at n_ab >= {_MBR_MIN_AB} so singleton co-occurrences (lift's "
+    "hapax failure mode, same as PMI's) never rank.  Lift IS the "
+    "basket-domain PMI without the log — the two ops cross-reference "
+    "each other's floors deliberately.  Determinism: all four inputs "
+    "are exact BIGINT counts; each output is ONE double division (or "
+    "one product then division) rounded at 6dp, and the top-k orders "
+    "on the ROUNDED lift with a (part_a, part_b) tie-break.  Scale "
+    "shape: per-order sorted part sets in one shuffle, map-side "
+    "in-array i<j pair expansion (order baskets are tiny, m^2 structs "
+    "beat a fact-fact self-join — the copurchase_sym_edges trick), "
+    "one count shuffle on pairs with the floor applied BEFORE the two "
+    "part-frequency joins, totals as 1-row broadcasts.  The oracle "
+    "uses the relational self-join formulation — a genuinely "
+    "different pair derivation, so the hash check also validates the "
+    "array expansion.",
+    tags=("graph", "agg", "mining", "topk"),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    n = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pa = sets.select(F.explode("ps").alias("part")).groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice("ps", i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _MBR_MIN_AB)
+    )
+    ca = pa.select(F.col("part").alias("part_a"), F.col("n_a").alias("n_a"))
+    cb = pa.select(F.col("part").alias("part_b"), F.col("n_a").alias("n_b"))
+    ab = F.col("n_ab").cast("double")
+    return (
+        pc.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(ab / F.col("n_orders"), 6).alias("support"),
+            F.round(ab / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(ab / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                ab * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(_MBR_TOPK)
+    )

@@ -972,3 +972,119 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e_share, 6).alias("benford_share"),
         F.round(dev * dev / (F.col("n") * e_share), 6).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): exact Gini coefficient — the inequality measure that
+# completes the concentration family (HHI measures supplier shares;
+# Gini measures the whole customer-spend distribution).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_spend_gini",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey,
+    COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+             CAST(0 AS DECIMAL(18,2))) AS x
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+g AS (SELECT segment, x, COUNT(*) AS c FROM spend GROUP BY 1, 2),
+r AS (
+  SELECT segment, x, c,
+    SUM(c) OVER (PARTITION BY segment ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS b,
+    SUM(c) OVER (PARTITION BY segment) AS n
+  FROM g
+),
+ns AS (
+  SELECT segment, MAX(n) AS n, CAST(SUM(x * c) AS DOUBLE) AS s
+  FROM r GROUP BY segment
+)
+SELECT r.segment, CAST(ns.n AS BIGINT) AS n_customers,
+  round(ns.s, 2) AS total_spend,
+  round(CAST(SUM(CAST(round(
+      CAST(r.x * (r.c * (2 * r.b + r.c - r.n)) AS DOUBLE) / (ns.n * ns.s),
+      12) AS DECIMAL(18,12))) AS DOUBLE), 6) AS gini
+FROM r JOIN ns ON ns.segment = r.segment
+GROUP BY r.segment, ns.n, ns.s
+""",
+    doc="Exact per-segment Gini coefficient of customer lifetime spend "
+    "(orderless customers included at zero — inequality over the "
+    "POPULATION, not just buyers): the classic "
+    "sum((2i - n - 1) * x_i) / (n * sum x) formulation regrouped over "
+    "the exact (value, count) histogram — a tie group occupying "
+    "positions b+1..b+c contributes x * c * (2b + c - n), so the "
+    "whole statistic needs only the cumulative-count window over "
+    "DISTINCT spend values (the value_outliers_mad collapse; at 100 "
+    "TB the per-segment window runs over the collapsed spend "
+    "histogram, never raw customers).  Complements "
+    "customer_revenue_concentration's HHI (top-share concentration) "
+    "with the full-distribution inequality measure.  Determinism and "
+    "the 2^53 guard: the naive SUM of x*c*(2b+c-n) crosses 2^53 "
+    "unscaled at scale (the pricing_summary decimal->double cast "
+    "split), so each VALUE-GROUP term — whose own unscaled magnitude "
+    "is provably < 2^53 — casts to double exactly-rounded, divides "
+    "once by n*s, rounds at 12dp, and sums as exact DECIMAL(18,12); "
+    "every step is the same IEEE/decimal sequence in both engines.",
+    tags=("stats", "agg", "concentration"),
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("tp")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("segment", "c_custkey")
+        .agg(F.coalesce(F.sum("tp"), zero).alias("x"))
+    )
+    g = spend.groupBy("segment", "x").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("segment").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("segment")
+    r = g.select(
+        "segment",
+        "x",
+        "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("b"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    ns = r.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("x") * F.col("c")).cast("double").alias("s"),
+    )
+    term = F.round(
+        (F.col("x") * (F.col("c") * (2 * F.col("b") + F.col("c") - F.col("n"))))
+        .cast("double")
+        / (F.col("n2") * F.col("s")),
+        12,
+    ).cast("decimal(18,12)")
+    return (
+        r.join(
+            ns.select(
+                F.col("segment").alias("segment2"),
+                F.col("n").alias("n2"),
+                "s",
+            ),
+            F.col("segment") == F.col("segment2"),
+        )
+        .groupBy("segment", "n2", "s")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("gini"),
+        )
+        .select(
+            "segment",
+            F.col("n2").alias("n_customers"),
+            F.round("s", 2).alias("total_spend"),
+            "gini",
+        )
+    )

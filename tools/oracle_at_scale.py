@@ -125,6 +125,9 @@ DEFAULT_PICKS = [
     "k_anonymity_profile",
     "cuped_experiment_analysis",
     "benford_first_digit",
+    "market_basket_rules",
+    "event_markov_transitions",
+    "customer_spend_gini",
 ]
 
 
