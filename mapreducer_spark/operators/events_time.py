@@ -1377,3 +1377,117 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): CUSUM change-point detection over daily value series.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_changepoint",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(SUM(v) AS DOUBLE) AS s, COUNT(*) AS n
+  FROM d GROUP BY 1
+),
+r AS (
+  SELECT d.event_type, d.day,
+    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i,
+    SUM(d.v) OVER (PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    t.s, t.n
+  FROM d JOIN t ON t.event_type = d.event_type
+),
+c AS (
+  SELECT event_type, day, i, cum, s, n,
+    round(abs(CAST(cum AS DOUBLE) - i * (s / n)), 6) AS abs_cusum
+  FROM r
+)
+SELECT event_type, day AS change_day, CAST(n AS BIGINT) AS n_days,
+  round(s / n, 6) AS mean_daily, abs_cusum AS max_abs_cusum,
+  round(CAST(cum AS DOUBLE) / i, 6) AS mean_before,
+  round((s - CAST(cum AS DOUBLE)) / NULLIF(n - i, 0), 6) AS mean_after
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs_cusum DESC, day) AS rn
+  FROM c
+) WHERE rn = 1
+""",
+    doc="CUSUM change-point detection (Page 1954 / Taylor's cumulative-"
+    "sum charting) over each event type's daily value series: the "
+    "candidate change day is argmax |CUSUM_d|, where CUSUM_d = "
+    "cum_d - d*mean is the cumulative deviation from the global mean; "
+    "the report carries the split means so the consumer reads the "
+    "level shift directly.  The FP trap here is the RUNNING sum: "
+    "engines accumulate windowed DOUBLE sums in different orders "
+    "(DuckDB's segment tree vs a sequential fold), so the cumulative "
+    "is kept an EXACT DECIMAL — order-invariant — and the mean enters "
+    "once per row as the algebraic identity cum - i*mean (one "
+    "subtraction, no FP accumulation at all); the argmax orders on "
+    "the ROUNDED |CUSUM| with an earliest-day tie-break.  Scale "
+    "shape: one groupBy to the daily grain, per-type windows over "
+    "|days| rows (metadata-sized at any corpus scale), argmax as a "
+    "rank-1 filter.  Fixed-budget semantics like the 5-round "
+    "PageRank: one candidate per series; recursing into the halves "
+    "(binary segmentation) would re-run the same frame per segment.",
+    tags=("events", "window", "timeseries", "stats"),
+)
+def event_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    t = d.groupBy("event_type").agg(
+        F.sum("v").cast("double").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = (
+        d.join(t, "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.row_number().over(w).alias("i"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+            "s",
+            "n",
+        )
+    )
+    c = r.withColumn(
+        "abs_cusum",
+        F.round(
+            F.abs(F.col("cum").cast("double") - F.col("i") * (F.col("s") / F.col("n"))),
+            6,
+        ),
+    )
+    w_max = Window.partitionBy("event_type").orderBy(
+        F.col("abs_cusum").desc(), F.col("day")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w_max))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("n").alias("n_days"),
+            F.round(F.col("s") / F.col("n"), 6).alias("mean_daily"),
+            F.col("abs_cusum").alias("max_abs_cusum"),
+            F.round(F.col("cum").cast("double") / F.col("i"), 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("s") - F.col("cum").cast("double"))
+                / F.nullif((F.col("n") - F.col("i")).cast("long"), F.lit(0)),
+                6,
+            ).alias("mean_after"),
+        )
+    )

@@ -128,6 +128,7 @@ DEFAULT_PICKS = [
     "market_basket_rules",
     "event_markov_transitions",
     "customer_spend_gini",
+    "event_value_changepoint",
 ]
 
 
