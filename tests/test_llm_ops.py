@@ -1550,3 +1550,77 @@ def test_retrieval_ndcg_matches_pure_python_reference(spark, tmp_path):
         assert got[q][0] == n_rel
         assert abs(got[q][1] - dcg(_NDCG_K1) / idcg(_NDCG_K1)) < 1e-6
         assert abs(got[q][2] - dcg(_NDCG_K2) / idcg(_NDCG_K2)) < 1e-6
+
+
+def test_session_stat_ops_invariants(spark, sf_dir):
+    """Mathematical invariants of the round-8 statistical operators on
+    the live fixture — cheap cross-checks orthogonal to the oracle
+    (the oracle proves engine agreement; these prove the STATISTIC is
+    the one the docstring claims):
+
+    - Markov transition rows sum to 1 per from_type, and the marginal
+      column is a probability distribution.
+    - Gini lies in [0, 1) and total_spend is positive.
+    - AUC lies in [0, 1]; n_pos + n_neg equals the corpus size.
+    - nDCG lies in [0, 1] (the ideal ordering bounds any ordering).
+    - Benford shares sum to 1 on both the observed and expected side
+      and every chi2 term is non-negative.
+    - CUSUM max deviation is non-negative and the change day lies
+      inside the series.
+    - CUPED: the adjusted means preserve the POOLED mean (theta shifts
+      arms against their covariate imbalance, it cannot move the
+      weighted total), and var_reduction lies in [0, 1].
+    """
+    from mapreducer_spark.operators.events_time import (
+        event_markov_transitions,
+        event_value_changepoint,
+    )
+    from mapreducer_spark.operators.profiling import (
+        benford_first_digit,
+        cuped_experiment_analysis,
+        customer_spend_gini,
+    )
+    from mapreducer_spark.operators.similarity import (
+        label_centroid_auc,
+        retrieval_ndcg,
+    )
+
+    mk = event_markov_transitions(spark, sf_dir).collect()
+    by_from: dict[str, float] = {}
+    marg: dict[str, float] = {}
+    for r in mk:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p_transition
+        marg[r.to_type] = r.p_to_marginal
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+    assert abs(sum(marg.values()) - 1.0) < 1e-4
+
+    for r in customer_spend_gini(spark, sf_dir).collect():
+        assert 0.0 <= r.gini < 1.0 and r.total_spend > 0
+
+    em_n = None
+    for r in label_centroid_auc(spark, sf_dir).collect():
+        assert 0.0 <= r.auc <= 1.0
+        if em_n is None:
+            em_n = r.n_pos + r.n_neg
+        assert r.n_pos + r.n_neg == em_n
+
+    for r in retrieval_ndcg(spark, sf_dir).collect():
+        assert 0.0 <= r.ndcg_at_10 <= 1.0 and 0.0 <= r.ndcg_at_50 <= 1.0
+
+    bf = benford_first_digit(spark, sf_dir).collect()
+    assert abs(sum(r.obs_share for r in bf) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in bf) - 1.0) < 2e-3  # 9 digits only
+    assert all(r.chi2_term >= 0 for r in bf)
+
+    for r in event_value_changepoint(spark, sf_dir).collect():
+        assert r.max_abs_cusum >= 0
+        assert r.mean_before > 0 and r.n_days >= 1
+
+    cu = cuped_experiment_analysis(spark, sf_dir).collect()
+    assert len(cu) == 2
+    n_tot = sum(r.n_users for r in cu)
+    pooled_raw = sum(r.mean_post * r.n_users for r in cu) / n_tot
+    pooled_adj = sum(r.cuped_mean * r.n_users for r in cu) / n_tot
+    assert abs(pooled_raw - pooled_adj) < 1e-3
+    assert 0.0 <= cu[0].var_reduction <= 1.0
