@@ -981,6 +981,25 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _spend_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (segment, spend-value, count) histogram of customer
+    lifetime spend, orderless customers included at zero — shared by
+    customer_spend_gini and lorenz_curve_deciles."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("tp")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("segment", "c_custkey")
+        .agg(F.coalesce(F.sum("tp"), zero).alias("x"))
+    )
+    return spend.groupBy("segment", "x").agg(F.count(F.lit(1)).alias("c"))
+
+
 @register(
     "customer_spend_gini",
     oracle="""
@@ -1034,19 +1053,7 @@ GROUP BY r.segment, ns.n, ns.s
 def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_mktsegment").alias("segment")
-    )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("tp")
-    )
-    zero = F.lit(0).cast("decimal(18,2)")
-    spend = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("segment", "c_custkey")
-        .agg(F.coalesce(F.sum("tp"), zero).alias("x"))
-    )
-    g = spend.groupBy("segment", "x").agg(F.count(F.lit(1)).alias("c"))
+    g = _spend_histogram(spark, sf_dir)
     w_cum = Window.partitionBy("segment").orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1087,4 +1094,145 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 2).alias("total_spend"),
             "gini",
         )
+    )
+
+
+@register(
+    "lorenz_curve_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey,
+    COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+             CAST(0 AS DECIMAL(18,2))) AS x
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+g AS (SELECT segment, x, COUNT(*) AS c FROM spend GROUP BY 1, 2),
+r AS (
+  SELECT segment, x, c,
+    SUM(c) OVER (PARTITION BY segment ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS b,
+    SUM(x * c) OVER (PARTITION BY segment ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - x * c
+      AS sp_before,
+    SUM(c) OVER (PARTITION BY segment) AS n,
+    SUM(x * c) OVER (PARTITION BY segment) AS s
+  FROM g
+),
+d AS (SELECT unnest(generate_series(1, 10)) AS decile)
+SELECT r.segment, CAST(d.decile AS INT) AS decile,
+  CAST(floor((d.decile * r.n + 9) / 10.0) AS BIGINT) AS cum_customers,
+  round(CAST(r.sp_before
+             + (CAST(floor((d.decile * r.n + 9) / 10.0) AS BIGINT) - r.b)
+               * r.x
+        AS DOUBLE) / CAST(r.s AS DOUBLE), 6) AS spend_share
+FROM r JOIN d
+  ON CAST(floor((d.decile * r.n + 9) / 10.0) AS BIGINT) > r.b
+ AND CAST(floor((d.decile * r.n + 9) / 10.0) AS BIGINT) <= r.b + r.c
+""",
+    doc="Lorenz curve at decile resolution — the distribution behind "
+    "customer_spend_gini's single number (Gini is twice the area "
+    "between this curve and the diagonal): for each decile boundary "
+    "k_d = ceil(d*n/10), the cumulative spend share of the poorest "
+    "k_d customers.  The boundary may fall INSIDE a value-tie group, "
+    "so the share interpolates exactly: spend-before-group + "
+    "(k_d - group_start) * group_value — every term an exact decimal "
+    "or integer; one division per point, rounded 6dp; k_d computed as "
+    "floor((d*n+9)/10) so the ceil never rides a float boundary.  "
+    "Same scale shape as the Gini: windows over the collapsed "
+    "(segment, value, count) histogram, decile fan-out as a "
+    "broadcast range join against 10 literals.",
+    tags=("stats", "agg", "concentration"),
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    g = _spend_histogram(spark, sf_dir)
+    w_cum = Window.partitionBy("segment").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("segment")
+    xc = F.col("x") * F.col("c")
+    r = g.select(
+        "segment",
+        "x",
+        "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("b"),
+        (F.sum(xc).over(w_cum) - xc).alias("sp_before"),
+        F.sum("c").over(w_all).alias("n"),
+        F.sum(xc).over(w_all).alias("s"),
+    )
+    d = spark.createDataFrame([(i,) for i in range(1, 11)], "decile int")
+    kd = F.floor((F.col("decile") * F.col("n") + 9) / 10.0).cast("long")
+    return (
+        r.join(
+            F.broadcast(d),
+            (kd > F.col("b")) & (kd <= F.col("b") + F.col("c")),
+        )
+        .select(
+            "segment",
+            "decile",
+            kd.alias("cum_customers"),
+            F.round(
+                (F.col("sp_before") + (kd - F.col("b")) * F.col("x")).cast(
+                    "double"
+                )
+                / F.col("s").cast("double"),
+                6,
+            ).alias("spend_share"),
+        )
+    )
+
+
+@register(
+    "experiment_srm_check",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id,
+    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+      AS arm
+  FROM events
+),
+a AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM u
+)
+SELECT n0 AS n_arm0, n1 AS n_arm1,
+  round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6) AS chi2,
+  (CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)) > 3.841459 AS srm_detected
+FROM a
+""",
+    doc="Sample-ratio-mismatch guardrail for the CUPED experiment's "
+    "md5-parity assignment: chi-square statistic (n0-n1)^2/(n0+n1) "
+    "for the 50/50 design (df=1 two-cell simplification), flagged "
+    "against the 3.841 critical value — the first check any "
+    "experimentation readout runs, because a biased assignment "
+    "invalidates every downstream metric including CUPED's.  All "
+    "integer arithmetic to one division; the flag compares the raw "
+    "double against the literal in both engines.  Scale shape: one "
+    "distinct-user shuffle, then a 2-cell aggregate.",
+    tags=("events", "stats", "experiment", "quality"),
+)
+def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.hashes import md5_int64
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id",
+        (md5_int64(F.col("user_id").cast("string")) % 2).alias("arm"),
+    ).distinct()
+    a = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    diff2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    )
+    chi2 = diff2 / (F.col("n0") + F.col("n1"))
+    return a.select(
+        F.col("n0").alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841459).alias("srm_detected"),
     )

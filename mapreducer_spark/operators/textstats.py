@@ -2212,3 +2212,85 @@ def lang_source_mutual_information(spark: SparkSession, sf_dir: str) -> DataFram
         .crossJoin(F.broadcast(_dec_sum_6(hl, "t", "h_lang")))
         .crossJoin(F.broadcast(_dec_sum_6(hs, "t", "h_source")))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 (cont.): vocabulary coverage curve — the tokenizer-design gauge.
+# --------------------------------------------------------------------------
+
+_COVERAGE_KS = (10, 30, 100, 1000)
+
+
+@register(
+    "token_coverage_curve",
+    oracle=f"""
+WITH toks AS (SELECT {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM toks),
+c AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+r AS (
+  SELECT w, c,
+    ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk,
+    SUM(c) OVER (ORDER BY c DESC, w
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(c) OVER () AS n, COUNT(*) OVER () AS v
+  FROM c
+),
+ks AS (SELECT unnest({list(_COVERAGE_KS)}) AS k)
+SELECT ks.k,
+  CAST(LEAST(ks.k, MAX(r.v)) AS BIGINT) AS vocab_used,
+  CAST(MAX(r.n) AS BIGINT) AS n_tokens,
+  round(CAST(MAX(CASE WHEN r.rnk <= ks.k THEN r.cum END) AS DOUBLE)
+        / MAX(r.n), 6) AS coverage
+FROM ks JOIN r ON r.rnk <= ks.k
+GROUP BY ks.k
+""",
+    doc="Vocabulary coverage curve: for each candidate vocab size k, "
+    "the share of the TOKEN STREAM covered by the k most frequent "
+    "types — the curve a tokenizer budget decision actually reads "
+    "(where does marginal vocab stop buying coverage?), and the "
+    "frequency-side complement of corpus_zipf_fit's power-law "
+    "exponent and bpe_merge_rounds' subword construction.  Both "
+    "regimes are live at gate scale: the synthetic corpus saturates "
+    "past its ~31-type vocab (vocab_used reports the truncation) "
+    "while small k sits on the partial branch.  Determinism: counts, "
+    "ranks, and cumulative sums are exact BIGINTs over a "
+    "(cnt DESC, word) total order; one division per k, rounded 6dp.  "
+    "Scale shape: one map-side-combined count shuffle over one scan; "
+    "the rank window runs over the COLLAPSED vocabulary (never the "
+    "token stream), and the k fan-out is a broadcast range join "
+    "against literals.",
+    tags=("llm", "text", "ngram", "stats"),
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    c = (
+        d.select(F.explode(_tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_ord = Window.orderBy(F.col("c").desc(), F.col("w"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    r = c.select(
+        F.row_number().over(w_ord).alias("rnk"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_all).alias("v"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
+    return (
+        r.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.least(F.col("k").cast("long"), F.max("v")).alias("vocab_used"),
+            F.max("n").alias("n_tokens"),
+            F.round(
+                F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum")))
+                .cast("double")
+                / F.max("n"),
+                6,
+            ).alias("coverage"),
+        )
+    )

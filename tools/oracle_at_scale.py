@@ -129,6 +129,9 @@ DEFAULT_PICKS = [
     "event_markov_transitions",
     "customer_spend_gini",
     "event_value_changepoint",
+    "token_coverage_curve",
+    "lorenz_curve_deciles",
+    "experiment_srm_check",
 ]
 
 
