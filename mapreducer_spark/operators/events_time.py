@@ -1384,6 +1384,61 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def cusum_report(d: DataFrame) -> DataFrame:
+    """argmax-|CUSUM| report from a (event_type, day, v DECIMAL(38,2))
+    daily frame — the algebra of event_value_changepoint, factored so
+    the streaming monitor derives the identical report from its
+    incrementally-maintained daily table."""
+    from pyspark.sql import Window
+
+    t = d.groupBy("event_type").agg(
+        F.sum("v").cast("double").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = d.join(t, "event_type").select(
+        "event_type",
+        "day",
+        F.row_number().over(w).alias("i"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        "s",
+        "n",
+    )
+    c = r.withColumn(
+        "abs_cusum",
+        F.round(
+            F.abs(
+                F.col("cum").cast("double")
+                - F.col("i") * (F.col("s") / F.col("n"))
+            ),
+            6,
+        ),
+    )
+    w_max = Window.partitionBy("event_type").orderBy(
+        F.col("abs_cusum").desc(), F.col("day")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w_max))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("n").alias("n_days"),
+            F.round(F.col("s") / F.col("n"), 6).alias("mean_daily"),
+            F.col("abs_cusum").alias("max_abs_cusum"),
+            F.round(F.col("cum").cast("double") / F.col("i"), 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("s") - F.col("cum").cast("double"))
+                / F.nullif((F.col("n") - F.col("i")).cast("long"), F.lit(0)),
+                6,
+            ).alias("mean_after"),
+        )
+    )
+
+
 @register(
     "event_value_changepoint",
     oracle="""
@@ -1439,55 +1494,8 @@ FROM (
     tags=("events", "window", "timeseries", "stats"),
 )
 def event_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
-    t = d.groupBy("event_type").agg(
-        F.sum("v").cast("double").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    w = Window.partitionBy("event_type").orderBy("day")
-    r = (
-        d.join(t, "event_type")
-        .select(
-            "event_type",
-            "day",
-            F.row_number().over(w).alias("i"),
-            F.sum("v")
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .alias("cum"),
-            "s",
-            "n",
-        )
-    )
-    c = r.withColumn(
-        "abs_cusum",
-        F.round(
-            F.abs(F.col("cum").cast("double") - F.col("i") * (F.col("s") / F.col("n"))),
-            6,
-        ),
-    )
-    w_max = Window.partitionBy("event_type").orderBy(
-        F.col("abs_cusum").desc(), F.col("day")
-    )
-    return (
-        c.withColumn("rn", F.row_number().over(w_max))
-        .where(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("day").alias("change_day"),
-            F.col("n").alias("n_days"),
-            F.round(F.col("s") / F.col("n"), 6).alias("mean_daily"),
-            F.col("abs_cusum").alias("max_abs_cusum"),
-            F.round(F.col("cum").cast("double") / F.col("i"), 6).alias(
-                "mean_before"
-            ),
-            F.round(
-                (F.col("s") - F.col("cum").cast("double"))
-                / F.nullif((F.col("n") - F.col("i")).cast("long"), F.lit(0)),
-                6,
-            ).alias("mean_after"),
-        )
-    )
+    return cusum_report(d)

@@ -855,3 +855,75 @@ def run_kmv_sketch_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_changepoint_monitor(
+    events_stream: DataFrame,
+    state_dir: str,
+    report_dir: str,
+    checkpoint: str,
+) -> None:
+    """Streaming CUSUM change-point monitoring: each micro-batch folds
+    its per-(event_type, day) value sums into a daily state table, then
+    re-derives the SAME argmax-|CUSUM| report the batch operator
+    (operators/events_time.py::event_value_changepoint) produces — the
+    continuous-monitoring half of the change-point story: the report is
+    always the one a from-scratch batch run over all data seen so far
+    would emit (proven by the parity test).
+
+    Replay safety: daily sums are NOT idempotent under re-addition, so
+    partials are keyed by batch_id — state rows are
+    (batch_id, event_type, day, v) and a replayed batch REPLACES its
+    own partials instead of double-counting (the upsert-job contract;
+    same guarantee after a checkpoint wipe with availableNow, where the
+    whole input becomes batch 0 again).  The report derives from the
+    partial table grouped to the daily grain — DECIMAL sums, so the
+    batch/stream split cannot change a single digit.  Both writes use
+    the write-aside-then-swap pattern (cache() is not a durability
+    barrier).
+    """
+    import shutil
+    import uuid as _uuid
+
+    from mapreducer_spark.operators.events_time import cusum_report
+
+    def _swap_write(df: DataFrame, target: str, batch_id: int) -> None:
+        tmp = f"{target}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{target}.old-{batch_id}"
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+        ).select(F.lit(batch_id).alias("batch_id"), "event_type", "day", "v")
+        try:
+            state = spark.read.parquet(state_dir).where(
+                F.col("batch_id") != batch_id
+            )
+            state = state.unionByName(partial)
+        except Exception:
+            state = partial
+        # Materialize the merged state off the directory being replaced.
+        _swap_write(state, state_dir, batch_id)
+        daily = (
+            spark.read.parquet(state_dir)
+            .groupBy("event_type", "day")
+            .agg(F.sum("v").alias("v"))
+        )
+        _swap_write(cusum_report(daily), report_dir, batch_id)
+
+    q = (
+        events_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -730,3 +730,59 @@ def test_kmv_sketch_stream_parity_and_idempotent_replay(spark, tmp_path):
         .collect()
     }
     assert got2 == want
+
+
+def test_changepoint_monitor_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """Streaming CUSUM monitor parity: after consuming the fixture in 3
+    micro-batches, the report parquet equals the batch
+    event_value_changepoint output exactly (decimal daily sums make the
+    batch/stream split invisible), and a full replay from a fresh
+    checkpoint leaves it unchanged (batch-keyed partials replace, never
+    double-count)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from mapreducer_spark.operators.events_time import event_value_changepoint
+    from mapreducer_spark.streaming.jobs import run_changepoint_monitor
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "ts", "value", "user_id"
+    )
+    in_dir = tmp_path / "cp_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"cp_stage_{k}"
+        ev.where(f"user_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_type string, ts timestamp, value double, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    state = str(tmp_path / "cp_state")
+    report = str(tmp_path / "cp_report")
+    run_changepoint_monitor(stream(), state, report, str(tmp_path / "cp_ck1"))
+
+    want = {tuple(r) for r in event_value_changepoint(spark, SF_DIR).collect()}
+    got = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got == want
+
+    # Batch-keyed partials: 3 batches x 5 types x days, no duplicates.
+    st = spark.read.parquet(state)
+    assert st.select("batch_id").distinct().count() == 3
+    assert (
+        st.groupBy("batch_id", "event_type", "day").count().where("count > 1").count()
+        == 0
+    )
+
+    # Full replay from a fresh checkpoint: report unchanged.
+    run_changepoint_monitor(stream(), state, report, str(tmp_path / "cp_ck2"))
+    got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got2 == want
