@@ -2294,3 +2294,131 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 (cont.): Dunning log-likelihood keyness — characteristic
+# vocabulary per source.
+# --------------------------------------------------------------------------
+
+_KEYNESS_TOPK = 5
+
+
+@register(
+    "source_keyness_terms",
+    oracle=f"""
+WITH toks AS (SELECT source, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents),
+uni AS (SELECT source, unnest(t) AS w FROM toks),
+sw AS (SELECT source, w, COUNT(*) AS a FROM uni GROUP BY 1, 2),
+wtot AS (SELECT w, SUM(a) AS wt FROM sw GROUP BY w),
+stot AS (SELECT source, SUM(a) AS ns FROM sw GROUP BY source),
+tot AS (SELECT SUM(a) AS n FROM sw),
+tab AS (
+  SELECT sw.source, sw.w,
+    sw.a AS a, wtot.wt - sw.a AS b,
+    stot.ns - sw.a AS c, tot.n - wtot.wt - (stot.ns - sw.a) AS d,
+    stot.ns AS ns, wtot.wt AS wt, tot.n AS n
+  FROM sw JOIN wtot ON wtot.w = sw.w JOIN stot ON stot.source = sw.source, tot
+),
+g AS (
+  SELECT source, w, a,
+    round(2.0 * (
+      (CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE)
+            / (CAST(ns AS DOUBLE) * wt / n)) ELSE 0.0 END)
+    + (CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE)
+            / (CAST(n - ns AS DOUBLE) * wt / n)) ELSE 0.0 END)
+    + (CASE WHEN c > 0 THEN c * ln(CAST(c AS DOUBLE)
+            / (CAST(ns AS DOUBLE) * (n - wt) / n)) ELSE 0.0 END)
+    + (CASE WHEN d > 0 THEN d * ln(CAST(d AS DOUBLE)
+            / (CAST(n - ns AS DOUBLE) * (n - wt) / n)) ELSE 0.0 END)
+    ), 6) AS g2
+  FROM tab
+  WHERE CAST(a AS DOUBLE) / ns > CAST(wt AS DOUBLE) / n
+)
+SELECT source, w AS term, a AS n_in_source, g2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY g2 DESC, w) AS rn
+  FROM g
+) WHERE rn <= {_KEYNESS_TOPK}
+""",
+    doc="Characteristic vocabulary per source by Dunning's (1993) "
+    "log-likelihood keyness: for each (source, term) 2x2 contingency "
+    "table, G2 = 2 * sum of o*ln(o/e) over the four cells, keeping "
+    "only positively-key terms (observed in-source rate above the "
+    "corpus rate) and the top-k per source — the corpus-linguistics "
+    "standard for 'what words make this source THIS source', more "
+    "robust at low counts than PMI (which maxes out on hapaxes) and "
+    "the per-source complement of tfidf_top_terms' per-document "
+    "weighting.  Zero cells contribute 0 (the o*ln(o) limit), kept "
+    "live by single-source terms.  Determinism: all counts exact "
+    "BIGINTs; the four ln terms fold left-to-right in the SAME order "
+    "in both engines and the doubled sum rounds once at 6dp; top-k "
+    "orders on the ROUNDED G2 with a term tie-break.  Scale shape: "
+    "one token-count shuffle to the (source, term) grain; marginals "
+    "re-aggregate FROM that frame (no second corpus pass); the "
+    "per-source rank window runs over each source's vocabulary.",
+    tags=("llm", "text", "ngram", "stats"),
+)
+def source_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sw = (
+        d.select("source", F.explode(_tokens_col()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    wtot = sw.groupBy("w").agg(F.sum("a").alias("wt"))
+    stot = sw.groupBy("source").agg(F.sum("a").alias("ns"))
+    tot = sw.agg(F.sum("a").alias("n"))
+    tab = (
+        sw.join(wtot, "w")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "a",
+            (F.col("wt") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("wt") - (F.col("ns") - F.col("a"))).alias(
+                "d"
+            ),
+            "ns",
+            "wt",
+            "n",
+        )
+    )
+
+    def _term(o, e):
+        return F.when(o > 0, o * F.log(o.cast("double") / e)).otherwise(
+            F.lit(0.0)
+        )
+
+    ns, wt, n = F.col("ns"), F.col("wt"), F.col("n")
+    g2 = F.round(
+        2.0
+        * (
+            _term(F.col("a"), ns.cast("double") * wt / n)
+            + _term(F.col("b"), (n - ns).cast("double") * wt / n)
+            + _term(F.col("c"), ns.cast("double") * (n - wt) / n)
+            + _term(F.col("d"), (n - ns).cast("double") * (n - wt) / n)
+        ),
+        6,
+    )
+    g = tab.where(
+        F.col("a").cast("double") / ns > wt.cast("double") / n
+    ).select("source", "w", "a", g2.alias("g2"))
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("g2").desc(), F.col("w")
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= _KEYNESS_TOPK)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("a").alias("n_in_source"),
+            "g2",
+        )
+    )

@@ -132,6 +132,8 @@ DEFAULT_PICKS = [
     "token_coverage_curve",
     "lorenz_curve_deciles",
     "experiment_srm_check",
+    "selfjoin_size_estimate",
+    "source_keyness_terms",
 ]
 
 
