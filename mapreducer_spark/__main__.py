@@ -144,6 +144,31 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_monitor_changepoints(args: argparse.Namespace) -> int:
+    """Run the streaming CUSUM change-point monitor over the events
+    fixture (availableNow: drain whatever is present, then stop) and
+    print the current report — the operational twin of the
+    event_value_changepoint query; state survives restarts via the
+    batch-keyed partial table, so re-running after new event files land
+    extends the monitored history instead of recounting it."""
+    from mapreducer_spark.streaming.jobs import (
+        read_events_stream,
+        run_changepoint_monitor,
+    )
+
+    spark = _get_spark(args)
+    run_changepoint_monitor(
+        read_events_stream(spark, args.sf_dir),
+        args.state_dir,
+        args.report_dir,
+        args.checkpoint,
+    )
+    report = spark.read.parquet(args.report_dir)
+    for row in sorted(report.collect(), key=lambda r: r.event_type):
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    return 0
+
+
 def cmd_snapshot_diff(args: argparse.Namespace) -> int:
     from mapreducer_spark.sources.snapshots import snapshot_diff
 
@@ -335,6 +360,17 @@ def main(argv: list[str] | None = None) -> int:
         help="also remove corpus-repeated >=k-token spans (ExactSubstr)",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    mc = sub.add_parser(
+        "monitor-changepoints",
+        help="streaming CUSUM change-point monitor: fold new events into "
+        "the daily state table and refresh the report",
+    )
+    mc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    mc.add_argument("state_dir", help="batch-keyed daily partials table")
+    mc.add_argument("report_dir", help="current change-point report")
+    mc.add_argument("--checkpoint", required=True)
+    mc.set_defaults(fn=cmd_monitor_changepoints)
 
     sh = sub.add_parser(
         "snapshot-history", help="list a snapshot table's versions"

@@ -388,3 +388,73 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(_MBR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): k-core peeling — the cohesion filter of the graph
+# family (PageRank ranks, BFS measures distance, k-core keeps only the
+# mutually-dense part kept after iterated low-degree removal).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 10
+_KCORE_ROUNDS = 6
+
+
+def _oracle_kcore_sql() -> str:
+    """Unrolled fixed-budget peeling as chained CTEs (DuckDB side)."""
+    steps = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""
+s{i} AS MATERIALIZED (
+  SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN s{i} a ON a.src = e.src JOIN s{i} b ON b.src = e.dst
+)""")
+    return f"""
+WITH e0 AS MATERIALIZED ({_ORACLE_COPURCHASE_EDGES}),
+{",".join(steps)}
+SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS degree,
+       COUNT(*) >= {_KCORE_K} AS meets_k
+FROM e{_KCORE_ROUNDS} GROUP BY src
+"""
+
+
+@register(
+    "copurchase_kcore",
+    oracle=_oracle_kcore_sql(),
+    doc=f"k-core peeling over the co-purchase part graph (k={_KCORE_K}, "
+    f"FIXED {_KCORE_ROUNDS}-round budget): each round drops every node "
+    f"with fewer than {_KCORE_K} surviving neighbors and the edges "
+    "touching it, the cascading-removal process whose fixed point is "
+    "the k-core (Seidman 1983) — the subgraph where recommendation / "
+    "bundle signals are dense enough to trust, where PageRank ranks "
+    "and BFS measures.  Fixed-budget semantics like the 5-round "
+    "PageRank: the result is 'the survivors after R peels' — "
+    "hash-stable at ANY scale by construction (convergence rounds are "
+    "data-dependent; at gate scale peeling converges in round 5 and "
+    "round 6 is a live no-op, and meets_k reports per-node whether "
+    "the budget sufficed).  Determinism: pure integer degrees, no "
+    "floats anywhere.  Scale shape: per round, ONE degree "
+    "aggregation + two semi-join-shaped filters against the "
+    "|survivors|-row frame; each iterate is eagerly localCheckpointed "
+    "so the plan stays flat in rounds (the PageRank lesson) and the "
+    "edge frame is the session-memoized copurchase_sym_edges build.",
+    tags=("graph", "iterative", "join"),
+)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_sym_edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        (F.count(F.lit(1)) >= _KCORE_K).alias("meets_k"),
+    )

@@ -134,6 +134,7 @@ DEFAULT_PICKS = [
     "experiment_srm_check",
     "selfjoin_size_estimate",
     "source_keyness_terms",
+    "copurchase_kcore",
 ]
 
 
