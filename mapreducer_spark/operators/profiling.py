@@ -1236,3 +1236,182 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841459).alias("srm_detected"),
     )
+
+
+# RFM banding: z-score tertile edges (Phi(-0.4307) ~ 1/3) — bands from
+# exact moments, deliberately NOT ntile (the curriculum_difficulty_phases
+# argument: a global quantile rank needs a single-partition sort at
+# 100 TB; z-bands need one tiny moments broadcast).
+_RFM_Z = 0.4307
+_RFM_REF_DATE = "2001-08-02"  # day after the fixture's last order
+
+
+def _rfm_oracle_sql() -> str:
+    z = _RFM_Z
+    band = "CASE WHEN {z} < -{e} THEN 0 WHEN {z} < {e} THEN 1 ELSE 2 END"
+    zexp = (
+        "CASE WHEN st.sd_{m} > 0 THEN ({x} - st.mu_{m}) / st.sd_{m} "
+        "ELSE 0.0 END"
+    )
+    mus = []
+    for m in ("r", "f", "k"):
+        mus.append(
+            f"CAST(SUM(CAST({m} AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)"
+            f" AS mu_{m},"
+            f" sqrt(CAST(SUM(CAST({m} * {m} AS DECIMAL(28,0))) AS DOUBLE)"
+            f" / COUNT(*)"
+            f" - (CAST(SUM(CAST({m} AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))"
+            f" * (CAST(SUM(CAST({m} AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)))"
+            f" AS sd_{m}"
+        )
+    zr = zexp.format(m="r", x="rfm.r")
+    zf = zexp.format(m="f", x="rfm.f")
+    zk = zexp.format(m="k", x="rfm.k")
+    return f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              MAX(CAST(date_trunc('day', o_orderdate) AS DATE)),
+              DATE '{_RFM_REF_DATE}') AS BIGINT) AS r,
+         COUNT(*) AS f,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           AS monetary,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           // 100000 AS k
+  FROM orders GROUP BY 1
+),
+st AS (SELECT {", ".join(mus)} FROM rfm),
+scored AS (
+  SELECT rfm.monetary, rfm.r, rfm.f,
+         2 - ({band.format(z=zr, e=z)}) AS r_score,
+         {band.format(z=zf, e=z)} AS f_score,
+         {band.format(z=zk, e=z)} AS m_score
+  FROM rfm CROSS JOIN st
+)
+SELECT
+  CASE
+    WHEN r_score = 2 AND f_score = 2 AND m_score = 2 THEN 'champion'
+    WHEN r_score = 0 AND (f_score = 2 OR m_score = 2) THEN 'at_risk'
+    WHEN r_score = 0 THEN 'hibernating'
+    WHEN f_score = 2 THEN 'loyal'
+    WHEN m_score = 2 THEN 'big_spender'
+    WHEN r_score = 2 THEN 'recent'
+    ELSE 'regular'
+  END AS segment,
+  COUNT(*) AS n_customers,
+  round(CAST(SUM(CAST(r AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 4)
+    AS avg_recency_days,
+  round(CAST(SUM(CAST(f AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 4)
+    AS avg_orders,
+  round(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS avg_monetary
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=_rfm_oracle_sql(),
+    doc="RFM customer segmentation (Hughes 1994): per customer the "
+    f"recency (days from last order to {_RFM_REF_DATE}), frequency "
+    "(order count), and monetary (decimal-exact spend, banded on "
+    "whole-k$ via exact integer cents arithmetic — no engine-specific "
+    "decimal division), each z-scored against exact corpus moments and "
+    "banded at z = +/-0.4307 (the normal tertile edges), then mapped "
+    "to the classic segment names (champion / loyal / big_spender / "
+    "at_risk / hibernating / recent / regular) with first-match CASE "
+    "semantics identical on both engines.  sigma = 0 degenerate "
+    "corpora band everyone to the middle on BOTH engines (the "
+    "curriculum guard).  Scale shape: one customer-keyed aggregation "
+    "of the fact table, one 1-row moments broadcast, one ~7-row "
+    "readout — z-bands instead of ntile quintiles is the deliberate "
+    "100 TB trade (no global sort), documented against "
+    "curriculum_difficulty_phases.",
+    tags=("relational", "profiling", "mining"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", "o_orderdate").cast("date")
+    monetary = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+        "decimal(28,2)"
+    )
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(_RFM_REF_DATE).cast("date"), F.max(day))
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        monetary.alias("monetary"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            " DIV 100000"
+        ).alias("k"),
+    )
+
+    def moments(m: str) -> list:
+        n = F.count(F.lit(1))
+        s1 = F.sum(F.col(m).cast("decimal(18,0)")).cast("double")
+        s2 = F.sum((F.col(m) * F.col(m)).cast("decimal(28,0)")).cast(
+            "double"
+        )
+        mu = s1 / n
+        return [mu.alias(f"mu_{m}"), F.sqrt(s2 / n - mu * mu).alias(f"sd_{m}")]
+
+    st = rfm.agg(*(moments("r") + moments("f") + moments("k")))
+
+    def band(m: str):
+        zc = F.when(
+            F.col(f"sd_{m}") > 0,
+            (F.col(m) - F.col(f"mu_{m}")) / F.col(f"sd_{m}"),
+        ).otherwise(F.lit(0.0))
+        return (
+            F.when(zc < -_RFM_Z, 0).when(zc < _RFM_Z, 1).otherwise(2)
+        )
+
+    scored = rfm.crossJoin(F.broadcast(st)).select(
+        "monetary",
+        "r",
+        "f",
+        (F.lit(2) - band("r")).alias("r_score"),
+        band("f").alias("f_score"),
+        band("k").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 2)
+            & (F.col("f_score") == 2)
+            & (F.col("m_score") == 2),
+            "champion",
+        )
+        .when(
+            (F.col("r_score") == 0)
+            & ((F.col("f_score") == 2) | (F.col("m_score") == 2)),
+            "at_risk",
+        )
+        .when(F.col("r_score") == 0, "hibernating")
+        .when(F.col("f_score") == 2, "loyal")
+        .when(F.col("m_score") == 2, "big_spender")
+        .when(F.col("r_score") == 2, "recent")
+        .otherwise("regular")
+    )
+    return (
+        scored.select(seg.alias("segment"), "r", "f", "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("r").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_recency_days"),
+            F.round(
+                F.sum(F.col("f").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_orders"),
+            F.round(
+                F.sum("monetary").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )

@@ -348,3 +348,112 @@ def customer_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_days_between"),
     )
+
+
+_ACF_LAGS = (1, 2, 3, 7, 14)
+
+
+@register(
+    "daily_revenue_autocorrelation",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+st AS (
+  SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS mu FROM daily
+),
+z AS (
+  SELECT day, (CAST(rev AS DOUBLE) - st.mu) / st.mu AS z
+  FROM daily CROSS JOIN st
+),
+den AS (
+  SELECT CAST(SUM(CAST(round(z * z, 10) AS DECIMAL(28,10))) AS DOUBLE) AS d
+  FROM z
+),
+lagged AS (
+  SELECT l.lag AS lag, z0.z AS z0, zk.z AS zk
+  FROM z z0
+  CROSS JOIN (SELECT UNNEST([{", ".join(str(k) for k in _ACF_LAGS)}]) AS lag) l
+  JOIN z zk ON zk.day = z0.day + l.lag
+)
+SELECT lag, COUNT(*) AS n_pairs,
+       round(CAST(SUM(CAST(round(z0 * zk, 10) AS DECIMAL(28,10)))
+                  AS DOUBLE) / den.d, 6) AS acf
+FROM lagged CROSS JOIN den
+GROUP BY lag, den.d
+ORDER BY lag
+""",
+    doc="Autocorrelation function of the daily order-revenue series at "
+    f"lags {_ACF_LAGS} — the stationarity / weekly-seasonality "
+    "diagnostic behind forecast_revenue and events_dow_seasonality (a "
+    "spike at lag 7 is the weekly cycle; slow decay says trend, not "
+    "noise).  Determinism recipe: the per-day revenue collapse is an "
+    "exact DECIMAL sum; the mean-normalized deviation z = (x - mu)/mu "
+    "is computed in DOUBLE from exactly-cast inputs with the identical "
+    "fold order on both engines (mu-normalizing keeps every downstream "
+    "magnitude O(1), so the 10dp-rounded z-products sum as DECIMAL far "
+    "below the 2^53 cast cliff at ANY revenue scale — the series "
+    "rescales out); the classic ACF denominator sum(z_t^2) over ALL "
+    "days is shared across lags.  Scale shape: ONE shuffle collapses "
+    "the fact table to a dimension-sized (~2400-row) series; the lag "
+    "join, moment folds, and 5-way lag fan-out all run on that tiny "
+    "frame — at 100 TB the cost is the scan, exactly as it should be.",
+    tags=("relational", "timeseries", "agg"),
+)
+def daily_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    st = daily.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    z = daily.crossJoin(F.broadcast(st)).select(
+        "day",
+        ((F.col("rev").cast("double") - F.col("mu")) / F.col("mu")).alias(
+            "z"
+        ),
+    )
+    # The series is dimension-sized; pin it so the lag join and the
+    # denominator fold reuse one computation instead of re-collapsing
+    # the fact table per branch.
+    z = z.localCheckpoint(eager=True)
+    den = z.agg(
+        F.sum(
+            F.round(F.col("z") * F.col("z"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("d")
+    )
+    zk = z.select(F.col("day").alias("day_k"), F.col("z").alias("z_k"))
+    lagged = (
+        z.select(
+            "day",
+            F.col("z").alias("z0"),
+            F.explode(
+                F.array(*[F.lit(k) for k in _ACF_LAGS])
+            ).alias("lag"),
+        )
+        .withColumn("day_k", F.date_add("day", F.col("lag")))
+        .join(zk, "day_k")
+    )
+    return (
+        lagged.crossJoin(F.broadcast(den))
+        .groupBy("lag", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.round(F.col("z0") * F.col("z_k"), 10).cast(
+                        "decimal(28,10)"
+                    )
+                ).cast("double")
+                / F.first("d"),
+                6,
+            ).alias("acf"),
+        )
+        .select("lag", "n_pairs", "acf")
+        .orderBy("lag")
+    )

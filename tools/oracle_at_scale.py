@@ -135,6 +135,10 @@ DEFAULT_PICKS = [
     "selfjoin_size_estimate",
     "source_keyness_terms",
     "copurchase_kcore",
+    "copurchase_link_prediction",
+    "copurchase_assortativity",
+    "daily_revenue_autocorrelation",
+    "customer_rfm_segments",
 ]
 
 
