@@ -1499,3 +1499,107 @@ def event_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
     return cusum_report(d)
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(dayofweek(ts) AS INT) AS dow,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT dow,
+         CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+           AS baseline
+  FROM daily GROUP BY 1
+),
+rt AS (
+  SELECT day, d.dow, n, b.baseline,
+         CAST(n AS DOUBLE) / b.baseline AS r
+  FROM daily d JOIN base b ON b.dow = d.dow
+),
+st AS (
+  SELECT CAST(SUM(CAST(round(r, 8) AS DECIMAL(28,8))) AS DOUBLE)
+           / COUNT(*) AS mu,
+         sqrt(CAST(SUM(CAST(round(r * r, 8) AS DECIMAL(28,8))) AS DOUBLE)
+                / COUNT(*)
+              - (CAST(SUM(CAST(round(r, 8) AS DECIMAL(28,8))) AS DOUBLE)
+                   / COUNT(*))
+                * (CAST(SUM(CAST(round(r, 8) AS DECIMAL(28,8))) AS DOUBLE)
+                   / COUNT(*))) AS sd
+  FROM rt
+)
+SELECT day, dow, n AS n_events,
+       round(baseline, 4) AS dow_baseline,
+       round(r, 6) AS ratio,
+       round(CASE WHEN st.sd > 0 THEN (r - st.mu) / st.sd ELSE 0.0 END, 6)
+         + 0.0 AS z,
+       CASE WHEN st.sd > 0 THEN abs((r - st.mu) / st.sd) > 2
+            ELSE FALSE END AS is_anomaly
+FROM rt CROSS JOIN st
+ORDER BY day, dow
+""",
+    doc="Seasonally-adjusted daily anomaly detection: each day's event "
+    "count divided by its day-of-week baseline (the "
+    "events_dow_seasonality factor), the adjusted ratios z-scored "
+    "against exact corpus moments, |z| > 2 flagged — the ops-monitor "
+    "view that does not page on every weekend dip, and the batch twin "
+    "of what run_changepoint_monitor watches in flight.  Determinism: "
+    "ratios are identical-order double divisions of exact ints; "
+    "moments sum 8dp-ROUNDED ratio terms as DECIMAL (partition-order "
+    "invariant, O(1) magnitudes at any event volume since the ratio "
+    "normalizes scale out); sigma = 0 degenerates to z = 0 on both "
+    "engines (the curriculum guard).  Spark dayofweek is 1=Sunday, "
+    "DuckDB 0=Sunday, so Spark subtracts 1 (the heatmap convention).  "
+    "Scale shape: one (day, dow) collapse of the event stream, then a "
+    "7-row baseline join and a 1-row moments broadcast over the "
+    "~30-row daily frame.",
+    tags=("events", "timeseries", "profiling"),
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = daily.groupBy("dow").agg(
+        (
+            F.sum(F.col("n").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("baseline")
+    )
+    rt = daily.join(F.broadcast(base), "dow").select(
+        "day",
+        "dow",
+        "n",
+        "baseline",
+        (F.col("n").cast("double") / F.col("baseline")).alias("r"),
+    )
+    nr = F.count(F.lit(1))
+    s1 = F.sum(F.round(F.col("r"), 8).cast("decimal(28,8)")).cast("double")
+    s2 = F.sum(
+        F.round(F.col("r") * F.col("r"), 8).cast("decimal(28,8)")
+    ).cast("double")
+    mu = s1 / nr
+    st = rt.agg(mu.alias("mu"), F.sqrt(s2 / nr - mu * mu).alias("sd"))
+    zc = F.when(
+        F.col("sd") > 0, (F.col("r") - F.col("mu")) / F.col("sd")
+    ).otherwise(F.lit(0.0))
+    return (
+        rt.crossJoin(F.broadcast(st))
+        .select(
+            "day",
+            "dow",
+            F.col("n").alias("n_events"),
+            F.round(F.col("baseline"), 4).alias("dow_baseline"),
+            F.round(F.col("r"), 6).alias("ratio"),
+            (F.round(zc, 6) + F.lit(0.0)).alias("z"),
+            F.when(F.col("sd") > 0, F.abs(zc) > 2)
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+        .orderBy("day", "dow")
+    )

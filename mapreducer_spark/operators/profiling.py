@@ -1415,3 +1415,114 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# Kolmogorov-Smirnov two-sample critical coefficient at alpha = 0.05:
+# c(alpha) = sqrt(-ln(alpha/2)/2) ~ 1.3581015157406195.
+_KS_C95 = 1.3581015157406195
+
+
+@register(
+    "returns_price_ks_test",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS bucket,
+         CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS c1,
+         CAST(COUNT(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS c2
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'N')
+  GROUP BY 1
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM b),
+cdf AS (
+  SELECT bucket,
+         round(abs(
+           CAST(SUM(c1) OVER (ORDER BY bucket) AS DOUBLE)
+             / CAST(n1 AS DOUBLE)
+           - CAST(SUM(c2) OVER (ORDER BY bucket) AS DOUBLE)
+             / CAST(n2 AS DOUBLE)), 8) AS diff,
+         CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+  FROM b CROSS JOIN tot
+),
+mx AS (SELECT *, MAX(diff) OVER () AS ks FROM cdf)
+SELECT n1, n2,
+       round(ks, 6) AS ks_stat,
+       MIN(CASE WHEN diff = ks THEN bucket END) AS ks_at_price,
+       round({_KS_C95} * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2)), 6)
+         AS crit_95,
+       ks > {_KS_C95} * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2))
+         AS reject_h0
+FROM mx
+GROUP BY n1, n2, ks
+""",
+    doc="Kolmogorov-Smirnov two-sample test: are returned items "
+    "(l_returnflag R) priced differently from kept ones (N)?  "
+    "KS = sup |F_R(x) - F_N(x)| over the whole-dollar price grid, "
+    "against the alpha = 0.05 critical value "
+    "c(a)*sqrt((n1+n2)/(n1*n2)) — the distribution-shift gauge a "
+    "pipeline runs between corpus drops or experiment arms, "
+    "complementing experiment_srm_check (which tests counts, not "
+    "shapes).  Determinism: counts are exact; both empirical CDFs are "
+    "identical-order double divisions of exact integers; the gap "
+    "rounds at 8dp BEFORE the sup, so the argmax bucket (min-bucket "
+    "tie-break) and the rejection comparison are engine-stable.  "
+    "Scale shape: one conditional aggregation collapses the fact "
+    "table to the price-DOMAIN grid (bounded by distinct whole-dollar "
+    "prices, not row count — the approx_price_quantiles histogram "
+    "argument), then windows on that dimension-sized frame.",
+    tags=("profiling", "agg", "window"),
+)
+def returns_price_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    b = li.groupBy(
+        F.floor("l_extendedprice").cast("long").alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    tot = b.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n1",
+        "n2",
+        F.round(
+            F.abs(
+                F.sum("c1").over(wcum).cast("double")
+                / F.col("n1").cast("double")
+                - F.sum("c2").over(wcum).cast("double")
+                / F.col("n2").cast("double")
+            ),
+            8,
+        ).alias("diff"),
+    )
+    mx = cdf.withColumn("ks", F.max("diff").over(Window.partitionBy()))
+    crit = F.lit(_KS_C95) * F.sqrt(
+        (F.col("n1").cast("double") + F.col("n2"))
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return mx.groupBy("n1", "n2", "ks").agg(
+        F.min(
+            F.when(F.col("diff") == F.col("ks"), F.col("bucket"))
+        ).alias("ks_at_price"),
+    ).select(
+        "n1",
+        "n2",
+        F.round(F.col("ks"), 6).alias("ks_stat"),
+        "ks_at_price",
+        F.round(crit, 6).alias("crit_95"),
+        (F.col("ks") > crit).alias("reject_h0"),
+    )

@@ -457,3 +457,247 @@ def daily_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("lag", "n_pairs", "acf")
         .orderBy("lag")
     )
+
+
+_KM_REF_DATE = "2001-08-02"  # day after the fixture's last order
+_KM_HORIZONS = (30, 60, 90, 180, 365, 730)
+
+
+@register(
+    "customer_survival_curve",
+    oracle=f"""
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              LAG(CAST(date_trunc('day', o_orderdate) AS DATE)) OVER w,
+              CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT) AS g,
+         1 AS ev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+gaps AS (
+  SELECT g, ev FROM seq WHERE g IS NOT NULL
+  UNION ALL
+  SELECT CAST(date_diff('day',
+              MAX(CAST(date_trunc('day', o_orderdate) AS DATE)),
+              DATE '{_KM_REF_DATE}') AS BIGINT) AS g, 0 AS ev
+  FROM orders GROUP BY o_custkey
+),
+ev AS (
+  SELECT g, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS c FROM gaps GROUP BY g
+),
+tot AS (SELECT SUM(c) AS total FROM ev),
+rk AS (
+  SELECT g, d,
+         total - COALESCE(SUM(c) OVER (ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM ev CROSS JOIN tot
+),
+terms AS (
+  SELECT g, d,
+         CASE WHEN d < n_risk THEN
+           CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)),
+                      12) AS DECIMAL(28,12)) END AS term,
+         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+  FROM rk WHERE d > 0
+),
+h AS (SELECT UNNEST([{", ".join(str(k) for k in _KM_HORIZONS)}]) AS horizon)
+SELECT h.horizon,
+       COUNT(t.g) AS n_event_times,
+       CAST(COALESCE(SUM(t.d), 0) AS BIGINT) AS n_events,
+       CASE WHEN COALESCE(MAX(t.dead), 0) = 1 THEN 0.0
+            ELSE round(exp(CAST(COALESCE(SUM(t.term), 0) AS DOUBLE)), 6)
+       END AS survival
+FROM h LEFT JOIN terms t ON t.g <= h.horizon
+GROUP BY h.horizon
+ORDER BY h.horizon
+""",
+    doc="Kaplan-Meier reorder survival (Kaplan & Meier 1958): S(t) = "
+    "P(no reorder within t days of an order), from per-customer "
+    "consecutive order gaps (events) plus each customer's final "
+    "still-open gap censored at the observation end "
+    f"({_KM_REF_DATE}) — the censoring is what separates this from a "
+    "naive gap histogram (customer_reorder_intervals), which "
+    "understates long-tail churn.  Read out at horizons "
+    f"{_KM_HORIZONS}.  Determinism: risk sets are exact integer "
+    "counts; each hazard term ln(1 - d/n) is computed from "
+    "exactly-cast doubles with identical fold order, rounded at 12dp "
+    "and summed as DECIMAL (the PageRank recipe); exp + 6dp round at "
+    "the end; the d = n_risk boundary (survival hits exactly zero, "
+    "where ln diverges) is handled by an explicit CASE on BOTH "
+    "engines.  Scale shape: one customer-keyed window + one collapse "
+    "to per-gap-value counts (~2400 rows, day-domain-bounded), so the "
+    "risk-set cumulative window and horizon fan-out run on a "
+    "dimension-sized frame — at 100 TB the cost is the gap scan.",
+    tags=("relational", "timeseries", "window", "mining"),
+)
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", "o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    events = (
+        o.select(
+            F.datediff(day, F.lag(day).over(w)).cast("long").alias("g")
+        )
+        .where(F.col("g").isNotNull())
+        .withColumn("ev", F.lit(1))
+    )
+    censored = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(_KM_REF_DATE).cast("date"), F.max(day))
+        .cast("long")
+        .alias("g")
+    ).select("g", F.lit(0).alias("ev"))
+    gaps = events.unionAll(censored)
+    ev = gaps.groupBy("g").agg(
+        F.sum("ev").cast("long").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    tot = ev.agg(F.sum("c").alias("total"))
+    # Day-domain-bounded frame (~2400 rows): the single-partition
+    # cumulative window is over the collapsed gap values, not the rows.
+    wrk = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    rk = ev.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "d",
+        (
+            F.col("total")
+            - F.coalesce(F.sum("c").over(wrk), F.lit(0))
+        ).alias("n_risk"),
+    )
+    terms = rk.where(F.col("d") > 0).select(
+        "g",
+        "d",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+                12,
+            ).cast("decimal(28,12)"),
+        ).alias("term"),
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("dead"),
+    )
+    h = spark.createDataFrame(
+        [(k,) for k in _KM_HORIZONS], "horizon int"
+    )
+    return (
+        h.join(terms, terms.g <= h.horizon, "left")
+        .groupBy("horizon")
+        .agg(
+            F.count("g").alias("n_event_times"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_events"),
+            F.when(F.coalesce(F.max("dead"), F.lit(0)) == 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.exp(
+                        F.coalesce(F.sum("term"), F.lit(0)).cast("double")
+                    ),
+                    6,
+                )
+            )
+            .alias("survival"),
+        )
+        .orderBy("horizon")
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate))
+           OVER (PARTITION BY o_custkey) AS cym
+  FROM orders
+),
+cell AS (
+  SELECT make_date((cym - 1) // 12, ((cym - 1) % 12) + 1, 1) AS cohort_month,
+         ym - cym AS age_months,
+         COUNT(*) AS n_orders,
+         COUNT(DISTINCT o_custkey) AS n_active,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM o GROUP BY 1, 2
+),
+sized AS (
+  SELECT *,
+    CAST(SUM(CASE WHEN age_months = 0 THEN n_active END)
+      OVER (PARTITION BY cohort_month) AS BIGINT) AS cohort_size,
+    SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age_months
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_rev
+  FROM cell
+)
+SELECT cohort_month, age_months, cohort_size, n_orders, n_active,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(cum_rev AS DOUBLE), 2) AS cum_revenue,
+       round(((CAST(cum_rev * 100 AS BIGINT) * 100) // cohort_size)
+             / 10000.0, 4) AS ltv_per_customer
+FROM sized
+ORDER BY cohort_month, age_months
+""",
+    doc="Cohort lifetime-value curve: customers cohorted by first-order "
+    "month, revenue accumulated by age-in-months since the cohort "
+    "start — the LTV(t) readout behind payback-period and CAC-ceiling "
+    "decisions, and the revenue companion to user_retention_cohorts.  "
+    "Cohort month arithmetic is exact integers (year*12+month), never "
+    "float months_between; every customer's age-0 cell exists by "
+    "construction, so the age-0 active count IS the cohort size.  "
+    "Determinism: decimal-exact revenue sums and a decimal cumulative "
+    "window; the per-customer LTV divides exact integer cents with "
+    "FLOOR division (a plain double round hit an exact .5 half-tie at "
+    "4dp on this very fixture and split the engines 1 ulp apart).  "
+    "Scale shape: one customer-keyed window for the cohort assignment, "
+    "one (cohort x age) aggregation (~80x80 dimension-sized), windows "
+    "on the tiny frame.",
+    tags=("relational", "timeseries", "window", "mining"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    wc = Window.partitionBy("o_custkey")
+    base = o.select(
+        "o_custkey", "o_totalprice", ym
+    ).withColumn("cym", F.min("ym").over(wc))
+    cell = base.groupBy(
+        F.make_date(
+            ((F.col("cym") - 1) / 12).cast("int"),
+            ((F.col("cym") - 1) % 12) + 1,
+            F.lit(1),
+        ).alias("cohort_month"),
+        (F.col("ym") - F.col("cym")).alias("age_months"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    wsz = Window.partitionBy("cohort_month")
+    wcum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = cell.withColumn(
+        "cohort_size",
+        F.sum(
+            F.when(F.col("age_months") == 0, F.col("n_active"))
+        ).over(wsz),
+    ).withColumn("cum_rev", F.sum("rev").over(wcum))
+    return sized.select(
+        "cohort_month",
+        "age_months",
+        "cohort_size",
+        "n_orders",
+        "n_active",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("cum_rev").cast("double"), 2).alias("cum_revenue"),
+        F.round(
+            F.expr(
+                "(CAST(cum_rev * 100 AS BIGINT) * 100) DIV cohort_size"
+            )
+            / F.lit(10000.0),
+            4,
+        ).alias("ltv_per_customer"),
+    ).orderBy("cohort_month", "age_months")

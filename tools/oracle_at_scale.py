@@ -139,6 +139,10 @@ DEFAULT_PICKS = [
     "copurchase_assortativity",
     "daily_revenue_autocorrelation",
     "customer_rfm_segments",
+    "customer_survival_curve",
+    "cohort_ltv_curve",
+    "returns_price_ks_test",
+    "events_seasonal_anomaly",
 ]
 
 
