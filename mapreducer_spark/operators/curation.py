@@ -1350,3 +1350,97 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_id_sum",
         )
     )
+
+
+# Content blocklist (RefinedWeb/C4-style lexicon gate).  Terms are drawn
+# from the fixture vocabulary so every branch is live at gate scale; a
+# production list is just a longer broadcast array.
+_BLOCKLIST = ("slow", "dup", "big")
+
+
+@register(
+    "blocklist_filter_rates",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         {ORACLE_TOKEN_LIST_SNIPPET} AS ts
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         len(ts) AS n_tokens,
+         len(list_filter(ts, x -> x IN
+             ({", ".join("'" + t + "'" for t in _BLOCKLIST)}))) AS hits
+  FROM tok
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE hits > 0) AS BIGINT) AS n_flagged,
+       round(CAST(COUNT(*) FILTER (WHERE hits > 0) AS DOUBLE)
+             / COUNT(*), 6) AS flag_rate,
+       CAST(SUM(CAST(hits AS DECIMAL(18,0))) AS BIGINT) AS total_hits,
+       round(CAST(SUM(CAST(hits AS DECIMAL(18,0))) AS DOUBLE) * 10000
+             / CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS DOUBLE), 4)
+         AS hits_per_10k_tokens
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+    doc="Lexicon blocklist gate rates per source (the C4/RefinedWeb "
+    "bad-words filter, scored rather than applied): documents whose "
+    "token stream hits the blocklist, the per-source flag rate, and "
+    "hit density per 10k tokens — the report a curation run reads "
+    "BEFORE deciding whether a source is salvageable-by-filtering or "
+    "drop-whole (complements gopher_repetition_rules, which gates on "
+    "shape, and quality_scores, which gates on composition).  "
+    "Determinism: hit counts are exact in-array filters under the "
+    "shared tokenizer; rates are identical-order double divisions of "
+    "exact decimal sums rounded once.  Scale shape: entirely map-side "
+    "per-document array work (no explode — the token stream never "
+    "shuffles) plus one ~20-row source aggregation; the blocklist "
+    "itself is a literal IN-list the optimizer folds, a broadcast "
+    "array at production lexicon sizes.",
+    tags=("llm", "quality", "curation", "text"),
+)
+def blocklist_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    ts = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+        lambda x: F.length(x) > 0,
+    )
+    hits = F.size(
+        F.filter(ts, lambda x: x.isin(*_BLOCKLIST))
+    )
+    scored = d.select(
+        "source",
+        F.size(ts).alias("n_tokens"),
+        hits.alias("hits"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.round(
+                F.sum(F.when(F.col("hits") > 0, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("flag_rate"),
+            F.sum(F.col("hits").cast("decimal(18,0)"))
+            .cast("long")
+            .alias("total_hits"),
+            F.round(
+                F.sum(F.col("hits").cast("decimal(18,0)")).cast("double")
+                * 10000
+                / F.sum(F.col("n_tokens").cast("decimal(18,0)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("hits_per_10k_tokens"),
+        )
+        .orderBy("source")
+    )

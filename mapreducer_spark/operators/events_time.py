@@ -1603,3 +1603,69 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "dow")
     )
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, COUNT(*) AS len FROM isl GROUP BY user_id, anchor
+),
+best AS (
+  SELECT user_id, MAX(len) AS best_streak FROM streaks GROUP BY user_id
+)
+SELECT CAST(best_streak AS BIGINT) AS streak_days,
+       COUNT(*) AS n_users
+FROM best
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="Longest consecutive-active-day streak per user, reported as the "
+    "streak-length distribution (how many users sustain 1, 2, ... "
+    "consecutive days) — the engagement-habit metric behind streak "
+    "mechanics and the islands twin of user_gap_distribution's gaps "
+    "view.  Classic gaps-and-islands: distinct active days, island "
+    "anchor = day - row_number (consecutive days share an anchor), "
+    "count per island, max per user.  Entirely integer/date "
+    "arithmetic — zero float.  Scale shape: one distinct collapse to "
+    "(user, day), one user-keyed window, two bounded aggregations; "
+    "nothing bigger than the user-day frame ever shuffles.",
+    tags=("events", "window", "sessionization"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").alias("best_streak")
+    )
+    return (
+        best.groupBy(
+            F.col("best_streak").cast("long").alias("streak_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("streak_days")
+    )

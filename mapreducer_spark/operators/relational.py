@@ -1292,3 +1292,197 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(share), 6).alias("top_share"),
         )
     )
+
+
+@register(
+    "abc_inventory_classes",
+    oracle="""
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS total FROM pr),
+ranked AS (
+  SELECT l_partkey, rev,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(total AS DOUBLE) AS cum_share
+  FROM pr CROSS JOIN tot
+)
+SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       round(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+       round(CAST(SUM(rev) AS DOUBLE)
+             / CAST(MAX(total) AS DOUBLE), 6) AS revenue_share
+FROM ranked CROSS JOIN tot
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="ABC inventory classification (Pareto classes): parts ranked by "
+    "revenue, class A = the head covering 80% of cumulative revenue, "
+    "B to 95%, C the tail — the stocking-policy split behind cycle "
+    "counting and warehouse slotting, and the discrete companion to "
+    "customer_revenue_concentration's Lorenz view.  Determinism: "
+    "revenue is decimal-exact; cumulative shares are identical-order "
+    "double divisions of exact decimals, and the rank order has a "
+    "l_partkey tie-break so equal-revenue parts accumulate in the "
+    "same order on both engines.  Scale shape: the fact table "
+    "collapses to the PART DIMENSION in one shuffle; the cumulative "
+    "window runs over that bounded frame (|parts|, not |lineitems|) — "
+    "the same dimension-bounded-window argument as "
+    "open_orders_timeline.",
+    tags=("relational", "window", "mining"),
+)
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    tot = pr.agg(F.sum("rev").alias("total"))
+    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = pr.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        "total",
+        (
+            F.sum("rev").over(wcum).cast("double")
+            / F.col("total").cast("double")
+        ).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double")
+                / F.max("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "ship_delay_percentiles",
+    oracle="""
+WITH d AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         CAST(date_diff('day',
+              CAST(date_trunc('day', o_orderdate) AS DATE),
+              CAST(date_trunc('day', l_shipdate) AS DATE)) AS BIGINT)
+           AS delay
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+h AS (SELECT ym, delay, COUNT(*) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT ym, delay, c,
+         SUM(c) OVER (PARTITION BY ym ORDER BY delay
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER (PARTITION BY ym) AS n
+  FROM h
+)
+SELECT make_date((ym - 1) // 12, ((ym - 1) % 12) + 1, 1) AS month,
+       CAST(MAX(n) AS BIGINT) AS n_items,
+       MIN(CASE WHEN cc >= (n + 1) // 2 THEN delay END) AS p50_days,
+       MIN(CASE WHEN cc >= (9 * n + 9) // 10 THEN delay END) AS p90_days,
+       MIN(CASE WHEN cc >= (99 * n + 99) // 100 THEN delay END) AS p99_days
+FROM cum
+GROUP BY ym
+ORDER BY month
+""",
+    doc="Order-to-ship delay SLA percentiles per order month: exact "
+    "type-1 p50/p90/p99 of the day delay — the fulfillment dashboard "
+    "row.  ENTIRELY integer arithmetic: quantile ranks are "
+    "ceil-divisions computed as (q*n + q) DIV d on exact counts (no "
+    "float q*n whose ULP could flip a ceil), and the selected values "
+    "are integer day delays — zero float anywhere, the strongest "
+    "determinism class in the registry.  Scale shape: the fact join "
+    "collapses to (month x delay-day) cells — delay is DOMAIN-bounded "
+    "(~0-130 days by TPC-H construction), so the per-month cumulative "
+    "windows run over a few thousand cells regardless of row count; "
+    "this is the same distributed-selection shape as "
+    "approx_price_quantiles' exact rewrite, specialized to a small "
+    "integer domain.",
+    tags=("relational", "window", "profiling"),
+)
+def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.datediff(
+            F.date_trunc("day", "l_shipdate").cast("date"),
+            F.date_trunc("day", "o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("delay"),
+    )
+    h = d.groupBy("ym", "delay").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("ym")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("ym")
+    cum = h.select(
+        "ym",
+        "delay",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    pick = lambda num, den: F.min(  # noqa: E731
+        F.when(
+            F.col("cc")
+            >= F.expr(f"({num} * n + {num}) DIV {den}"),
+            F.col("delay"),
+        )
+    )
+    return (
+        cum.groupBy("ym")
+        .agg(
+            F.max("n").cast("long").alias("n_items"),
+            F.min(
+                F.when(
+                    F.col("cc") >= F.expr("(n + 1) DIV 2"), F.col("delay")
+                )
+            ).alias("p50_days"),
+            pick(9, 10).alias("p90_days"),
+            pick(99, 100).alias("p99_days"),
+        )
+        .select(
+            F.make_date(
+                ((F.col("ym") - 1) / 12).cast("int"),
+                ((F.col("ym") - 1) % 12) + 1,
+                F.lit(1),
+            ).alias("month"),
+            "n_items",
+            "p50_days",
+            "p90_days",
+            "p99_days",
+        )
+        .orderBy("month")
+    )

@@ -701,3 +701,73 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ltv_per_customer"),
     ).orderBy("cohort_month", "age_months")
+
+
+@register(
+    "new_vs_returning_revenue",
+    oracle="""
+WITH o AS (
+  SELECT o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate))
+           OVER (PARTITION BY o_custkey) AS cym
+  FROM orders
+),
+cell AS (
+  SELECT make_date((ym - 1) // 12, ((ym - 1) % 12) + 1, 1) AS month,
+         CASE WHEN ym = cym THEN 'new' ELSE 'returning' END AS segment,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM o GROUP BY 1, 2
+)
+SELECT month, segment, n_orders,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY month) AS DOUBLE), 6)
+         AS month_share
+FROM cell
+ORDER BY month, segment
+""",
+    doc="New-vs-returning revenue split per month: an order is 'new' "
+    "iff it falls in its customer's first-ever order month — the "
+    "growth-accounting readout (is revenue growth acquisition or "
+    "retention?) that cohort_ltv_curve integrates over and "
+    "user_growth_accretion counts users for.  Exact integer "
+    "year*12+month cohort arithmetic, decimal-exact revenue, "
+    "identical-order double shares rounded once.  Scale shape: one "
+    "customer-keyed window for the first-month assignment, one "
+    "(month x 2)-cell aggregation, a window over the ~160-row "
+    "result.",
+    tags=("relational", "timeseries", "mining"),
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    base = o.select("o_custkey", "o_totalprice", ym).withColumn(
+        "cym", F.min("ym").over(Window.partitionBy("o_custkey"))
+    )
+    cell = base.groupBy(
+        F.make_date(
+            ((F.col("ym") - 1) / 12).cast("int"),
+            ((F.col("ym") - 1) % 12) + 1,
+            F.lit(1),
+        ).alias("month"),
+        F.when(F.col("ym") == F.col("cym"), "new")
+        .otherwise("returning")
+        .alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    wm = Window.partitionBy("month")
+    return cell.select(
+        "month",
+        "segment",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wm).cast("double"),
+            6,
+        ).alias("month_share"),
+    ).orderBy("month", "segment")

@@ -143,6 +143,11 @@ DEFAULT_PICKS = [
     "cohort_ltv_curve",
     "returns_price_ks_test",
     "events_seasonal_anomaly",
+    "blocklist_filter_rates",
+    "abc_inventory_classes",
+    "ship_delay_percentiles",
+    "new_vs_returning_revenue",
+    "user_activity_streaks",
 ]
 
 
