@@ -1444,3 +1444,90 @@ def blocklist_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CTX_BUDGETS = (128, 256, 512, 1024, 2048)
+
+
+@register(
+    "context_length_tradeoff",
+    oracle=f"""
+WITH nt AS (
+  SELECT len({ORACLE_TOKEN_LIST_SNIPPET}) AS n FROM documents
+),
+c AS (SELECT UNNEST([{", ".join(str(c) for c in _CTX_BUDGETS)}]) AS ctx)
+SELECT ctx,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) FILTER (WHERE n > ctx) AS BIGINT) AS n_truncated_docs,
+       CAST(SUM(CAST(greatest(n - ctx, 0) AS DECIMAL(18,0))) AS BIGINT)
+         AS trunc_tokens_lost,
+       round(CAST(SUM(CAST(least(n, ctx) AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE), 6)
+         AS trunc_pct_kept,
+       CAST(SUM(CAST((n + ctx - 1) // ctx AS DECIMAL(18,0))) AS BIGINT)
+         AS pad_blocks,
+       round(CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE)
+             / (CAST(SUM(CAST((n + ctx - 1) // ctx AS DECIMAL(18,0)))
+                     AS DOUBLE) * ctx), 6)
+         AS pad_utilization
+FROM nt CROSS JOIN c
+GROUP BY ctx
+ORDER BY ctx
+""",
+    doc="Context-length budget tradeoff table: for each candidate "
+    f"window size {_CTX_BUDGETS}, what one-sequence-per-document "
+    "TRUNCATION costs (docs clipped, tokens lost, share kept) vs what "
+    "pad-to-window SPLITTING costs (blocks, utilization = real tokens "
+    "over padded capacity) — the two poles sequence_packing "
+    "interpolates, and the table a trainer reads before fixing "
+    "max_seq_len.  Entirely exact integer/decimal arithmetic (ceil as "
+    "(n+ctx-1) DIV ctx); the only doubles are two final rounded "
+    "ratios.  Scale shape: one map-side token count per doc, a 5-way "
+    "literal fan-out, one 5-row aggregation — no shuffle of anything "
+    "document-sized.",
+    tags=("llm", "curation", "text"),
+)
+def context_length_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    nt = d.select(
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("n")
+    )
+    fan = nt.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(c) for c in _CTX_BUDGETS])
+        ).alias("ctx"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(18,0)"))  # noqa: E731
+    blocks = F.expr("(n + ctx - 1) DIV ctx")
+    return (
+        fan.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec(F.col("n")).cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("n") > F.col("ctx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated_docs"),
+            dec(F.greatest(F.col("n") - F.col("ctx"), F.lit(0)))
+            .cast("long")
+            .alias("trunc_tokens_lost"),
+            F.round(
+                dec(F.least(F.col("n"), F.col("ctx"))).cast("double")
+                / dec(F.col("n")).cast("double"),
+                6,
+            ).alias("trunc_pct_kept"),
+            dec(blocks).cast("long").alias("pad_blocks"),
+            F.round(
+                dec(F.col("n")).cast("double")
+                / (dec(blocks).cast("double") * F.col("ctx")),
+                6,
+            ).alias("pad_utilization"),
+        )
+        .orderBy("ctx")
+    )

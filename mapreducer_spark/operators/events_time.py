@@ -1669,3 +1669,126 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("streak_days")
     )
+
+
+@register(
+    "conversion_delay_percentiles",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+conv AS (
+  SELECT fv.user_id,
+         (CAST(epoch(MIN(e.ts)) AS BIGINT)
+          - CAST(epoch(fv.v_ts) AS BIGINT)) // 60 AS delay_min
+  FROM fv JOIN events e
+    ON e.user_id = fv.user_id
+   AND e.event_type = 'purchase' AND e.ts >= fv.v_ts
+  GROUP BY fv.user_id, fv.v_ts
+),
+h AS (SELECT delay_min, COUNT(*) AS c FROM conv GROUP BY 1),
+cum AS (
+  SELECT delay_min, c,
+         SUM(c) OVER (ORDER BY delay_min
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER () AS n
+  FROM h
+),
+nv AS (SELECT COUNT(*) AS n_viewers FROM fv)
+SELECT CAST(nv.n_viewers AS BIGINT) AS n_viewers,
+       CAST(MAX(cum.n) AS BIGINT) AS n_converters,
+       round(CAST(MAX(cum.n) AS DOUBLE) / nv.n_viewers, 6)
+         AS conversion_rate,
+       MIN(CASE WHEN cc >= (n + 1) // 2 THEN delay_min END) AS p50_min,
+       MIN(CASE WHEN cc >= (9 * n + 9) // 10 THEN delay_min END) AS p90_min,
+       MIN(CASE WHEN cc >= (99 * n + 99) // 100 THEN delay_min END)
+         AS p99_min
+FROM cum CROSS JOIN nv
+GROUP BY nv.n_viewers
+""",
+    doc="View-to-purchase conversion delay percentiles: each user's "
+    "first view, their first purchase at-or-after it, the delay in "
+    "whole minutes — exact p50/p90/p99 via integer ceil-rank selection "
+    "((q*n+q) DIV d, the ship_delay_percentiles recipe) over the "
+    "minute-domain histogram, plus the conversion rate — the funnel "
+    "LATENCY readout that event_funnel_ordered's pure ordering check "
+    "lacks.  Integer epoch arithmetic throughout; one rounded rate is "
+    "the only double.  Scale shape: per-user first-view aggregation, "
+    "one semi-join-shaped purchase match, collapse to the bounded "
+    "delay-minute grid, windows on that.",
+    tags=("events", "window", "mining"),
+)
+def conversion_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    fv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        fv.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("v_ts")),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(
+            (
+                (
+                    F.unix_timestamp(F.min("p_ts"))
+                    - F.unix_timestamp(F.col("v_ts"))
+                )
+                / F.lit(60)
+            )
+            .cast("long")
+            .alias("delay_min")
+        )
+    )
+    h = conv.groupBy("delay_min").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("delay_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select(
+        "delay_min",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    nv = fv.agg(F.count(F.lit(1)).alias("n_viewers"))
+    pick = lambda num, den: F.min(  # noqa: E731
+        F.when(
+            F.col("cc") >= F.expr(f"({num} * n + {num}) DIV {den}"),
+            F.col("delay_min"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(nv))
+        .groupBy("n_viewers")
+        .agg(
+            F.max("n").cast("long").alias("n_converters"),
+            F.round(
+                F.max("n").cast("double") / F.col("n_viewers"), 6
+            ).alias("conversion_rate"),
+            F.min(
+                F.when(
+                    F.col("cc") >= F.expr("(n + 1) DIV 2"),
+                    F.col("delay_min"),
+                )
+            ).alias("p50_min"),
+            pick(9, 10).alias("p90_min"),
+            pick(99, 100).alias("p99_min"),
+        )
+        .select(
+            F.col("n_viewers").cast("long").alias("n_viewers"),
+            "n_converters",
+            "conversion_rate",
+            "p50_min",
+            "p90_min",
+            "p99_min",
+        )
+    )

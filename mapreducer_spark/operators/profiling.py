@@ -1526,3 +1526,127 @@ def returns_price_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_95"),
         (F.col("ks") > crit).alias("reject_h0"),
     )
+
+
+# Pearson correlation matrix over lineitem's numeric measures.  Raw
+# second moments of prices would cross the 2^53 decimal->double cast
+# cliff at scale (price^2 sums ~1e17 at sf1), so pass 1 takes exact
+# decimal MEANS and pass 2 accumulates mean-NORMALIZED ratio products
+# (O(1) magnitudes at any scale — the daily_revenue_autocorrelation
+# trick), rounded at 6dp into decimal sums.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def _corr_oracle_sql() -> str:
+    means = ", ".join(
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+        f" AS mu_{c}"
+        for c in _CORR_COLS
+    )
+    ratios = ", ".join(
+        f"{c} / st.mu_{c} AS r_{c}" for c in _CORR_COLS
+    )
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(
+            f"CAST(SUM(CAST(round(r_{c}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+            f" AS s_{c}"
+        )
+        sums.append(
+            f"CAST(SUM(CAST(round(r_{c} * r_{c}, 6) AS DECIMAL(28,6)))"
+            f" AS DOUBLE) AS s_{c}_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"CAST(SUM(CAST(round(r_{a} * r_{b}, 6) AS DECIMAL(28,6)))"
+            f" AS DOUBLE) AS s_{a}_{b}"
+        )
+    rows = []
+    for a, b in _CORR_PAIRS:
+        rows.append(f"""
+SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n_rows,
+  round((s_{a}_{b} / n - (s_{a} / n) * (s_{b} / n))
+        / sqrt((s_{a}_{a} / n - (s_{a} / n) * (s_{a} / n))
+               * (s_{b}_{b} / n - (s_{b} / n) * (s_{b} / n))), 6)
+    AS pearson_r
+FROM m""")
+    return f"""
+WITH st AS (SELECT {means} FROM lineitem),
+r AS (SELECT {ratios} FROM lineitem CROSS JOIN st),
+m AS (SELECT {", ".join(sums)} FROM r)
+{" UNION ALL ".join(rows)}
+ORDER BY col_x, col_y
+"""
+
+
+@register(
+    "lineitem_correlation_matrix",
+    oracle=_corr_oracle_sql(),
+    doc="Pearson correlation matrix over lineitem's numeric measures "
+    "(quantity, extendedprice, discount, tax) — the first profiling "
+    "pass behind feature selection and the sanity check that "
+    "extendedprice ~ quantity is the only real structure TPC-H plants "
+    "there.  Two passes: exact decimal means broadcast back, then "
+    "ONE aggregation of 6dp-rounded mean-normalized products into "
+    "decimal sums (O(1) magnitudes at any scale — raw price^2 "
+    "moments would cross the 2^53 cast cliff at sf1); correlations "
+    "fold from the 15 moments in identical order, rounded at 6dp.  "
+    "Scale shape: two linear scans, a 1-row broadcast between them, "
+    "a 6-row readout — no shuffle wider than the moment partials.",
+    tags=("profiling", "agg", "mining"),
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    means = li.agg(
+        *[
+            (
+                F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"mu_{c}")
+            for c in _CORR_COLS
+        ]
+    )
+    r = li.crossJoin(F.broadcast(means)).select(
+        *[
+            (F.col(c) / F.col(f"mu_{c}")).alias(f"r_{c}")
+            for c in _CORR_COLS
+        ]
+    )
+    dsum = lambda col: F.sum(  # noqa: E731
+        F.round(col, 6).cast("decimal(28,6)")
+    ).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(dsum(F.col(f"r_{c}")).alias(f"s_{c}"))
+        aggs.append(
+            dsum(F.col(f"r_{c}") * F.col(f"r_{c}")).alias(f"s_{c}_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            dsum(F.col(f"r_{a}") * F.col(f"r_{b}")).alias(f"s_{a}_{b}")
+        )
+    m = r.agg(*aggs)
+    out = None
+    for a, b in _CORR_PAIRS:
+        nn = F.col("n")
+        mean = lambda c: F.col(f"s_{c}") / nn  # noqa: E731
+        row = m.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            nn.cast("long").alias("n_rows"),
+            F.round(
+                (F.col(f"s_{a}_{b}") / nn - mean(a) * mean(b))
+                / F.sqrt(
+                    (F.col(f"s_{a}_{a}") / nn - mean(a) * mean(a))
+                    * (F.col(f"s_{b}_{b}") / nn - mean(b) * mean(b))
+                ),
+                6,
+            ).alias("pearson_r"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("col_x", "col_y")

@@ -3109,3 +3109,68 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+flat AS (
+  SELECT i.i AS dim, v[i.i] AS val
+  FROM e, generate_series(1, 64) AS i(i)
+)
+SELECT dim,
+       COUNT(*) AS n_vectors,
+       round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_val,
+       round(CAST(SUM(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*)
+             - (CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                / COUNT(*))
+               * (CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*)), 6) AS variance,
+       round(MIN(val), 6) AS min_val,
+       round(MAX(val), 6) AS max_val
+FROM flat
+GROUP BY dim
+ORDER BY dim
+""",
+    doc="Per-dimension embedding profile (mean / variance / extrema for "
+    "each of the 64 dims) — the dead-dimension and scale-imbalance "
+    "diagnostic read before choosing PQ subspace splits or deciding "
+    "whether OPQ rotation is needed (high variance imbalance is what "
+    "rotation fixes), and the marginal view that "
+    "embedding_gram_matrix's off-diagonals complete.  Determinism: "
+    "float32 values widen to double exactly; val and val*val "
+    "(float32 products are exact in float64) enter DECIMAL(28,12) "
+    "sums — partition-order invariant, the centroid-per-label recipe; "
+    "moments fold to doubles in identical order, rounded at 6dp.  "
+    "Scale shape: posexplode ships (dim, val) pairs into a 64-group "
+    "aggregation with map-side partials — one pass, no vector ever "
+    "crosses the wire whole.",
+    tags=("llm", "similarity", "vector", "profiling"),
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        (F.col("pos0") + 1).cast("long").alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+    s2 = F.sum(
+        (F.col("val") * F.col("val")).cast("decimal(28,12)")
+    ).cast("double")
+    return (
+        flat.groupBy("dim")
+        .agg(
+            n.alias("n_vectors"),
+            F.round(s1 / n, 6).alias("mean_val"),
+            F.round(s2 / n - (s1 / n) * (s1 / n), 6).alias("variance"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )

@@ -148,6 +148,10 @@ DEFAULT_PICKS = [
     "ship_delay_percentiles",
     "new_vs_returning_revenue",
     "user_activity_streaks",
+    "context_length_tradeoff",
+    "embedding_dim_profile",
+    "conversion_delay_percentiles",
+    "lineitem_correlation_matrix",
 ]
 
 
