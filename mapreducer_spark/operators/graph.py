@@ -652,3 +652,100 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "copurchase_brand_modularity",
+    oracle=f"""
+WITH e AS MATERIALIZED ({_ORACLE_COPURCHASE_EDGES}),
+lab AS (
+  SELECT p_partkey AS v, p_brand AS c FROM part
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+m AS (SELECT COUNT(*) AS m_dir FROM e),
+dsum AS (
+  SELECT lab.c, SUM(deg.deg) AS d_c
+  FROM deg JOIN lab ON lab.v = deg.src GROUP BY 1
+),
+intra AS (
+  SELECT la.c, COUNT(*) AS l_c
+  FROM e JOIN lab la ON la.v = e.src JOIN lab lb ON lb.v = e.dst
+  WHERE la.c = lb.c GROUP BY 1
+),
+terms AS (
+  SELECT dsum.c,
+         CAST(round(CAST(COALESCE(intra.l_c, 0) AS DOUBLE)
+                      / CAST(m.m_dir AS DOUBLE)
+                    - (CAST(dsum.d_c AS DOUBLE) / CAST(m.m_dir AS DOUBLE))
+                      * (CAST(dsum.d_c AS DOUBLE) / CAST(m.m_dir AS DOUBLE)),
+                    10) AS DECIMAL(28,10)) AS q_c
+  FROM dsum LEFT JOIN intra ON intra.c = dsum.c CROSS JOIN m
+)
+SELECT COUNT(*) AS n_communities,
+       (SELECT COUNT(*) FROM deg) AS n_vertices,
+       CAST((SELECT m_dir FROM m) AS BIGINT) AS n_directed_edges,
+       round(CAST(SUM(q_c) AS DOUBLE), 6) AS modularity
+FROM terms
+""",
+    doc="Newman modularity of the brand partition on the co-purchase "
+    "graph: Q = sum_c [l_c/m - (d_c/2m)^2] with the brand of each "
+    "part as its community — 'do brands form buying communities?' "
+    "(Q ~ 0 says co-purchase ignores brand, the TPC-H expectation; a "
+    "community detector must beat this fixed-partition baseline to "
+    "claim structure).  On the symmetric directed edge list the "
+    "formula reduces to intra_dir_c/m_dir - (d_c/m_dir)^2 exactly.  "
+    "Determinism: all inputs are exact integer counts; per-community "
+    "terms fold identically in double, round at 10dp, and sum as "
+    "DECIMAL.  Scale shape: degrees and intra-community counts are "
+    "two aggregations over the edge list with a broadcast part->brand "
+    "label map; the term table is |communities| rows (25 brands).",
+    tags=("graph", "agg", "mining"),
+)
+def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = copurchase_sym_edges(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("v"), F.col("p_brand").alias("c")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    m = sym.agg(F.count(F.lit(1)).alias("m_dir"))
+    dsum = (
+        deg.join(F.broadcast(lab), deg.src == lab.v)
+        .groupBy("c")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    la = lab.select(F.col("v").alias("src"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("v").alias("dst"), F.col("c").alias("cb"))
+    intra = (
+        sym.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    md = F.col("m_dir").cast("double")
+    q_c = F.round(
+        F.coalesce(F.col("l_c"), F.lit(0)).cast("double") / md
+        - (F.col("d_c").cast("double") / md)
+        * (F.col("d_c").cast("double") / md),
+        10,
+    ).cast("decimal(28,10)")
+    terms = (
+        dsum.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select("c", "m_dir", q_c.alias("q_c"))
+    )
+    return (
+        terms.groupBy("m_dir")
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.round(F.sum("q_c").cast("double"), 6).alias("modularity"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_communities",
+            "n_vertices",
+            F.col("m_dir").cast("long").alias("n_directed_edges"),
+            "modularity",
+        )
+    )

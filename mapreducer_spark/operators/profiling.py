@@ -1650,3 +1650,114 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("col_x", "col_y")
+
+
+# PSI bands: $10k-wide order-value buckets (domain ~[1k, 500k] -> ~50
+# live cells); Laplace +1 smoothing keeps empty cells out of ln().
+_PSI_BUCKET = 10_000
+_PSI_YEAR_A = 1996
+_PSI_YEAR_B = 1997
+
+
+@register(
+    "order_value_psi_drift",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / {_PSI_BUCKET}) AS BIGINT) AS bucket,
+         CAST(COUNT(*) FILTER (WHERE year(o_orderdate) = {_PSI_YEAR_A})
+              AS BIGINT) AS c_a,
+         CAST(COUNT(*) FILTER (WHERE year(o_orderdate) = {_PSI_YEAR_B})
+              AS BIGINT) AS c_b
+  FROM orders
+  WHERE year(o_orderdate) IN ({_PSI_YEAR_A}, {_PSI_YEAR_B})
+  GROUP BY 1
+),
+tot AS (
+  SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b, COUNT(*) AS nb FROM b
+),
+terms AS (
+  SELECT bucket, c_a, c_b,
+         (CAST(c_a AS DOUBLE) + 1) / (CAST(n_a AS DOUBLE) + nb) AS p_a,
+         (CAST(c_b AS DOUBLE) + 1) / (CAST(n_b AS DOUBLE) + nb) AS p_b
+  FROM b CROSS JOIN tot
+)
+SELECT bucket, c_a, c_b,
+       round(p_a, 8) AS share_a,
+       round(p_b, 8) AS share_b,
+       round((p_b - p_a) * ln(p_b / p_a), 8) AS psi_term,
+       round(CAST(SUM(CAST(round((p_b - p_a) * ln(p_b / p_a), 8)
+                           AS DECIMAL(28,8))) OVER () AS DOUBLE), 6)
+         AS psi_total
+FROM terms
+ORDER BY bucket
+""",
+    doc="Population stability index of the order-value distribution, "
+    f"{_PSI_YEAR_A} vs {_PSI_YEAR_B} (PSI = sum (p2-p1)*ln(p2/p1) "
+    f"over \\${_PSI_BUCKET // 1000}k bands, the ML-ops drift gauge: "
+    "<0.1 stable, >0.25 retrain) — the longitudinal companion to "
+    "returns_price_ks_test's two-cohort shape test.  Laplace +1 "
+    "smoothing keeps structurally-empty bands out of ln() with "
+    "IDENTICAL arithmetic on both engines (no epsilon constants "
+    "whose representation could differ).  Determinism: counts exact; "
+    "shares identical-order double divisions; per-band terms round "
+    "at 8dp before the decimal window total.  Scale shape: one "
+    "collapse to the ~50-band grid, everything else on that.",
+    tags=("profiling", "timeseries", "mining"),
+)
+def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(_PSI_YEAR_A, _PSI_YEAR_B)
+    )
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / _PSI_BUCKET)
+        .cast("long")
+        .alias("bucket")
+    ).agg(
+        F.sum(
+            F.when(F.year("o_orderdate") == _PSI_YEAR_A, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_a"),
+        F.sum(
+            F.when(F.year("o_orderdate") == _PSI_YEAR_B, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_b"),
+    )
+    tot = b.agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "c_a",
+        "c_b",
+        (
+            (F.col("c_a").cast("double") + 1)
+            / (F.col("n_a").cast("double") + F.col("nb"))
+        ).alias("p_a"),
+        (
+            (F.col("c_b").cast("double") + 1)
+            / (F.col("n_b").cast("double") + F.col("nb"))
+        ).alias("p_b"),
+    )
+    term = (F.col("p_b") - F.col("p_a")) * F.log(
+        F.col("p_b") / F.col("p_a")
+    )
+    return terms.select(
+        "bucket",
+        "c_a",
+        "c_b",
+        F.round("p_a", 8).alias("share_a"),
+        F.round("p_b", 8).alias("share_b"),
+        F.round(term, 8).alias("psi_term"),
+        F.round(
+            F.sum(F.round(term, 8).cast("decimal(28,8)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("bucket")

@@ -771,3 +771,97 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("month_share"),
     ).orderBy("month", "segment")
+
+
+@register(
+    "revenue_forecast_backtest",
+    oracle="""
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+preds AS (
+  SELECT a.ym,
+         CAST(a.rev AS DOUBLE) AS actual,
+         CAST(n.rev AS DOUBLE) AS naive_pred,
+         CAST(s.rev AS DOUBLE) AS seasonal_pred
+  FROM monthly a
+  JOIN monthly n ON n.ym = a.ym - 1
+  JOIN monthly s ON s.ym = a.ym - 12
+),
+scored AS (
+  SELECT model, ym, ape FROM (
+    SELECT ym, 'naive_last_month' AS model,
+           round(abs(actual - naive_pred) / actual, 8) AS ape
+    FROM preds
+    UNION ALL
+    SELECT ym, 'seasonal_naive_12', round(abs(actual - seasonal_pred)
+           / actual, 8)
+    FROM preds
+  )
+)
+SELECT model,
+       COUNT(*) AS n_months,
+       round(CAST(SUM(CAST(ape AS DECIMAL(28,8))) AS DOUBLE)
+             / COUNT(*), 6) AS mape,
+       round(MAX(ape), 6) AS worst_ape
+FROM scored
+GROUP BY model
+ORDER BY model
+""",
+    doc="Forecast backtest over the monthly revenue series: naive "
+    "(last month) vs seasonal-naive (same month last year) MAPE on "
+    "every month where both predictors exist — the baseline ladder "
+    "any real forecaster must beat, and the evaluation loop "
+    "complementing daily_revenue_autocorrelation's diagnostic (a "
+    "strong lag-12 ACF predicts seasonal-naive should win).  Exact "
+    "integer month keys join the lagged predictions (no window-frame "
+    "assumptions about month contiguity); APEs are identical-order "
+    "double divisions of exactly-cast decimal sums, rounded at 8dp "
+    "into the decimal MAPE numerator.  Scale shape: one collapse to "
+    "the ~80-row monthly series, self-joins on that.",
+    tags=("relational", "timeseries", "mining"),
+)
+def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    monthly = monthly.localCheckpoint(eager=True)
+    a = monthly.select("ym", F.col("rev").cast("double").alias("actual"))
+    n1 = monthly.select(
+        (F.col("ym") + 1).alias("ym"),
+        F.col("rev").cast("double").alias("naive_pred"),
+    )
+    s12 = monthly.select(
+        (F.col("ym") + 12).alias("ym"),
+        F.col("rev").cast("double").alias("seasonal_pred"),
+    )
+    preds = a.join(n1, "ym").join(s12, "ym")
+    ape = lambda pred: F.round(  # noqa: E731
+        F.abs(F.col("actual") - F.col(pred)) / F.col("actual"), 8
+    )
+    scored = preds.select(
+        "ym", F.lit("naive_last_month").alias("model"),
+        ape("naive_pred").alias("ape"),
+    ).unionAll(
+        preds.select(
+            "ym",
+            F.lit("seasonal_naive_12").alias("model"),
+            ape("seasonal_pred").alias("ape"),
+        )
+    )
+    return (
+        scored.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(
+                F.sum(F.col("ape").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mape"),
+            F.round(F.max("ape"), 6).alias("worst_ape"),
+        )
+        .orderBy("model")
+    )

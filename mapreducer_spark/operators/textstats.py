@@ -2422,3 +2422,123 @@ def source_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2",
         )
     )
+
+
+@register(
+    "source_js_divergence",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, t
+  FROM (SELECT source, {ORACLE_TOKENS_SNIPPET} AS t FROM documents)
+  WHERE length(t) > 0
+),
+cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY 1),
+vocab AS (SELECT DISTINCT t FROM tok),
+grid AS (
+  SELECT tot.source, vocab.t,
+         CAST(COALESCE(cnt.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p
+  FROM tot CROSS JOIN vocab
+  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.t = vocab.t
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.t,
+         a.p AS pa, b.p AS pb
+  FROM grid a JOIN grid b ON a.t = b.t AND a.source < b.source
+),
+terms AS (
+  SELECT source_a, source_b,
+         CASE WHEN pa > 0
+              THEN CAST(round(pa * log2(2 * pa / (pa + pb)), 10)
+                        AS DECIMAL(28,10)) ELSE 0 END AS ta,
+         CASE WHEN pb > 0
+              THEN CAST(round(pb * log2(2 * pb / (pa + pb)), 10)
+                        AS DECIMAL(28,10)) ELSE 0 END AS tb
+  FROM pairs
+)
+SELECT source_a, source_b,
+       round(0.5 * CAST(SUM(ta) + SUM(tb) AS DOUBLE), 6) AS jsd_bits
+FROM terms
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Pairwise Jensen-Shannon divergence (bits) between per-source "
+    "unigram distributions — the symmetric, bounded [0,1] mixture "
+    "redundancy map that answers 'which sources say the same things' "
+    "before temperature mixing; the distributional complement to "
+    "source_keyness_terms (which ranks WHICH tokens differ) and "
+    "cross_source_ngram_overlap (which counts shared types, not "
+    "distribution mass).  Determinism: probabilities are "
+    "identical-order double divisions of exact counts on a "
+    "sources-x-vocab grid (absent tokens are exact zeros, "
+    "contributing zero by the 0*log0 convention CASE-guarded on both "
+    "engines); per-token terms round at 10dp into decimal sums, "
+    "0.5*total rounds at 6dp.  Scale shape: the corpus collapses to "
+    "(source, token) counts in one shuffle; the pair stage runs on "
+    "the |sources|^2 x |vocab| GRID (620 rows here), never on "
+    "documents — at a 100 TB corpus with a real vocabulary the grid "
+    "is trimmed to the top-K vocab first (the bounded-pair-stage "
+    "pattern of cross_source_ngram_overlap).",
+    tags=("llm", "text", "mining"),
+)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)
+            ).alias("t"),
+        )
+        .where(F.length("t") > 0)
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = tok.select("t").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(cnt), ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n").cast("double")
+            ).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "t",
+        F.col("p").alias("pa"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        F.col("t").alias("tb_t"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("t") == F.col("tb_t"))
+        & (F.col("source_a") < F.col("source_b")),
+    )
+    mk = lambda pc: F.when(  # noqa: E731
+        F.col(pc) > 0,
+        F.round(
+            F.col(pc)
+            * F.log2(2 * F.col(pc) / (F.col("pa") + F.col("pb"))),
+            10,
+        ).cast("decimal(28,10)"),
+    ).otherwise(F.lit(0).cast("decimal(28,10)"))
+    return (
+        pairs.select(
+            "source_a", "source_b", mk("pa").alias("ta"), mk("pb").alias("tb")
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.lit(0.5) * (F.sum("ta") + F.sum("tb")).cast("double"), 6
+            ).alias("jsd_bits")
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -152,6 +152,10 @@ DEFAULT_PICKS = [
     "embedding_dim_profile",
     "conversion_delay_percentiles",
     "lineitem_correlation_matrix",
+    "order_value_psi_drift",
+    "source_js_divergence",
+    "revenue_forecast_backtest",
+    "copurchase_brand_modularity",
 ]
 
 
