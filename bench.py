@@ -78,11 +78,25 @@ def main() -> None:
         .save()
     )
 
-    for name, q in sorted(queries.items()):
+    import gc
+
+    for i, (name, q) in enumerate(sorted(queries.items())):
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop the Python-side DataFrame refs and periodically break
+        # reference CYCLES so Spark's ContextCleaner can reclaim
+        # localCheckpoint blocks between queries: with 260+ queries in
+        # one session, lazily-collected cyclic refs pinned enough
+        # block-manager memory that late-alphabet queries ran ~1.5x
+        # slower than early ones (measured corr 0.53 between run
+        # position and inflation; a per-query full gc flattened it to
+        # -0.07 — SURVEY §8 r8).  Every 16 queries bounds the
+        # accumulation without paying ~260 full collections.
+        del df
+        if i % 16 == 15:
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
 
