@@ -1531,3 +1531,113 @@ def context_length_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx")
     )
+
+
+# (chunk_size, overlap) candidate configs for sliding-window RAG chunking.
+_CHUNK_CFGS = ((256, 32), (256, 64), (512, 64), (512, 128), (1024, 128))
+
+
+@register(
+    "overlapping_chunk_plan",
+    oracle=f"""
+WITH nt AS (
+  SELECT len({ORACLE_TOKEN_LIST_SNIPPET}) AS n FROM documents
+),
+cfg AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({s}, {o})" for s, o in _CHUNK_CFGS)}
+  ) AS t(size, overlap)
+),
+plan AS (
+  SELECT size, overlap, n,
+         1 + (greatest(n - size, 0) + (size - overlap) - 1)
+             // (size - overlap) AS n_chunks
+  FROM nt CROSS JOIN cfg
+),
+em AS (
+  SELECT size, overlap, n, n_chunks,
+         (n_chunks - 1) * size
+           + (n - (n_chunks - 1) * (size - overlap)) AS emitted
+  FROM plan
+)
+SELECT size, overlap,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chunks AS DECIMAL(18,0))) AS BIGINT)
+         AS total_chunks,
+       CAST(COUNT(*) FILTER (WHERE n_chunks = 1) AS BIGINT)
+         AS single_chunk_docs,
+       CAST(SUM(CAST(emitted AS DECIMAL(18,0))) AS BIGINT)
+         AS emitted_tokens,
+       round(CAST(SUM(CAST(emitted AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE), 6)
+         AS redundancy_factor
+FROM em
+GROUP BY size, overlap
+ORDER BY size, overlap
+""",
+    doc="Sliding-window chunking plan for retrieval indexing: per "
+    f"(chunk_size, overlap) candidate {_CHUNK_CFGS}, the chunk count, "
+    "emitted-token volume, and redundancy factor (emitted/original — "
+    "what the overlap costs in index size and embedding spend) — the "
+    "RAG-side counterpart of context_length_tradeoff's training-side "
+    "table, and the planning view over the materializing "
+    "doc_token_chunks operator.  Exact integer arithmetic throughout "
+    "(chunk count via ceil-division of the stride; the emitted-token "
+    "identity (k-1)*size + last_chunk_len is exact, not an estimate); "
+    "the redundancy ratio is the single rounded double.  Scale shape: "
+    "map-side token counts, a 5-way literal fan-out, one 5-row "
+    "aggregation.",
+    tags=("llm", "curation", "text"),
+)
+def overlapping_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    nt = d.select(
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("n")
+    )
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("size"), F.lit(o).alias("overlap")
+                )
+                for s, o in _CHUNK_CFGS
+            ]
+        )
+    )
+    plan = nt.select("n", cfg.alias("cfg")).select(
+        "n", "cfg.size", "cfg.overlap"
+    )
+    plan = plan.withColumn(
+        "n_chunks",
+        F.expr(
+            "1 + (greatest(n - size, 0) + (size - overlap) - 1)"
+            " DIV (size - overlap)"
+        ),
+    ).withColumn(
+        "emitted",
+        F.expr(
+            "(n_chunks - 1) * size"
+            " + (n - (n_chunks - 1) * (size - overlap))"
+        ),
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(18,0)"))  # noqa: E731
+    return (
+        plan.groupBy("size", "overlap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec("n_chunks").cast("long").alias("total_chunks"),
+            F.sum(F.when(F.col("n_chunks") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("single_chunk_docs"),
+            dec("emitted").cast("long").alias("emitted_tokens"),
+            F.round(
+                dec("emitted").cast("double") / dec("n").cast("double"), 6
+            ).alias("redundancy_factor"),
+        )
+        .orderBy("size", "overlap")
+    )

@@ -1761,3 +1761,241 @@ def order_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_total"),
     ).orderBy("bucket")
+
+
+@register(
+    "robust_price_quantity_trend",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(l_quantity AS INT) AS q,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT q, price, c,
+         SUM(c) OVER (PARTITION BY q ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER (PARTITION BY q) AS n
+  FROM cell
+),
+med AS (
+  SELECT q,
+         CAST(MIN(CASE WHEN cc >= (n + 1) // 2 THEN price END)
+              AS DOUBLE) AS m
+  FROM cum GROUP BY q
+),
+slopes AS (
+  SELECT round((b.m - a.m) / (b.q - a.q), 8) AS s
+  FROM med a JOIN med b ON a.q < b.q
+),
+sm AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+         COUNT(*) OVER () AS np
+  FROM slopes
+),
+slope AS (SELECT s AS slope_med, np FROM sm WHERE rn = (np + 1) // 2),
+icepts AS (
+  SELECT round(med.m - slope.slope_med * med.q, 8) AS b, slope.slope_med,
+         slope.np
+  FROM med CROSS JOIN slope
+),
+im AS (
+  SELECT b, slope_med, np, ROW_NUMBER() OVER (ORDER BY b) AS rn,
+         COUNT(*) OVER () AS nq
+  FROM icepts
+)
+SELECT CAST(nq AS BIGINT) AS n_quantity_levels,
+       CAST(np AS BIGINT) AS n_pairs,
+       slope_med AS theilsen_slope,
+       b AS theilsen_intercept
+FROM im WHERE rn = (nq + 1) // 2
+""",
+    doc="Theil-Sen robust price~quantity trend (Theil 1950, Sen 1968): "
+    "median pairwise slope between the per-quantity MEDIAN prices — "
+    "the outlier-immune line that price_qty_regression's OLS is not "
+    "(one fat-finger price moves OLS, not this).  Made tractable the "
+    "distributed way: the raw pair stage is O(n^2), so the fact table "
+    "first collapses to exact per-quantity-level medians (type-1 "
+    "integer-rank selection over (quantity, price) cells, the "
+    "ship_delay recipe), leaving <=50 points and 1225 pairwise "
+    "slopes — the classic quantile-collapse that makes Theil-Sen "
+    "runnable at any scale.  Determinism: medians are exact decimals; "
+    "slopes/intercepts are identical-order double folds rounded at "
+    "8dp; both medians select by integer rank (ties among equal "
+    "slopes are value-identical, so any rank tie-break returns the "
+    "same VALUE).  Scale shape: one (quantity x price) collapse, "
+    "windows over the domain-bounded cell grid, everything after on "
+    "<=50 rows.",
+    tags=("profiling", "mining", "window"),
+)
+def robust_price_quantity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.col("l_quantity").cast("int").alias("q"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("q")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cell.select(
+        "q",
+        "price",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(Window.partitionBy("q")).alias("n"),
+    )
+    med = (
+        cum.groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc") >= F.expr("(n + 1) DIV 2"), F.col("price")
+                )
+            )
+            .cast("double")
+            .alias("m")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = med.select(F.col("q").alias("qa"), F.col("m").alias("ma"))
+    b = med.select(F.col("q").alias("qb"), F.col("m").alias("mb"))
+    slopes = a.join(b, F.col("qa") < F.col("qb")).select(
+        F.round(
+            (F.col("mb") - F.col("ma")) / (F.col("qb") - F.col("qa")), 8
+        ).alias("s")
+    )
+    ws = Window.orderBy("s")
+    sm = slopes.select(
+        "s",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    slope = sm.where(F.col("rn") == F.expr("(np + 1) DIV 2")).select(
+        F.col("s").alias("slope_med"), "np"
+    )
+    icepts = med.crossJoin(F.broadcast(slope)).select(
+        F.round(
+            F.col("m") - F.col("slope_med") * F.col("q"), 8
+        ).alias("b"),
+        "slope_med",
+        "np",
+    )
+    wb = Window.orderBy("b")
+    im = icepts.select(
+        "b",
+        "slope_med",
+        "np",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nq"),
+    )
+    return im.where(F.col("rn") == F.expr("(nq + 1) DIV 2")).select(
+        F.col("nq").cast("long").alias("n_quantity_levels"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("slope_med").alias("theilsen_slope"),
+        F.col("b").alias("theilsen_intercept"),
+    )
+
+
+# chi-square(0.95, df=24) for the 5-priority x 7-year contingency table.
+_CHISQ_CRIT_24 = 36.415
+
+
+@register(
+    "priority_mix_chisq",
+    oracle=f"""
+WITH cell AS (
+  SELECT o_orderpriority AS pri, year(o_orderdate) AS yr, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT pri, SUM(o) AS r FROM cell GROUP BY 1),
+ct AS (SELECT yr, SUM(o) AS c FROM cell GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM cell),
+terms AS (
+  SELECT CAST(round(
+           (CAST(cell.o AS DOUBLE)
+            - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+              / CAST(n.n AS DOUBLE))
+           * (CAST(cell.o AS DOUBLE)
+              - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                / CAST(n.n AS DOUBLE))
+           / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+              / CAST(n.n AS DOUBLE)), 8) AS DECIMAL(28,8)) AS t
+  FROM cell JOIN rt ON rt.pri = cell.pri JOIN ct ON ct.yr = cell.yr
+  CROSS JOIN n
+),
+dims AS (
+  SELECT (SELECT COUNT(*) FROM rt) AS nr, (SELECT COUNT(*) FROM ct) AS nc,
+         (SELECT CAST(n AS BIGINT) FROM n) AS n_orders
+)
+SELECT n_orders, nr AS n_priorities, nc AS n_years,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+       round(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+       CAST({_CHISQ_CRIT_24} AS DOUBLE) AS crit_95,
+       CAST(SUM(t) AS DOUBLE) > {_CHISQ_CRIT_24} AS reject_h0
+FROM terms CROSS JOIN dims
+GROUP BY n_orders, nr, nc
+""",
+    doc="Chi-square homogeneity test of the order-priority mix across "
+    "years (5x7 contingency table): did the priority composition "
+    "drift?  Completes the statistical-test family: "
+    "experiment_srm_check tests ONE categorical against fixed "
+    "expected shares, returns_price_ks_test tests a continuous shape "
+    "between two cohorts, this tests independence of two "
+    "categoricals.  Determinism: expected counts r*c/n fold from "
+    "exact integers in identical double order; per-cell terms round "
+    "at 8dp into a decimal sum; the critical value is a literal "
+    "(chi-square 0.95 at df=24).  Scale shape: one collapse to the "
+    "35-cell table, margins and terms on that.",
+    tags=("profiling", "agg", "mining"),
+)
+def priority_mix_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    cell = cell.localCheckpoint(eager=True)
+    rt = cell.groupBy("pri").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("yr").agg(F.sum("o").alias("c"))
+    n = cell.agg(F.sum("o").alias("n"))
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(n.select(F.col("n").cast("long").alias("n_orders")))
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e,
+        8,
+    ).cast("decimal(28,8)")
+    terms = (
+        cell.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "yr")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("t"))
+    )
+    agg = terms.agg(
+        F.round(F.sum("t").cast("double"), 6).alias("chi2"),
+        (F.sum("t").cast("double") > _CHISQ_CRIT_24).alias("reject_h0"),
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        "n_orders",
+        F.col("nr").alias("n_priorities"),
+        F.col("nc").alias("n_years"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1))
+        .cast("long")
+        .alias("df"),
+        "chi2",
+        F.lit(_CHISQ_CRIT_24).alias("crit_95"),
+        "reject_h0",
+    )

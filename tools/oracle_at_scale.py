@@ -156,6 +156,9 @@ DEFAULT_PICKS = [
     "source_js_divergence",
     "revenue_forecast_backtest",
     "copurchase_brand_modularity",
+    "robust_price_quantity_trend",
+    "priority_mix_chisq",
+    "overlapping_chunk_plan",
 ]
 
 
