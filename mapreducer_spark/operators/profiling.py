@@ -1999,3 +1999,83 @@ def priority_mix_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_CHISQ_CRIT_24).alias("crit_95"),
         "reject_h0",
     )
+
+
+_LDIV_L = 3  # distinct-l threshold
+
+
+@register(
+    "l_diversity_profile",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / {_KANON_BIN}) AS BIGINT) AS bal_bin,
+         COUNT(*) AS gsize,
+         COUNT(DISTINCT c_mktsegment) AS l,
+         MAX(seg_n) AS top_seg_n
+  FROM (
+    SELECT c_nationkey, c_acctbal, c_mktsegment,
+           COUNT(*) OVER (PARTITION BY c_nationkey,
+             CAST(floor(c_acctbal / {_KANON_BIN}) AS BIGINT),
+             c_mktsegment) AS seg_n
+    FROM customer
+  )
+  GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(SUM(CASE WHEN l < {_LDIV_L} THEN gsize ELSE 0 END) AS BIGINT)
+         AS n_exposed,
+       round(MAX(CAST(top_seg_n AS DOUBLE) / gsize), 6)
+         AS worst_top_share
+FROM g GROUP BY c_nationkey
+""",
+    doc="l-diversity risk report (Machanavalhala et al. 2007), the "
+    "attribute-disclosure companion to k_anonymity_profile: within "
+    "each quasi-identifier class (nation, account-balance band), how "
+    "many DISTINCT sensitive values (market segment) appear — a class "
+    "can be k-anonymous yet leak the sensitive attribute outright if "
+    f"everyone in it shares one segment.  Classes with l < {_LDIV_L} "
+    "violate; worst_top_share reports the largest single-segment "
+    "share in any class (the homogeneity-attack surface that "
+    "recursive (c,l)-diversity bounds).  Pure integer counting to one "
+    "rounded division.  Scale shape: one window at the "
+    "(QI x sensitive) grain + one collapse to QI classes — both "
+    "bounded by the attribute domain, not row count.",
+    tags=("governance", "quality", "agg"),
+)
+def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    bal_bin = F.floor(F.col("c_acctbal") / _KANON_BIN).cast("long")
+    w = Window.partitionBy(
+        "c_nationkey", bal_bin, "c_mktsegment"
+    )
+    rows = c.select(
+        "c_nationkey",
+        bal_bin.alias("bal_bin"),
+        "c_mktsegment",
+        F.count(F.lit(1)).over(w).alias("seg_n"),
+    )
+    g = rows.groupBy("c_nationkey", "bal_bin").agg(
+        F.count(F.lit(1)).alias("gsize"),
+        F.countDistinct("c_mktsegment").alias("l"),
+        F.max("seg_n").alias("top_seg_n"),
+    )
+    return g.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < _LDIV_L, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.sum(F.when(F.col("l") < _LDIV_L, F.col("gsize")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed"),
+        F.round(
+            F.max(F.col("top_seg_n").cast("double") / F.col("gsize")), 6
+        ).alias("worst_top_share"),
+    )

@@ -865,3 +865,116 @@ def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@register(
+    "concurrent_orders_profile",
+    oracle="""
+WITH spans AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(date_trunc('day', o.o_orderdate) AS DATE) AS start_day,
+         CAST(date_trunc('day', MAX(l.l_shipdate)) AS DATE) AS close_day
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.o_custkey,
+         CAST(date_diff('day',
+              greatest(a.start_day, b.start_day),
+              least(a.close_day, b.close_day)) AS BIGINT) + 1
+           AS overlap_days
+  FROM spans a JOIN spans b
+    ON a.o_custkey = b.o_custkey
+   AND a.o_orderkey < b.o_orderkey
+   AND a.start_day <= b.close_day
+   AND b.start_day <= a.close_day
+),
+per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_pairs,
+         CAST(SUM(CAST(overlap_days AS DECIMAL(18,0))) AS BIGINT)
+           AS total_overlap_days
+  FROM pairs GROUP BY 1
+)
+SELECT n_pairs,
+       COUNT(*) AS n_customers,
+       CAST(SUM(total_overlap_days) AS BIGINT) AS total_overlap_days
+FROM per_cust
+GROUP BY n_pairs
+ORDER BY n_pairs
+""",
+    doc="Interval-overlap self-join profile: pairs of a customer's "
+    "orders whose [order, last-ship] spans overlapped in time, "
+    "reported as the distribution of per-customer overlapping-pair "
+    "counts with total overlap days — the PAIR-grain view of "
+    "concurrency that open_orders_timeline's sweep-line counts only "
+    "in aggregate (a fulfillment system sizing per-customer parallel "
+    "shipments needs the pairs, not the global curve).  The overlap "
+    "predicate is the canonical a.start <= b.end AND b.start <= a.end "
+    "with a key inequality for unordered pairs.  Determinism: pure "
+    "integer date arithmetic.  Scale shape: the self-join is "
+    "PARTITIONED BY CUSTOMER — per-customer order counts are bounded "
+    "(~25), so the pair fan-out is m^2-per-key on a tiny m, one "
+    "shuffle on custkey; never a global interval join.",
+    tags=("relational", "join", "sessionization"),
+)
+def concurrent_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").cast("date").alias(
+                "start_day"
+            ),
+        )
+        .agg(
+            F.date_trunc("day", F.max("l_shipdate"))
+            .cast("date")
+            .alias("close_day")
+        )
+    )
+    a = spans.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("start_day").alias("sa"),
+        F.col("close_day").alias("ea"),
+    )
+    b = spans.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("start_day").alias("sb"),
+        F.col("close_day").alias("eb"),
+    )
+    pairs = a.join(b, "ck").where(
+        (F.col("ka") < F.col("kb"))
+        & (F.col("sa") <= F.col("eb"))
+        & (F.col("sb") <= F.col("ea"))
+    ).select(
+        "ck",
+        (
+            F.datediff(
+                F.least("ea", "eb"), F.greatest("sa", "sb")
+            ).cast("long")
+            + 1
+        ).alias("overlap_days"),
+    )
+    per_cust = pairs.groupBy("ck").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("overlap_days").cast("decimal(18,0)"))
+        .cast("long")
+        .alias("total_overlap_days"),
+    )
+    return (
+        per_cust.groupBy("n_pairs")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("total_overlap_days")
+            .cast("long")
+            .alias("total_overlap_days"),
+        )
+        .orderBy("n_pairs")
+    )

@@ -3174,3 +3174,96 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_KNN_EVAL_Q = 50  # leave-one-out query count for the 1-NN label eval
+
+
+@register(
+    "embedding_1nn_label_accuracy",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_KNN_EVAL_Q}
+),
+c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+scored AS (
+  SELECT q.q_id, q.q_label, c.label AS n_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.q_id
+           ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                    c.vec_id) AS rnk
+  FROM q CROSS JOIN c
+  WHERE q.q_id <> c.vec_id
+)
+SELECT q_label AS label,
+       COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM scored WHERE rnk = 1
+GROUP BY q_label
+ORDER BY q_label
+""",
+    doc="Leave-one-out 1-NN label accuracy over the embedding space "
+    f"(first {_KNN_EVAL_Q} vectors as queries): does each vector's "
+    "nearest neighbor share its label?  THE quick intrinsic gauge of "
+    "whether an embedding space separates the classes at all — read "
+    "alongside label_centroid_auc (separability of class MEANS) and "
+    "ann_ivf_kmeans_recall (whether the INDEX preserves neighbors); "
+    "a space can have clean centroids yet fail 1-NN when classes "
+    "interleave.  Determinism: the similarity_topk recipe — cosine "
+    "rounded at 6dp BEFORE ranking, vec_id tie-break, row_number "
+    "rank.  Scale shape: broadcast query block x one candidate scan; "
+    "the eval is query-bounded, never all-pairs.",
+    tags=("llm", "similarity", "vector"),
+)
+def embedding_1nn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < _KNN_EVAL_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = em.select(
+        "vec_id", F.col("label").alias("n_label"),
+        F.col("embedding").alias("cv"),
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    nn = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "q_label", "n_label", sim.alias("sim"), "vec_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+    )
+    return (
+        nn.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("n_label") == F.col("q_label"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

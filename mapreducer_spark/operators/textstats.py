@@ -2542,3 +2542,66 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_BOILER_K = 8  # prefix length (tokens) for the template fingerprint
+
+
+@register(
+    "boilerplate_prefix_clusters",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, source,
+         array_to_string(
+           ({ORACLE_TOKEN_LIST_SNIPPET})[1:{_BOILER_K}], ' ') AS prefix
+  FROM documents
+)
+SELECT prefix,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       MIN(doc_id) AS min_doc_id
+FROM p
+GROUP BY prefix
+HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, prefix
+""",
+    doc="Boilerplate / template detection by shared opening: documents "
+    f"grouped on their first-{_BOILER_K}-token prefix, clusters of "
+    "size > 1 reported with member and source counts — the cheap "
+    "header/footer/template detector (mirrored landing pages, scraped "
+    "nav chrome) a curation pass runs BEFORE near-dup MinHash, since "
+    "templated docs share openings long before they share enough "
+    "shingles to band together; cross-source clusters (n_sources > 1) "
+    "are the mirror-site signature dedup_survivorship_by_source "
+    "attributes.  Determinism: the prefix is an exact string under "
+    "the shared tokenizer (array slice + single-space join on both "
+    "engines); counting only.  Scale shape: map-side prefix "
+    "extraction (first k tokens of each doc — no full-text shuffle), "
+    "one groupBy on the prefix key with map-side partials, the "
+    "HAVING filter before anything wide.",
+    tags=("llm", "dedup", "text"),
+)
+def boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    prefix = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+                lambda x: F.length(x) > 0,
+            ),
+            1,
+            _BOILER_K,
+        ),
+        " ",
+    )
+    return (
+        d.select("doc_id", "source", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+    )

@@ -159,6 +159,10 @@ DEFAULT_PICKS = [
     "robust_price_quantity_trend",
     "priority_mix_chisq",
     "overlapping_chunk_plan",
+    "l_diversity_profile",
+    "boilerplate_prefix_clusters",
+    "embedding_1nn_label_accuracy",
+    "concurrent_orders_profile",
 ]
 
 
