@@ -188,6 +188,24 @@ def cmd_snapshot_diff(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot_merge(args: argparse.Namespace) -> int:
+    """MERGE a parquet batch of updates into a snapshot table as a new
+    version (latest row per key wins; history stays time-travelable)."""
+    from mapreducer_spark.sources.snapshots import snapshot_merge
+
+    spark = _get_spark(args)
+    updates = spark.read.parquet(args.updates)
+    v = snapshot_merge(
+        updates,
+        args.table_dir,
+        args.keys.split(","),
+        args.order_by.split(","),
+        tag=args.tag,
+    )
+    print(f"merged {args.updates} into {args.table_dir} as version {v}")
+    return 0
+
+
 def cmd_snapshot_history(args: argparse.Namespace) -> int:
     import json
 
@@ -405,6 +423,21 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--out", default=None)
     sd.add_argument("--limit", type=int, default=20)
     sd.set_defaults(fn=cmd_snapshot_diff)
+
+    sm = sub.add_parser(
+        "snapshot-merge",
+        help="MERGE (upsert) a parquet batch into a snapshot table as a "
+        "new time-travelable version",
+    )
+    sm.add_argument("table_dir")
+    sm.add_argument("updates", help="parquet dir of update rows")
+    sm.add_argument("--keys", required=True, help="comma-separated key columns")
+    sm.add_argument(
+        "--order-by", required=True,
+        help="comma-separated recency columns (max wins; updates win ties)",
+    )
+    sm.add_argument("--tag", default=None)
+    sm.set_defaults(fn=cmd_snapshot_merge)
 
     se = sub.add_parser(
         "snapshot-expire",

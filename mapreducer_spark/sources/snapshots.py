@@ -107,7 +107,7 @@ def snapshot_write(
     winner's generations, so no committed rows are ever dropped
     (tests/test_metrics_and_ingest.py two-writer stress).
     """
-    if op not in ("overwrite", "append"):
+    if op not in ("overwrite", "append", "merge"):
         raise ValueError(f"unknown snapshot op {op!r}")
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     gen = f"{_GEN_PREFIX}{uuid.uuid4().hex[:12]}"
@@ -213,6 +213,65 @@ def snapshot_read(
     manifest = _read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, d) for d in _manifest_dirs(manifest)]
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def snapshot_merge(
+    updates: DataFrame,
+    table_dir: str,
+    key_cols: list,
+    order_cols: list,
+    tag: str | None = None,
+) -> int:
+    """MERGE INTO at the snapshot layer: upsert ``updates`` into the
+    table's head (latest row per ``key_cols`` across existing ∪ updates,
+    "latest" = max over ``order_cols`` with updates outranking existing
+    rows on ties) and commit the result as a NEW VERSION; returns the
+    committed version number.
+
+    This is the transactional sibling of ``ingest.merge_upsert`` (whose
+    rename swap destroys history): here every pre-merge version stays
+    time-travel-readable, the commit is the same O_EXCL manifest create
+    with optimistic retry, and a crash mid-merge leaves the head
+    untouched.  A first merge into an empty table is just the deduped
+    updates.  Schema evolution composes: updates may ADD columns (the
+    head reads through mergeSchema, pre-existing rows take NULL).
+
+    The merged result is materialized as one new full generation
+    (op="merge" manifest) — the Delta/Iceberg copy-on-write MERGE
+    strategy; a merge-on-read variant (delete files + log) trades our
+    simple reader for cheaper writes and needs nothing from callers to
+    adopt later, since the manifest already names arbitrary generation
+    lists.
+
+    Tie semantics: an update row with order_cols EQUAL to the existing
+    row's wins (__src=1 beats 0 in the ordering), so re-merging the
+    same batch is idempotent AND an explicit correction with an
+    unchanged timestamp still lands.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = updates.sparkSession
+    versions = _list_versions(table_dir)
+    if versions:
+        existing = snapshot_read(spark, table_dir).withColumn(
+            "__src", F.lit(0)
+        )
+        tagged = updates.withColumn("__src", F.lit(1))
+        # unionByName with allowMissingColumns: the schema-evolution
+        # path (updates add a column -> existing rows read NULL).
+        unioned = existing.unionByName(tagged, allowMissingColumns=True)
+    else:
+        unioned = updates.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
+    )
+    merged = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    return snapshot_write(merged, table_dir, op="merge", tag=tag)
 
 
 def snapshot_diff(

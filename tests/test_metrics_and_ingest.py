@@ -735,3 +735,105 @@ def test_snapshot_append_chains_onto_compacted_head(spark, tmp_path):
     assert {r.id for r in snapshot_read(spark, tdir).collect()} == set(
         range(90)
     )
+
+
+def test_snapshot_merge_upsert_lifecycle(spark, tmp_path):
+    """snapshot_merge: upsert commits a new version (update + insert +
+    untouched rows), history stays time-travel-readable, re-merging the
+    same batch is idempotent, and updates may add columns (schema
+    evolution through the merge path)."""
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "merge_table")
+    v0 = snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 10), (3, "c", 10)],
+            "id long, s string, ver long",
+        ),
+        tdir,
+    )
+    # Update id=2 (higher ver), insert id=4; id 1/3 untouched.
+    v1 = snapshot_merge(
+        spark.createDataFrame(
+            [(2, "b2", 11), (4, "d", 11)], "id long, s string, ver long"
+        ),
+        tdir,
+        key_cols=["id"],
+        order_cols=["ver"],
+    )
+    assert (v0, v1) == (0, 1)
+    head = {(r.id, r.s, r.ver) for r in snapshot_read(spark, tdir).collect()}
+    assert head == {(1, "a", 10), (2, "b2", 11), (3, "c", 10), (4, "d", 11)}
+    # Pre-merge version is unchanged (time travel).
+    old = {(r.id, r.s) for r in snapshot_read(spark, tdir, version=0).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+    assert snapshot_history(tdir)[-1]["op"] == "merge"
+
+    # A STALE update (lower ver) must NOT clobber the newer row.
+    snapshot_merge(
+        spark.createDataFrame([(2, "stale", 9)], "id long, s string, ver long"),
+        tdir,
+        key_cols=["id"],
+        order_cols=["ver"],
+    )
+    assert {
+        (r.id, r.s) for r in snapshot_read(spark, tdir).collect()
+    } == {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
+
+    # Idempotent re-merge: same batch again, same head content.
+    v3 = snapshot_merge(
+        spark.createDataFrame(
+            [(2, "b2", 11), (4, "d", 11)], "id long, s string, ver long"
+        ),
+        tdir,
+        key_cols=["id"],
+        order_cols=["ver"],
+    )
+    assert v3 == 3
+    assert {
+        (r.id, r.s, r.ver) for r in snapshot_read(spark, tdir).collect()
+    } == head
+
+    # Schema evolution: updates add a column; old rows read NULL.
+    snapshot_merge(
+        spark.createDataFrame(
+            [(5, "e", 12, "extra")], "id long, s string, ver long, note string"
+        ),
+        tdir,
+        key_cols=["id"],
+        order_cols=["ver"],
+    )
+    rows = {
+        (r.id, r.s, r.note) for r in snapshot_read(spark, tdir).collect()
+    }
+    assert (5, "e", "extra") in rows
+    assert (1, "a", None) in rows
+
+
+def test_snapshot_merge_into_empty_table(spark, tmp_path):
+    """First merge into a nonexistent table is just the deduped batch
+    (latest per key within the batch itself)."""
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    tdir = str(tmp_path / "merge_fresh")
+    v = snapshot_merge(
+        spark.createDataFrame(
+            [(1, "old", 1), (1, "new", 2), (2, "x", 1)],
+            "id long, s string, ver long",
+        ),
+        tdir,
+        key_cols=["id"],
+        order_cols=["ver"],
+    )
+    assert v == 0
+    assert {
+        (r.id, r.s) for r in snapshot_read(spark, tdir).collect()
+    } == {(1, "new"), (2, "x")}
