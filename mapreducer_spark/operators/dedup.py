@@ -1987,3 +1987,63 @@ def dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(lost).cast("double") / F.count(F.lit(1)), 6
         ).alias("loss_rate"),
     )
+
+
+@register(
+    "cross_source_neardup_matrix",
+    oracle=f"""
+WITH pairs AS ({ORACLE_NEARDUP_PAIRS_SQL})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN da.source <= db.source
+                                THEN pairs.id_a ELSE pairs.id_b END)
+            AS BIGINT) AS n_docs_a
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.id_a
+JOIN documents db ON db.doc_id = pairs.id_b
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, source_a, source_b
+""",
+    doc="Cross-source near-duplicate matrix: the near-dup pair graph "
+    "(neardup_jaccard_blocked's memoized pair frame) attributed to "
+    "source pairs — WHICH sources copy from which, the mirror-site / "
+    "syndication map that decides whether to drop a whole source "
+    "rather than dedup it doc-by-doc (the aggregate view behind "
+    "dedup_survivorship_by_source's keep/lose accounting; diagonal "
+    "entries are within-source duplication, off-diagonal are "
+    "mirrors).  Unordered source pairs via least/greatest so the "
+    "matrix is upper-triangular.  Determinism: pure counting over "
+    "the deterministic pair set.  Scale shape: the pair frame is "
+    "orders of magnitude smaller than the corpus; two dimension "
+    "joins to attach sources, one aggregation on the ~|sources|^2 "
+    "grid.",
+    tags=("llm", "dedup", "join"),
+)
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+    )
+    attributed = pairs.join(F.broadcast(da), "id_a").join(
+        F.broadcast(db), "id_b"
+    )
+    return (
+        attributed.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_a"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_a").cast("long").alias("n_docs_a"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+    )

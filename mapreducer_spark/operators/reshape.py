@@ -766,3 +766,104 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "o_orderkey")
         .limit(_WRS_N)
     )
+
+
+# chi-square(0.95, df=4): sample-vs-population priority mix.
+_SAMPLE_CHISQ_CRIT_4 = 9.488
+
+
+@register(
+    "sample_bias_chisq",
+    oracle=f"""
+WITH pop AS (
+  SELECT o_orderpriority AS pri, COUNT(*) AS c_full FROM orders GROUP BY 1
+),
+nf AS (SELECT SUM(c_full) AS n_full FROM pop),
+samp AS (
+  SELECT o_orderpriority AS pri, COUNT(*) AS c_s
+  FROM orders
+  WHERE {oracle_md5_int64("CAST(o_orderkey AS VARCHAR)")} % 100 < 10
+  GROUP BY 1
+),
+ns AS (SELECT SUM(c_s) AS n_s FROM samp),
+terms AS (
+  SELECT pop.pri,
+         CAST(COALESCE(samp.c_s, 0) AS BIGINT) AS c_s,
+         CAST(ns.n_s AS DOUBLE) * CAST(pop.c_full AS DOUBLE)
+           / CAST(nf.n_full AS DOUBLE) AS e
+  FROM pop LEFT JOIN samp ON samp.pri = pop.pri
+  CROSS JOIN nf CROSS JOIN ns
+)
+SELECT CAST(MAX(n_s) AS BIGINT) AS n_sampled,
+       CAST(MAX(n_full) AS BIGINT) AS n_full,
+       CAST(COUNT(*) - 1 AS BIGINT) AS df,
+       round(CAST(SUM(CAST(round((c_s - e) * (c_s - e) / e, 8)
+                           AS DECIMAL(28,8))) AS DOUBLE), 6) AS chi2,
+       CAST({_SAMPLE_CHISQ_CRIT_4} AS DOUBLE) AS crit_95,
+       CAST(SUM(CAST(round((c_s - e) * (c_s - e) / e, 8)
+                     AS DECIMAL(28,8))) AS DOUBLE)
+         > {_SAMPLE_CHISQ_CRIT_4} AS biased
+FROM terms CROSS JOIN nf CROSS JOIN ns
+""",
+    doc="Sampler bias audit: chi-square goodness-of-fit of the 10% "
+    "hash sample's priority mix against the full-table proportions — "
+    "the engine auditing ITS OWN sampling primitive "
+    "(hash_sampled_orders); a deterministic hash keyed on an id "
+    "UNCORRELATED with the stratum should pass, and this query is "
+    "the regression test that keeps it honest if the hash or key "
+    "ever changes (a hash on a priority-correlated key would light "
+    "up here).  Expected counts scale full-table proportions to the "
+    "realized sample size, so the test isolates COMPOSITION bias "
+    "from rate noise.  Determinism: identical-order double folds of "
+    "exact counts, 8dp-rounded terms into a decimal sum, literal "
+    "critical value (df=4).  Scale shape: two aggregations of the "
+    "same scan (one filtered by the pushdown-friendly hash "
+    "predicate), everything else on 5 rows.",
+    tags=("sampling", "profiling", "agg"),
+)
+def sample_bias_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    full = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("c_full")
+    )
+    nf = full.agg(F.sum("c_full").alias("n_full"))
+    samp = (
+        o.where(
+            F.pmod(
+                md5_int64(F.col("o_orderkey").cast("string")), F.lit(100)
+            )
+            < 10
+        )
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    ns = samp.agg(F.sum("c_s").alias("n_s"))
+    e = (
+        F.col("n_s").cast("double")
+        * F.col("c_full").cast("double")
+        / F.col("n_full").cast("double")
+    )
+    terms = (
+        full.join(samp, "pri", "left")
+        .crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_s",
+            "n_full",
+            F.coalesce(F.col("c_s"), F.lit(0)).cast("long").alias("c_s"),
+            e.alias("e"),
+        )
+    )
+    t = F.round(
+        (F.col("c_s") - F.col("e")) * (F.col("c_s") - F.col("e"))
+        / F.col("e"),
+        8,
+    ).cast("decimal(28,8)")
+    return terms.agg(
+        F.max("n_s").cast("long").alias("n_sampled"),
+        F.max("n_full").cast("long").alias("n_full"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("df"),
+        F.round(F.sum(t).cast("double"), 6).alias("chi2"),
+        F.lit(_SAMPLE_CHISQ_CRIT_4).alias("crit_95"),
+        (F.sum(t).cast("double") > _SAMPLE_CHISQ_CRIT_4).alias("biased"),
+    )

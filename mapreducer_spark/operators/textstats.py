@@ -2605,3 +2605,161 @@ def boilerplate_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy(F.col("n_docs").desc(), "prefix")
     )
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, t
+  FROM (SELECT source, {ORACLE_TOKENS_SNIPPET} AS t FROM documents)
+  WHERE length(t) > 0
+),
+pts AS (
+  SELECT source,
+         round(ln(CAST(COUNT(*) AS DOUBLE)), 8) AS x,
+         round(ln(CAST(COUNT(DISTINCT t) AS DOUBLE)), 8) AS y
+  FROM tok GROUP BY source
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 8) AS DECIMAL(28,8))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(round(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE)
+           AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_sources,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0.0
+         AS heaps_beta,
+       round(exp(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * sx / n), 6) AS heaps_k
+FROM m
+""",
+    doc="Heaps'-law fit V = K * N^beta over per-source (tokens, types) "
+    "points: log-log OLS slope = the vocabulary-growth exponent — the "
+    "companion to corpus_zipf_fit (Zipf governs the frequency head, "
+    "Heaps the type tail; beta ~ 0.4-0.6 for natural text, ~0 for a "
+    "closed template vocabulary like this fixture's, which is itself "
+    "the diagnostic: flat Heaps = synthetic/boilerplate corpus).  "
+    "Determinism: per-source counts are exact; logs round at 8dp, "
+    "moment products round at 8dp into decimal sums, the closed-form "
+    "slope folds identically; tiny magnitudes throughout.  Scale "
+    "shape: one (source, token) distinct-count aggregation, the fit "
+    "on |sources| points.",
+    tags=("llm", "text", "mining"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)
+            ).alias("t"),
+        )
+        .where(F.length("t") > 0)
+    )
+    pts = tok.groupBy("source").agg(
+        F.round(F.log(F.count(F.lit(1)).cast("double")), 8).alias("x"),
+        F.round(F.log(F.countDistinct("t").cast("double")), 8).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    dsum = lambda c: F.sum(c.cast("decimal(28,8)")).cast(  # noqa: E731
+        "double"
+    )
+    m = pts.agg(
+        n.alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("y"), 8)).alias("sxy"),
+        dsum(F.round(F.col("x") * F.col("x"), 8)).alias("sxx"),
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_sources"),
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        F.round(
+            F.exp(F.col("sy") / F.col("n") - beta * F.col("sx") / F.col("n")),
+            6,
+        ).alias("heaps_k"),
+    )
+
+
+_POS_ENTROPY_K = 10  # leading token positions profiled
+
+
+@register(
+    "positional_token_entropy",
+    oracle=f"""
+WITH pos AS (
+  SELECT i.i AS pos, ts[i.i] AS t
+  FROM (SELECT {ORACLE_TOKEN_LIST_SNIPPET} AS ts FROM documents),
+       generate_series(1, {_POS_ENTROPY_K}) AS i(i)
+  WHERE len(ts) >= i.i
+),
+cnt AS (SELECT pos, t, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+tot AS (SELECT pos, SUM(c) AS n FROM cnt GROUP BY 1),
+terms AS (
+  SELECT cnt.pos,
+         CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 10)
+              AS DECIMAL(28,10)) AS h
+  FROM cnt JOIN tot ON tot.pos = cnt.pos
+)
+SELECT terms.pos,
+       CAST(MAX(tot.n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(SUM(h) AS DOUBLE), 6) AS entropy_bits
+FROM terms JOIN tot ON tot.pos = terms.pos
+GROUP BY terms.pos
+ORDER BY terms.pos
+""",
+    doc=f"Token entropy by position (first {_POS_ENTROPY_K} tokens): "
+    "the Shannon entropy of the token distribution AT each leading "
+    "position — boilerplate shows as low-entropy early positions "
+    "(every doc opens the same way) relaxing toward the corpus "
+    "baseline, exactly the positional signature "
+    "boilerplate_prefix_clusters' whole-prefix grouping cannot "
+    "localize (entropy says WHERE the template ends).  Determinism: "
+    "probabilities are identical-order double divisions of exact "
+    "counts; -p*log2(p) terms round at 10dp into decimal sums.  "
+    "Scale shape: map-side slice of the first k tokens (no full-text "
+    "explode), one (pos, token) aggregation bounded by k x vocab.",
+    tags=("llm", "text", "profiling"),
+)
+def positional_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    ts = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+        lambda x: F.length(x) > 0,
+    )
+    pos = (
+        d.select(
+            F.posexplode(F.slice(ts, 1, _POS_ENTROPY_K)).alias(
+                "pos0", "t"
+            )
+        )
+        .select((F.col("pos0") + 1).alias("pos"), "t")
+    )
+    cnt = pos.groupBy("pos", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("pos").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = cnt.join(F.broadcast(tot), "pos").select(
+        "pos",
+        "n",
+        F.round(-p * F.log2(p), 10).cast("decimal(28,10)").alias("h"),
+    )
+    return (
+        terms.groupBy("pos")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.round(F.sum("h").cast("double"), 6).alias("entropy_bits"),
+        )
+        .orderBy("pos")
+    )

@@ -163,6 +163,10 @@ DEFAULT_PICKS = [
     "boilerplate_prefix_clusters",
     "embedding_1nn_label_accuracy",
     "concurrent_orders_profile",
+    "cross_source_neardup_matrix",
+    "heaps_law_fit",
+    "positional_token_entropy",
+    "sample_bias_chisq",
 ]
 
 
