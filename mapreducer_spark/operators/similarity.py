@@ -3267,3 +3267,138 @@ def embedding_1nn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_KM_K = 4  # clusters (seeded from vec_id 0..3)
+_KM_ROUNDS = 3  # fixed Lloyd rounds — hash-stable at any scale
+_KM_D = 64
+
+
+def _oracle_kmeans_sql() -> str:
+    """Unrolled fixed-round spherical k-means as chained CTEs."""
+    steps = []
+    for r in range(1, _KM_ROUNDS + 1):
+        steps.append(f"""
+a{r} AS (
+  SELECT vec_id, cent_id, v, sim FROM (
+    SELECT e.vec_id, c.cent_id, e.v,
+           round(list_cosine_similarity(e.v, c.cv), 6) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                      c.cent_id) AS rnk
+    FROM e CROSS JOIN c{r - 1} c
+  ) WHERE rnk = 1
+)""")
+        if r < _KM_ROUNDS:
+            steps.append(f"""
+c{r} AS (
+  SELECT cent_id, list(val ORDER BY dim) AS cv FROM (
+    SELECT cent_id, i.i AS dim,
+           round(CAST(SUM(CAST(v[i.i] AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS val
+    FROM a{r}, generate_series(1, {_KM_D}) AS i(i)
+    GROUP BY cent_id, i.i
+  ) GROUP BY cent_id
+)""")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_KM_K}),
+{",".join(steps)}
+SELECT cent_id AS cluster,
+       COUNT(*) AS n_members,
+       round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_cosine
+FROM a{_KM_ROUNDS}
+GROUP BY cent_id
+ORDER BY cluster
+"""
+
+
+@register(
+    "embedding_kmeans_spherical",
+    oracle=_oracle_kmeans_sql(),
+    doc=f"In-engine spherical k-means (k={_KM_K}, FIXED {_KM_ROUNDS} "
+    "Lloyd rounds, centroids seeded from the first k vectors): "
+    "assign-to-max-cosine then recompute per-dimension centroid means "
+    "each round — the iterative-dataflow flagship beyond the graph "
+    "family (PageRank/k-core iterate on edges; this iterates on a "
+    "dense matrix), and the IN-ENGINE sibling of the frozen offline "
+    "IVF coarse quantizer (tools/train_ivf_index.py trains out-of-"
+    "band; this shows the training loop itself is expressible as "
+    "oracle-checked dataflow).  Fixed-round semantics like PageRank: "
+    "the result is 'the clustering after R rounds', hash-stable at "
+    "any scale.  Determinism: cosines via the bit-identical HOF fold "
+    "(similarity_topk recipe) rounded 6dp BEFORE argmax with a "
+    "cent_id tie-break; centroid means are decimal(28,12) sums "
+    "rounded 6dp, so next-round inputs are exactly equal on both "
+    "engines; member arrays rebuild via array_sort(struct(dim, val)) "
+    "— never collect_list order.  Scale shape: per round ONE "
+    "broadcast of k tiny centroid rows x one scan (assignment is "
+    "map-side), one (cluster x dim) aggregation with map-side "
+    "partials; centroid frames localCheckpoint so the plan stays "
+    "flat in rounds (the PageRank lesson).",
+    tags=("llm", "similarity", "vector", "iterative"),
+)
+def embedding_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = em.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform("v", lambda x: x.cast("double")).alias("cv"),
+    ).localCheckpoint(eager=True)
+
+    assign = None
+    for r in range(1, _KM_ROUNDS + 1):
+        sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cent_id")
+        )
+        assign = (
+            em.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cent_id", "v", sim.alias("sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .drop("rnk")
+        )
+        if r < _KM_ROUNDS:
+            flat = assign.select(
+                "cent_id", F.posexplode("v").alias("pos0", "valf")
+            ).select(
+                "cent_id",
+                (F.col("pos0") + 1).alias("dim"),
+                F.col("valf").cast("double").alias("x"),
+            )
+            dimmeans = flat.groupBy("cent_id", "dim").agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("val")
+            )
+            cents = (
+                dimmeans.groupBy("cent_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("dim", "val"))
+                        ),
+                        lambda s: s["val"],
+                    ).alias("cv")
+                )
+                .localCheckpoint(eager=True)
+            )
+    return (
+        assign.groupBy(F.col("cent_id").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cosine"),
+        )
+        .orderBy("cluster")
+    )

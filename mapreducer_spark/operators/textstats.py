@@ -2763,3 +2763,133 @@ def positional_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+@register(
+    "corpus_entropy_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+uni AS (
+  SELECT u AS tok, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1
+),
+nu AS (SELECT SUM(c) AS n FROM uni),
+big AS (
+  SELECT a, b, COUNT(*) AS cab FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(t) - 1), i -> t[i])) AS a,
+           unnest(list_transform(
+             generate_series(1, len(t) - 1), i -> t[i + 1])) AS b
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY 1, 2
+),
+ctx AS (SELECT a, SUM(cab) AS ca FROM big GROUP BY 1),
+nb AS (SELECT SUM(cab) AS n FROM big),
+hu AS (
+  SELECT CAST(SUM(CAST(round(
+           -(CAST(c AS DOUBLE) / nu.n)
+           * log2(CAST(c AS DOUBLE) / nu.n), 10) AS DECIMAL(28,10)))
+         AS DOUBLE) AS h
+  FROM uni CROSS JOIN nu
+),
+hb AS (
+  SELECT CAST(SUM(CAST(round(
+           -(CAST(cab AS DOUBLE) / nb.n)
+           * (log2(CAST(cab AS DOUBLE)) - log2(CAST(ctx.ca AS DOUBLE))),
+           10) AS DECIMAL(28,10))) AS DOUBLE) AS h
+  FROM big JOIN ctx ON ctx.a = big.a CROSS JOIN nb
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS vocab_size,
+       (SELECT CAST(n AS BIGINT) FROM nu) AS n_tokens,
+       (SELECT CAST(n AS BIGINT) FROM nb) AS n_bigrams,
+       round((SELECT h FROM hu), 6) AS unigram_entropy_bits,
+       round((SELECT h FROM hb), 6) AS entropy_rate_bits,
+       round((SELECT h FROM hu) - (SELECT h FROM hb), 6)
+         AS predictability_gain_bits
+""",
+    doc="Corpus entropy rate: unigram entropy H(X) vs bigram "
+    "conditional entropy H(X_t | X_t-1) (within-document pairs, the "
+    "bigram_topk derivation) — the information-theoretic compressibility "
+    "pair behind the LM ladder: the gap H(X) - H(X|prev) is exactly "
+    "the predictive value of one token of context, i.e. what "
+    "doc_bigram_perplexity's model can exploit over "
+    "doc_unigram_logprob's, stated corpus-wide in bits; "
+    "source_token_entropy gives the per-source marginal view.  "
+    "Determinism: all probabilities are identical-order double "
+    "divisions of exact counts; conditional terms use "
+    "log2(c_ab) - log2(c_a) (exact-count logs, the PMI recipe) and "
+    "every term rounds at 10dp into decimal sums.  Scale shape: one "
+    "unigram and one bigram aggregation (map-side pairing, shuffle "
+    "carries (gram, partial count)), folds on the vocab-bounded "
+    "frames.",
+    tags=("llm", "text", "profiling"),
+)
+def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    with_toks = d.select(_tokens_col().alias("t"))
+    uni = (
+        with_toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    pairs = with_toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("a"),
+                    F.element_at("t", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    )
+    big = pairs.groupBy("p.a", "p.b").agg(F.count(F.lit(1)).alias("cab"))
+    big = big.localCheckpoint(eager=True)
+    ctx = big.groupBy("a").agg(F.sum("cab").alias("ca"))
+    nb = big.agg(F.sum("cab").alias("n"))
+    hu_term = F.round(
+        -(F.col("c").cast("double") / F.col("n"))
+        * F.log2(F.col("c").cast("double") / F.col("n")),
+        10,
+    ).cast("decimal(28,10)")
+    hu = (
+        uni.crossJoin(F.broadcast(nu.select("n")))
+        .agg(F.sum(hu_term).cast("double").alias("hu"))
+    )
+    hb_term = F.round(
+        -(F.col("cab").cast("double") / F.col("n"))
+        * (
+            F.log2(F.col("cab").cast("double"))
+            - F.log2(F.col("ca").cast("double"))
+        ),
+        10,
+    ).cast("decimal(28,10)")
+    hb = (
+        big.join(F.broadcast(ctx), "a")
+        .crossJoin(F.broadcast(nb))
+        .agg(F.sum(hb_term).cast("double").alias("hb"))
+    )
+    return (
+        nu.select(
+            F.col("vocab").cast("long").alias("vocab_size"),
+            F.col("n").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(nb.select(F.col("n").cast("long").alias("n_bigrams"))))
+        .crossJoin(F.broadcast(hu))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "vocab_size",
+            "n_tokens",
+            "n_bigrams",
+            F.round(F.col("hu"), 6).alias("unigram_entropy_bits"),
+            F.round(F.col("hb"), 6).alias("entropy_rate_bits"),
+            F.round(F.col("hu") - F.col("hb"), 6).alias(
+                "predictability_gain_bits"
+            ),
+        )
+    )

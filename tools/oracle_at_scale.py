@@ -167,6 +167,8 @@ DEFAULT_PICKS = [
     "heaps_law_fit",
     "positional_token_entropy",
     "sample_bias_chisq",
+    "embedding_kmeans_spherical",
+    "corpus_entropy_rate",
 ]
 
 
