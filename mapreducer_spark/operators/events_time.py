@@ -1792,3 +1792,210 @@ def conversion_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_min",
         )
     )
+
+
+@register(
+    "user_lifecycle_states",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+seq AS (
+  SELECT user_id, wk,
+         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+  FROM uw
+),
+states AS (
+  SELECT wk,
+         CASE WHEN prev_wk IS NULL THEN 'new'
+              WHEN date_diff('day', prev_wk, wk) = 7 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM seq
+),
+active AS (SELECT wk, COUNT(*) AS n_active FROM states GROUP BY 1),
+counts AS (
+  SELECT wk, state, COUNT(*) AS n_users FROM states GROUP BY 1, 2
+),
+churn AS (
+  SELECT CAST(a.wk + 7 AS DATE) AS wk,
+         a.n_active
+           - COALESCE((SELECT n_users FROM counts c
+                       WHERE c.wk = CAST(a.wk + 7 AS DATE)
+                         AND c.state = 'retained'), 0) AS n_users
+  FROM active a
+  WHERE EXISTS (SELECT 1 FROM active x WHERE x.wk = CAST(a.wk + 7 AS DATE))
+)
+SELECT wk AS week, state, CAST(n_users AS BIGINT) AS n_users
+FROM (
+  SELECT wk, state, n_users FROM counts
+  UNION ALL
+  SELECT wk, 'churned', n_users FROM churn
+)
+ORDER BY week, state
+""",
+    doc="Weekly growth-accounting lifecycle states (the Social-Capital "
+    "accounting identity): each active user-week is 'new' (first week "
+    "ever), 'retained' (active the immediately previous week), or "
+    "'resurrected' (returning after a gap); 'churned' at week W is "
+    "last week's actives minus this week's retained — so "
+    "active(W) - active(W-1) = new + resurrected - churned by "
+    "construction, the decomposition growth teams actually reconcile "
+    "(new_vs_returning_revenue is its revenue shadow; "
+    "user_stickiness_dau_wau its intensity gauge).  Weeks via "
+    "date_trunc so both engines bucket identically; churn weeks "
+    "restricted to weeks that exist in the data.  Pure integer/date "
+    "arithmetic.  Scale shape: one distinct collapse to user-weeks, "
+    "one user-keyed lag window, dimension-sized week-level frames "
+    "after.",
+    tags=("events", "window", "mining"),
+)
+def user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.withColumn("prev_wk", F.lag("wk").over(w))
+    states = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.datediff("wk", "prev_wk") == 7, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    states = states.localCheckpoint(eager=True)
+    counts = states.groupBy("wk", "state").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    active = states.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
+    nxt = active.select(
+        F.date_add("wk", 7).alias("wk"), F.col("n_active").alias("prev_active")
+    )
+    retained = counts.where(F.col("state") == "retained").select(
+        "wk", F.col("n_users").alias("n_retained")
+    )
+    week_exists = active.select("wk")
+    churn = (
+        nxt.join(week_exists, "wk")
+        .join(retained, "wk", "left")
+        .select(
+            "wk",
+            F.lit("churned").alias("state"),
+            (
+                F.col("prev_active")
+                - F.coalesce(F.col("n_retained"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_users"),
+        )
+    )
+    return (
+        counts.select("wk", "state", F.col("n_users").cast("long").alias("n_users"))
+        .unionAll(churn)
+        .select(F.col("wk").alias("week"), "state", "n_users")
+        .orderBy("week", "state")
+    )
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "multitouch_attribution",
+    oracle=f"""
+WITH purch AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST("value" AS DECIMAL(18,2)) AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id, user_id, event_type, ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+matched AS (
+  SELECT p.p_id, p.amount, t.event_type,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches
+  FROM purch p JOIN touch t
+    ON t.user_id = p.user_id
+   AND t.ts <= p.p_ts
+   AND t.ts > p.p_ts - INTERVAL '{_ATTR_WINDOW_DAYS} days'
+),
+credited AS (
+  SELECT event_type,
+         CAST(round(CAST(amount AS DOUBLE) / n_touches, 6)
+              AS DECIMAL(28,6)) AS credit,
+         p_id, n_touches
+  FROM matched
+)
+SELECT event_type AS channel,
+       COUNT(*) AS n_touches_credited,
+       CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+       round(CAST(SUM(credit) AS DOUBLE), 2) AS attributed_revenue
+FROM credited
+GROUP BY event_type
+ORDER BY channel
+""",
+    doc="Linear multi-touch attribution: each purchase's value is split "
+    f"equally across the user's view/click touches in the "
+    f"{_ATTR_WINDOW_DAYS} days before it — the marketing-analytics "
+    "counterpart of purchase_attribution_asof's last-touch rule "
+    "(last-touch over-credits the final click; linear is the standard "
+    "first alternative) and conversion_delay_percentiles' latency "
+    "view.  Determinism: per-touch credit = amount/n_touches rounds "
+    "at 6dp into DECIMAL sums (partition-order invariant); the touch "
+    "count per purchase is a window over exact matches.  Scale "
+    "shape: the touch join is user-keyed with a bounded time-range "
+    "predicate (per-user event counts are bounded, the "
+    "concurrent_orders argument), one channel-level readout.",
+    tags=("events", "join", "window-time", "mining"),
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    purch = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("amount"),
+    )
+    touch = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_type"), F.col("ts")
+    )
+    matched = purch.join(
+        touch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") <= F.col("p_ts"))
+        & (
+            F.col("ts")
+            > F.col("p_ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")
+        ),
+    ).withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    )
+    credited = matched.select(
+        "event_type",
+        "p_id",
+        F.round(
+            F.col("amount").cast("double") / F.col("n_touches"), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("credit"),
+    )
+    return (
+        credited.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches_credited"),
+            F.countDistinct("p_id").cast("long").alias(
+                "n_purchases_touched"
+            ),
+            F.round(F.sum("credit").cast("double"), 2).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("channel")
+    )

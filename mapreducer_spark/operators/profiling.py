@@ -2079,3 +2079,87 @@ def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("top_seg_n").cast("double") / F.col("gsize")), 6
         ).alias("worst_top_share"),
     )
+
+
+@register(
+    "spend_frequency_rank_correlation",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+         COUNT(*) AS freq
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS r_spend,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey) AS r_freq
+  FROM cust
+)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(CAST((r_spend - r_freq) * (r_spend - r_freq)
+                     AS DECIMAL(38,0))) AS BIGINT) AS sum_d2,
+       round(1.0 - 6.0 * CAST(SUM(CAST((r_spend - r_freq)
+                                       * (r_spend - r_freq)
+                                       AS DECIMAL(38,0))) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE)
+                * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1)), 6)
+         AS spearman_rho
+FROM ranked
+""",
+    doc="Spearman rank correlation between customer spend and order "
+    "frequency: rho = 1 - 6*sum(d^2)/(n^3 - n) over the two rank "
+    "orders — the monotone-association gauge that Pearson "
+    "(lineitem_correlation_matrix) misses when the relation is "
+    "nonlinear; high rho says frequency alone is a fine spend proxy "
+    "for segmentation (customer_rfm_segments' f and m bands would "
+    "then collapse).  Ranks are row_number with a custkey tie-break "
+    "(tie-broken Spearman, not average-rank — documented choice that "
+    "keeps everything integer-exact and hash-stable).  sum(d^2) is "
+    "an exact decimal; the final double division is safe while "
+    "sum(d^2) < 2^53, i.e. to ~200k customers per run — past that, "
+    "divide in decimal (documented bound, 130x today's 10x "
+    "fixture).  Scale shape: one customer collapse, two rank windows "
+    "over the customer DIMENSION (the abc_inventory argument), one "
+    "fold.",
+    tags=("profiling", "window", "mining"),
+)
+def spend_frequency_rank_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        F.count(F.lit(1)).alias("freq"),
+    )
+    r_spend = F.row_number().over(
+        Window.orderBy(F.col("spend").desc(), "o_custkey")
+    )
+    r_freq = F.row_number().over(
+        Window.orderBy(F.col("freq").desc(), "o_custkey")
+    )
+    ranked = cust.select(
+        r_spend.alias("r_spend"), r_freq.alias("r_freq")
+    )
+    d2 = F.sum(
+        (
+            (F.col("r_spend") - F.col("r_freq"))
+            * (F.col("r_spend") - F.col("r_freq"))
+        ).cast("decimal(38,0)")
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        d2.cast("long").alias("sum_d2"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * d2.cast("double")
+            / (
+                n.cast("double")
+                * (n.cast("double") * n - 1)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -169,6 +169,9 @@ DEFAULT_PICKS = [
     "sample_bias_chisq",
     "embedding_kmeans_spherical",
     "corpus_entropy_rate",
+    "user_lifecycle_states",
+    "multitouch_attribution",
+    "spend_frequency_rank_correlation",
 ]
 
 
