@@ -2163,3 +2163,194 @@ def spend_frequency_rank_correlation(
             6,
         ).alias("spearman_rho"),
     )
+
+
+# F(0.95; df1=4, df2=inf) — the 5-group one-way ANOVA critical value at
+# the fixture's effectively-infinite within-group df.
+_ANOVA_F_CRIT = 2.372
+
+
+@register(
+    "price_anova_by_priority",
+    oracle=f"""
+WITH mu AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS m
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority AS grp, o_totalprice / mu.m AS x
+  FROM orders CROSS JOIN mu
+),
+g AS (
+  SELECT grp, COUNT(*) AS n_g,
+         CAST(SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sxx
+  FROM r GROUP BY grp
+),
+tot AS (
+  SELECT COUNT(*) AS k, SUM(n_g) AS n,
+         CAST(SUM(CAST(sx AS DECIMAL(28,6))) AS DOUBLE) AS sx_all,
+         CAST(SUM(CAST(sxx AS DECIMAL(28,6))) AS DOUBLE) AS sxx_all,
+         CAST(SUM(CAST(round(sx * sx / n_g, 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sgm
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       round(((sgm - sx_all * sx_all / n) / (k - 1))
+             / ((sxx_all - sgm) / (n - k)), 6) AS f_stat,
+       CAST({_ANOVA_F_CRIT} AS DOUBLE) AS crit_95,
+       ((sgm - sx_all * sx_all / n) / (k - 1))
+         / ((sxx_all - sgm) / (n - k)) > {_ANOVA_F_CRIT} AS reject_h0
+FROM tot
+""",
+    doc="One-way ANOVA of order value across the 5 priorities: "
+    "F = between-group over within-group mean square — does priority "
+    "carry ANY price signal?  Completes the parametric side of the "
+    "test family (chi-square tests the categorical mix, KS the "
+    "two-cohort shape, this the k-group means).  The classic "
+    "computing-formula decomposition (SSB = sum(T_g^2/n_g) - T^2/n) "
+    "over MEAN-NORMALIZED values so every decimal magnitude is O(1) "
+    "at any revenue scale (the correlation-matrix trick); per-group "
+    "moments round at 6dp into decimal sums, the F folds identically, "
+    "critical value a literal (df1=4, df2=inf).  Scale shape: one "
+    "pass for the global mean, one grouped-moments pass, the F on 5 "
+    "rows.",
+    tags=("profiling", "agg", "mining"),
+)
+def price_anova_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mu = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    r = o.crossJoin(F.broadcast(mu)).select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice") / F.col("m")).alias("x"),
+    )
+    dsum = lambda c: F.sum(  # noqa: E731
+        F.round(c, 6).cast("decimal(28,6)")
+    ).cast("double")
+    g = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("sx").cast("decimal(28,6)")).cast("double").alias(
+            "sx_all"
+        ),
+        F.sum(F.col("sxx").cast("decimal(28,6)")).cast("double").alias(
+            "sxx_all"
+        ),
+        F.sum(
+            F.round(F.col("sx") * F.col("sx") / F.col("n_g"), 6).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("sgm"),
+    )
+    ssb = F.col("sgm") - F.col("sx_all") * F.col("sx_all") / F.col("n")
+    ssw = F.col("sxx_all") - F.col("sgm")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.lit(_ANOVA_F_CRIT).alias("crit_95"),
+        (f_stat > _ANOVA_F_CRIT).alias("reject_h0"),
+    )
+
+
+@register(
+    "quantity_weighted_price_median",
+    oracle="""
+WITH cell AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, price, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM cell
+)
+SELECT flag,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN price END) AS DOUBLE)
+         AS weighted_median_price,
+       CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN price END) AS DOUBLE)
+         AS weighted_p90_price
+FROM cum
+GROUP BY flag
+ORDER BY flag
+""",
+    doc="Quantity-weighted price median and p90 per return flag: the "
+    "median DOLLAR-VOLUME price point (half the units ship below it) "
+    "— a different and usually more decision-relevant statistic than "
+    "the row median (price_quantiles), which weights a 1-unit line "
+    "the same as a 50-unit line.  Weighted type-1 selection: smallest "
+    "price with 2*cumweight >= totalweight — ALL comparisons in "
+    "exact integer arithmetic (2*cw, 10*cw vs 9*tw: no q*total "
+    "double whose ULP could flip the pick), values exact decimals.  "
+    "Scale shape: collapse to (flag x price) cells with summed "
+    "integer weights (price-domain-bounded, the ship_delay argument), "
+    "cumulative windows per flag on that grid.",
+    tags=("relational", "window", "quantile"),
+)
+def quantity_weighted_price_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cell.select(
+        "flag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))
+            )
+            .cast("double")
+            .alias("weighted_median_price"),
+            F.min(
+                F.when(
+                    10 * F.col("cw") >= 9 * F.col("tw"), F.col("price")
+                )
+            )
+            .cast("double")
+            .alias("weighted_p90_price"),
+        )
+        .orderBy("flag")
+    )

@@ -867,3 +867,163 @@ def sample_bias_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_SAMPLE_CHISQ_CRIT_4).alias("crit_95"),
         (F.sum(t).cast("double") > _SAMPLE_CHISQ_CRIT_4).alias("biased"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds for the hash-bootstrap row weights
+# (cumulative e^-1 * 1/k! — enough mass for P(w<=6) ~ 0.9999917).
+_BOOT_THRESH = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406)
+_BOOT_B = 50  # replicates
+
+
+def _boot_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {i}" for i, t in enumerate(_BOOT_THRESH)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+@register(
+    "bootstrap_revenue_ci",
+    oracle=f"""
+WITH hashed AS (
+  SELECT o_totalprice,
+         {oracle_md5_int64("CAST(o_orderkey AS VARCHAR)")}
+           % 2147483647 AS h31
+  FROM orders
+),
+fan AS (
+  SELECT o_totalprice, b.b,
+         CAST(((h31 + b.b * 2654435761) % 2147483647) * 48271
+              % 2147483647 AS DOUBLE) / 2147483647 AS u
+  FROM hashed CROSS JOIN generate_series(1, {_BOOT_B}) AS b(b)
+),
+rep AS (
+  SELECT b,
+         round(CAST(SUM(CAST(o_totalprice * {_boot_w_sql("u")}
+                             AS DECIMAL(18,2))) AS DOUBLE)
+               / SUM({_boot_w_sql("u")}), 6) AS m
+  FROM fan GROUP BY b
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM rep
+),
+full_mean AS (
+  SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS mu
+  FROM orders
+)
+SELECT {_BOOT_B} AS n_replicates,
+       (SELECT mu FROM full_mean) AS full_mean,
+       round(CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 6) AS boot_mean,
+       (SELECT m FROM ranked WHERE rn = 2) AS ci_lo_95,
+       (SELECT m FROM ranked WHERE rn = {_BOOT_B - 1}) AS ci_hi_95
+FROM rep
+""",
+    doc="Hash-deterministic Poisson bootstrap CI for mean order value "
+    f"(Efron's bootstrap in its streaming multinomial~Poisson(1) "
+    f"approximation, {_BOOT_B} replicates): each row's weight in "
+    "replicate b is the Poisson(1) inverse CDF of a uniform derived "
+    "from md5(orderkey:b) — REPRODUCIBLE resampling, no RNG state, "
+    "the same replicate on any cluster topology (the "
+    "hash_sampled_orders philosophy extended to uncertainty "
+    "quantification; this is what a 100 TB pipeline uses instead of "
+    "collect-and-scipy).  CI bounds are type-1 quantile picks (ranks "
+    f"2 and {_BOOT_B - 1}) of the rounded replicate means with a "
+    "replicate-id tie-break.  Determinism: weights are exact "
+    "integers from exact hash buckets; replicate means are decimal "
+    "sums over weighted decimals rounded once.  Scale shape: one "
+    f"{_BOOT_B}-way fan-out scan (linear), {_BOOT_B} map-side-"
+    "combined partial aggregations in ONE shuffle, ranking on "
+    f"{_BOOT_B} rows.",
+    tags=("sampling", "profiling", "mining"),
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    hashed = o.select(
+        "o_totalprice",
+        F.pmod(
+            md5_int64(F.col("o_orderkey").cast("string")),
+            F.lit(2147483647),
+        ).alias("h31"),
+    )
+    # ONE md5 per row; per-replicate uniforms via an exact-integer
+    # Lehmer step on an additively-mixed seed (h31 + b*2654435761 then
+    # *48271, both mod 2^31-1 — products stay far below 2^63 so the
+    # arithmetic is exact on both engines).  The first cut hashed
+    # md5(orderkey:b) per (row x replicate) and its per-row cost was
+    # FLAT at ~14 us/row across the 1000x probe spread — 50 md5s per
+    # row was the whole query.
+    fan = hashed.select(
+        "o_totalprice",
+        "h31",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    ).withColumn(
+        "u",
+        F.pmod(
+            F.pmod(
+                F.col("h31") + F.col("b") * F.lit(2654435761),
+                F.lit(2147483647),
+            )
+            * F.lit(48271),
+            F.lit(2147483647),
+        ).cast("double")
+        / F.lit(2147483647.0),
+    )
+    w = F.lit(6)
+    for i, t in reversed(list(enumerate(_BOOT_THRESH))):
+        w = F.when(F.col("u") < t, F.lit(i)).otherwise(w)
+    rep = (
+        fan.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("o_totalprice") * F.col("w")).cast(
+                        "decimal(18,2)"
+                    )
+                ).cast("double")
+                / F.sum("w"),
+                6,
+            ).alias("m")
+        )
+    )
+    rep = rep.localCheckpoint(eager=True)
+    ranked = rep.select(
+        "m",
+        F.row_number()
+        .over(Window.orderBy("m", "b"))
+        .alias("rn"),
+    )
+    lo = ranked.where(F.col("rn") == 2).select(
+        F.col("m").alias("ci_lo_95")
+    )
+    hi = ranked.where(F.col("rn") == _BOOT_B - 1).select(
+        F.col("m").alias("ci_hi_95")
+    )
+    full_mean = o.agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("full_mean")
+    )
+    boot_mean = rep.agg(
+        F.round(
+            F.sum(F.col("m").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("boot_mean")
+    )
+    return (
+        spark.range(1)
+        .select(F.lit(_BOOT_B).alias("n_replicates"))
+        .crossJoin(F.broadcast(full_mean))
+        .crossJoin(F.broadcast(boot_mean))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )

@@ -172,6 +172,9 @@ DEFAULT_PICKS = [
     "user_lifecycle_states",
     "multitouch_attribution",
     "spend_frequency_rank_correlation",
+    "bootstrap_revenue_ci",
+    "price_anova_by_priority",
+    "quantity_weighted_price_median",
 ]
 
 
