@@ -1641,3 +1641,117 @@ def overlapping_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size", "overlap")
     )
+
+
+@register(
+    "classifier_calibration_bins",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         ({oracle_md5_int64("tok")} % {_QC_BUCKETS}) - {_QC_WSCALE} AS w
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(1.0 / (1.0 + exp(-(CAST(SUM(w) AS DOUBLE)
+               / ({_QC_WSCALE}.0 * COUNT(*))))), 6) AS score
+  FROM feats GROUP BY doc_id
+),
+gb AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS t FROM documents
+),
+gopher AS (
+  SELECT doc_id,
+         (len(t) >= {_MIN_TOKENS}
+          AND 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+              <= {_DUP_TOKEN_MAX}
+          AND CAST(list_max(list_transform(
+                list_distinct({_oracle_ngrams('t', 2)}),
+                g -> len(list_filter({_oracle_ngrams('t', 2)}, x -> x = g))
+              )) AS DOUBLE) / (len(t) - 1) <= {_TOP_BIGRAM_MAX}) AS label
+  FROM gb WHERE len(t) >= 2
+),
+binned AS (
+  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         score, CASE WHEN label THEN 1 ELSE 0 END AS y
+  FROM scored JOIN gopher USING (doc_id)
+),
+agg AS (
+  SELECT bin, COUNT(*) AS n_docs,
+         round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_predicted,
+         round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS observed_rate
+  FROM binned GROUP BY bin
+)
+SELECT bin, n_docs, mean_predicted, observed_rate,
+       round(abs(mean_predicted - observed_rate), 6) AS gap,
+       round(CAST(SUM(CAST(round(
+               abs(mean_predicted - observed_rate) * n_docs, 6)
+               AS DECIMAL(28,6))) OVER () AS DOUBLE)
+             / SUM(n_docs) OVER (), 6) AS ece
+FROM agg
+ORDER BY bin
+""",
+    doc="Reliability diagram + expected calibration error for the "
+    "hashed linear quality classifier, scored against the Gopher "
+    "repetition verdict as ground truth: per predicted-probability "
+    "decile, mean prediction vs observed pass rate, and "
+    "ECE = sum(n_b/N * |pred_b - rate_b|) — the standard ML-ops "
+    "answer to 'can I threshold this score at 0.7 and trust it "
+    "means 70%?', which perplexity_filter_calibration (retention "
+    "curve) and quality_classifier_linear (raw scores) don't by "
+    "themselves establish.  Determinism: the score is the existing "
+    "exact-integer-logit sigmoid rounded 6dp; bins are integer "
+    "floors; rates are identical-order divisions; ECE terms round "
+    "at 6dp into a decimal window sum.  Scale shape: two map-side "
+    "per-doc scorers, one 10-bin aggregation.",
+    tags=("llm", "curation", "quality"),
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    labels = repetition_metrics(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("keep").alias("label"))
+    binned = scored.join(labels, "doc_id").select(
+        F.least(
+            F.floor(F.col("score") * 10).cast("long"), F.lit(9)
+        ).alias("bin"),
+        "score",
+        F.when(F.col("label"), 1).otherwise(0).alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_predicted"),
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)), 6
+        ).alias("observed_rate"),
+    )
+    gap = F.abs(F.col("mean_predicted") - F.col("observed_rate"))
+    wall = Window.partitionBy()
+    return agg.select(
+        "bin",
+        "n_docs",
+        "mean_predicted",
+        "observed_rate",
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            F.sum(
+                F.round(gap * F.col("n_docs"), 6).cast("decimal(28,6)")
+            )
+            .over(wall)
+            .cast("double")
+            / F.sum("n_docs").over(wall),
+            6,
+        ).alias("ece"),
+    ).orderBy("bin")

@@ -1486,3 +1486,152 @@ def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "abc_xyz_matrix",
+    oracle="""
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS total FROM pr),
+abc AS (
+  SELECT l_partkey, rev,
+         CASE WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+              WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM pr CROSS JOIN tot
+),
+months AS (
+  SELECT DISTINCT year(l_shipdate) * 12 + month(l_shipdate) AS ym
+  FROM lineitem
+),
+pm AS (
+  SELECT l_partkey, year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+grid AS (
+  SELECT pr.l_partkey, months.ym, COALESCE(pm.q, 0) AS q
+  FROM pr CROSS JOIN months
+  LEFT JOIN pm ON pm.l_partkey = pr.l_partkey AND pm.ym = months.ym
+),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN sqrt(CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE)
+                        / COUNT(*)
+                      - (CAST(SUM(CAST(q AS DECIMAL(28,0))) AS DOUBLE)
+                         / COUNT(*))
+                        * (CAST(SUM(CAST(q AS DECIMAL(28,0))) AS DOUBLE)
+                           / COUNT(*)))
+                   / (CAST(SUM(CAST(q AS DECIMAL(28,0))) AS DOUBLE)
+                      / COUNT(*)) < 0.5 THEN 'X'
+              WHEN sqrt(CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE)
+                        / COUNT(*)
+                      - (CAST(SUM(CAST(q AS DECIMAL(28,0))) AS DOUBLE)
+                         / COUNT(*))
+                        * (CAST(SUM(CAST(q AS DECIMAL(28,0))) AS DOUBLE)
+                           / COUNT(*)))
+                   / (CAST(SUM(CAST(q AS DECIMAL(28,0))) AS DOUBLE)
+                      / COUNT(*)) < 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM grid GROUP BY l_partkey
+)
+SELECT abc.abc_class, xyz.xyz_class,
+       COUNT(*) AS n_parts,
+       round(CAST(SUM(abc.rev) AS DOUBLE), 2) AS revenue,
+       round(CAST(SUM(abc.rev) AS DOUBLE)
+             / CAST(MAX(tot.total) AS DOUBLE), 6) AS revenue_share
+FROM abc JOIN xyz ON xyz.l_partkey = abc.l_partkey CROSS JOIN tot
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="ABC-XYZ inventory planning matrix: revenue-concentration "
+    "classes (abc_inventory_classes' 80/95% Pareto cut) crossed with "
+    "demand-VARIABILITY classes (X: monthly-demand CV < 0.5, Y < 1.0, "
+    "Z else, over the full month grid with zero-fill — skipping empty "
+    "months would understate variability, the classic XYZ mistake) — "
+    "the 9-cell grid that decides stocking policy per cell (AX: "
+    "automate replenishment; CZ: make-to-order).  Determinism: "
+    "revenue decimal-exact with partkey tie-broken accumulation; CV "
+    "from exact integer monthly moments folded identically in "
+    "double; class edges compare identical doubles to literals.  "
+    "Scale shape: two fact collapses (part revenue, part-month "
+    "demand), one part x month zero-fill grid (dimension-bounded), "
+    "windows over the part dimension, a 9-row readout.",
+    tags=("relational", "window", "mining"),
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    pr = pr.localCheckpoint(eager=True)
+    tot = pr.agg(F.sum("rev").alias("total"))
+    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = (
+        F.sum("rev").over(wcum).cast("double")
+        / F.col("total").cast("double")
+    )
+    abc = pr.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "rev",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    ymc = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym")
+    months = li.select(ymc).distinct()
+    pm = li.groupBy("l_partkey", ymc).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q")
+    )
+    grid = (
+        pr.select("l_partkey")
+        .crossJoin(F.broadcast(months))
+        .join(pm, ["l_partkey", "ym"], "left")
+        .select(
+            "l_partkey", F.coalesce(F.col("q"), F.lit(0)).alias("q")
+        )
+    )
+    nm = F.count(F.lit(1))
+    s1 = F.sum(F.col("q").cast("decimal(28,0)")).cast("double")
+    s2 = F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    cv = F.sqrt(s2 / nm - (s1 / nm) * (s1 / nm)) / (s1 / nm)
+    xyz = grid.groupBy("l_partkey").agg(
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        )
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double")
+                / F.max("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

@@ -978,3 +978,106 @@ def concurrent_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_pairs")
     )
+
+
+_PATH_K = 3  # leading events per session in the path signature
+_PATH_TOPN = 20
+
+
+@register(
+    "session_top_paths",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL '{_GAP_MIN} minutes'
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, session_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM sessioned
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {_PATH_K}
+  GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOPN}
+""",
+    doc=f"Top session paths: each session's first {_PATH_K} event types "
+    "joined into a path signature ('view>click>purchase'), counted "
+    "and ranked — the product-analytics path report that "
+    "event_markov_transitions aggregates away (Markov sees only "
+    "pairwise hops; paths keep the actual opening sequences) and "
+    "event_funnel_ordered tests only for one hypothesized order.  "
+    "Sessionization is the exact event_sessions formulation "
+    "(30-min gap), so the two queries agree on boundaries by "
+    "construction.  Determinism: per-session ordering by (ts, "
+    "event_id); path assembly is ORDER-explicit on both engines "
+    "(sort_array struct / string_agg ORDER BY), never collect_list "
+    "order; top-N ties break on the path text.  Scale shape: one "
+    "user-keyed window pass, one session aggregation, one path "
+    "count — shuffle keys never wider than (user, session).",
+    tags=("events", "window", "session", "mining"),
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.expr(f"INTERVAL {_GAP_MIN} MINUTES")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        new_session.alias("new_session"),
+    )
+    sessioned = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    ranked = sessioned.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(ws).alias("rn"),
+    ).where(F.col("rn") <= _PATH_K)
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOPN)
+    )

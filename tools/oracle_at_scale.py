@@ -175,6 +175,9 @@ DEFAULT_PICKS = [
     "bootstrap_revenue_ci",
     "price_anova_by_priority",
     "quantity_weighted_price_median",
+    "classifier_calibration_bins",
+    "session_top_paths",
+    "abc_xyz_matrix",
 ]
 
 
