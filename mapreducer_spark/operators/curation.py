@@ -1755,3 +1755,132 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece"),
     ).orderBy("bin")
+
+
+@register(
+    "quality_score_lift_table",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         ({oracle_md5_int64("tok")} % {_QC_BUCKETS}) - {_QC_WSCALE} AS w
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(1.0 / (1.0 + exp(-(CAST(SUM(w) AS DOUBLE)
+               / ({_QC_WSCALE}.0 * COUNT(*))))), 6) AS score
+  FROM feats GROUP BY doc_id
+),
+gb AS (SELECT doc_id, {_ORACLE_TOKS} AS t FROM documents),
+gopher AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_MIN_TOKENS}
+          AND 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+              <= {_DUP_TOKEN_MAX}
+          AND CAST(list_max(list_transform(
+                list_distinct({_oracle_ngrams('t', 2)}),
+                g -> len(list_filter({_oracle_ngrams('t', 2)}, x -> x = g))
+              )) AS DOUBLE) / (len(t) - 1) <= {_TOP_BIGRAM_MAX}
+          THEN 1 ELSE 0 END AS y
+  FROM gb WHERE len(t) >= 2
+),
+buckets AS (
+  SELECT score, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored JOIN gopher USING (doc_id)
+  GROUP BY score
+),
+cum AS (
+  SELECT score,
+         SUM(n) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         SUM(pos) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+         SUM(n) OVER () AS nn, SUM(pos) OVER () AS pp
+  FROM buckets
+),
+d AS (SELECT unnest(generate_series(1, 10)) AS decile)
+SELECT d.decile,
+       CAST(MIN(CASE WHEN cum_n * 10 >= d.decile * nn THEN cum_n END)
+            AS BIGINT) AS rows_used,
+       CAST(MIN(CASE WHEN cum_n * 10 >= d.decile * nn THEN cum_pos END)
+            AS BIGINT) AS positives_captured,
+       round(CAST(MIN(CASE WHEN cum_n * 10 >= d.decile * nn
+                           THEN cum_pos END) AS DOUBLE)
+             / MAX(pp), 6) AS capture_rate,
+       round((CAST(MIN(CASE WHEN cum_n * 10 >= d.decile * nn
+                            THEN cum_pos END) AS DOUBLE)
+              / MIN(CASE WHEN cum_n * 10 >= d.decile * nn THEN cum_n END))
+             / (CAST(MAX(pp) AS DOUBLE) / MAX(nn)), 6) AS lift
+FROM d CROSS JOIN cum
+GROUP BY d.decile
+ORDER BY d.decile
+""",
+    doc="Lift / cumulative-capture table for the quality classifier "
+    "(Gopher verdict as ground truth): reading documents from the "
+    "highest score down, what share of the true positives is captured "
+    "in the top d/10 of the corpus, and the lift over random — the "
+    "RANKING-quality companion to classifier_calibration_bins' "
+    "probability-quality view (a scorer can rank perfectly yet be "
+    "uncalibrated, and vice versa), and the curve behind 'filter the "
+    "top 30%' curation decisions.  Decile boundaries are type-1 picks "
+    "on the score-collapsed cumulative frame with ALL rank "
+    "comparisons in exact integer arithmetic (cum_n*10 >= d*N); "
+    "cum_pos is monotone with cum_n so MIN selects the first "
+    "crossing bucket's values.  Scale shape: collapse to distinct "
+    "6dp scores (domain-bounded grid), windows on that, a 10-row "
+    "fan-out.",
+    tags=("llm", "curation", "quality", "mining"),
+)
+def quality_score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    labels = repetition_metrics(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", F.when(F.col("keep"), 1).otherwise(0).alias("y")
+    )
+    buckets = (
+        scored.join(labels, "doc_id")
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    wcum = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = buckets.select(
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("pos").over(wcum).alias("cum_pos"),
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("pos").over(wall).alias("pp"),
+    )
+    d = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    crossing = F.col("cum_n") * 10 >= F.col("decile") * F.col("nn")
+    rows_used = F.min(F.when(crossing, F.col("cum_n")))
+    captured = F.min(F.when(crossing, F.col("cum_pos")))
+    return (
+        d.crossJoin(cum)
+        .groupBy("decile")
+        .agg(
+            rows_used.cast("long").alias("rows_used"),
+            captured.cast("long").alias("positives_captured"),
+            F.round(
+                captured.cast("double") / F.max("pp"), 6
+            ).alias("capture_rate"),
+            F.round(
+                (captured.cast("double") / rows_used)
+                / (F.max("pp").cast("double") / F.max("nn")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

@@ -738,3 +738,145 @@ def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("med_rel_error"),
         )
     )
+
+
+@register(
+    "join_size_estimate",
+    oracle=f"""
+WITH a_side AS (
+  SELECT l_partkey AS k FROM lineitem WHERE year(l_shipdate) = 1997
+),
+b_side AS (
+  SELECT l_partkey AS k FROM lineitem WHERE year(l_shipdate) = 1998
+),
+rows_j AS (SELECT unnest(generate_series(0, {_F2_D - 1})) AS j),
+a_cells AS (
+  SELECT r.j,
+    {oracle_md5_int64("CAST(r.j AS VARCHAR) || ':' || CAST(a.k AS VARCHAR)")}
+      % {_F2_W} AS cell,
+    CAST(SUM(CASE WHEN
+      ({oracle_md5_int64("'s' || CAST(r.j AS VARCHAR) || ':' || CAST(a.k AS VARCHAR)")})
+      % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS sa
+  FROM a_side a CROSS JOIN rows_j r GROUP BY 1, 2
+),
+b_cells AS (
+  SELECT r.j,
+    {oracle_md5_int64("CAST(r.j AS VARCHAR) || ':' || CAST(b.k AS VARCHAR)")}
+      % {_F2_W} AS cell,
+    CAST(SUM(CASE WHEN
+      ({oracle_md5_int64("'s' || CAST(r.j AS VARCHAR) || ':' || CAST(b.k AS VARCHAR)")})
+      % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS sb
+  FROM b_side b CROSS JOIN rows_j r GROUP BY 1, 2
+),
+rowest AS (
+  SELECT a.j, CAST(SUM(a.sa * b.sb) AS BIGINT) AS est
+  FROM a_cells a JOIN b_cells b ON b.j = a.j AND b.cell = a.cell
+  GROUP BY a.j
+),
+med AS (
+  SELECT CAST(MAX(CASE WHEN rn = {(_F2_D + 1) // 2} THEN est END)
+              AS BIGINT) AS med_est
+  FROM (SELECT est, j, ROW_NUMBER() OVER (ORDER BY est, j) AS rn
+        FROM rowest)
+),
+exact AS (
+  SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_join
+  FROM (SELECT k, COUNT(*) AS ca FROM a_side GROUP BY k) a
+  JOIN (SELECT k, COUNT(*) AS cb FROM b_side GROUP BY k) b USING (k)
+)
+SELECT r.j, r.est, e.exact_join, m.med_est,
+  round(CAST(m.med_est - e.exact_join AS DOUBLE) / e.exact_join, 6)
+    AS med_rel_error
+FROM rowest r, exact e, med m
+""",
+    doc="Two-table equi-join size estimation from count-sketch inner "
+    "products (Alon-Gibbons-Matias-Szegedy): sketch the 1997 and 1998 "
+    "lineitem partkey frequency vectors independently, estimate "
+    "|L97 JOIN L98 ON partkey| as the per-row sketch dot product "
+    "(signed cells make it unbiased — cross-key collisions cancel in "
+    "expectation), median across rows, exact answer beside it — the "
+    "planner statistic that decides broadcast vs shuffle vs salt for "
+    "a join of two FUTURE inputs whose sketches were merged from "
+    "daily shards without ever co-locating the data (the cross-table "
+    "completion of selfjoin_size_estimate's F2, which this reduces "
+    "to when both sides are the same table).  Determinism: md5 cell "
+    "and sign hashes, exact BIGINT accumulation, rank-picked median "
+    "with j tie-break, one rounded division.  Scale shape: each side "
+    "collapses to the constant dxw grid independently (mergeable, "
+    "map-side combinable); the estimate joins two 64-cell grids.",
+    tags=("sketch", "agg", "approx", "join", "stats"),
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_j = spark.range(_F2_D).select(F.col("id").cast("int").alias("j"))
+
+    def sketch(side, alias):
+        key = F.concat_ws(
+            ":", F.col("j").cast("string"), F.col("k").cast("string")
+        )
+        sign_key = F.concat(F.lit("s"), key)
+        sign = F.when(md5_int64(sign_key) % 2 == 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        return (
+            side.crossJoin(F.broadcast(rows_j))
+            .select(
+                "j",
+                (md5_int64(key) % _F2_W).alias("cell"),
+                sign.alias("sg"),
+            )
+            .groupBy("j", "cell")
+            .agg(F.sum("sg").cast("long").alias(alias))
+        )
+
+    a_side = li.where(F.year("l_shipdate") == 1997).select(
+        F.col("l_partkey").alias("k")
+    )
+    b_side = li.where(F.year("l_shipdate") == 1998).select(
+        F.col("l_partkey").alias("k")
+    )
+    a_cells = sketch(a_side, "sa")
+    b_cells = sketch(b_side, "sb")
+    rowest = (
+        a_cells.join(b_cells, ["j", "cell"])
+        .groupBy("j")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("est"))
+    )
+    w_med = Window.orderBy("est", "j")
+    med = (
+        rowest.withColumn("rn", F.row_number().over(w_med))
+        .agg(
+            F.max(
+                F.when(F.col("rn") == (_F2_D + 1) // 2, F.col("est"))
+            )
+            .cast("long")
+            .alias("med_est")
+        )
+    )
+    ca = a_side.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    cb = b_side.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    exact = (
+        ca.join(cb, "k")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias(
+                "exact_join"
+            )
+        )
+    )
+    return (
+        rowest.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "j",
+            "est",
+            "exact_join",
+            "med_est",
+            F.round(
+                (F.col("med_est") - F.col("exact_join")).cast("double")
+                / F.col("exact_join"),
+                6,
+            ).alias("med_rel_error"),
+        )
+    )

@@ -178,6 +178,8 @@ DEFAULT_PICKS = [
     "classifier_calibration_bins",
     "session_top_paths",
     "abc_xyz_matrix",
+    "join_size_estimate",
+    "quality_score_lift_table",
 ]
 
 
