@@ -1884,3 +1884,80 @@ def quality_score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "doc_length_by_source_quantiles",
+    oracle=f"""
+WITH nt AS (
+  SELECT source, len({ORACLE_TOKEN_LIST_SNIPPET}) AS n FROM documents
+),
+h AS (SELECT source, n, COUNT(*) AS c FROM nt GROUP BY 1, 2),
+cum AS (
+  SELECT source, n, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY n
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER (PARTITION BY source) AS tot
+  FROM h
+)
+SELECT source,
+       CAST(MAX(tot) AS BIGINT) AS n_docs,
+       MIN(CASE WHEN 4 * cc >= tot THEN n END) AS p25_tokens,
+       MIN(CASE WHEN 2 * cc >= tot THEN n END) AS p50_tokens,
+       MIN(CASE WHEN 4 * cc >= 3 * tot THEN n END) AS p75_tokens,
+       MIN(CASE WHEN 10 * cc >= 9 * tot THEN n END) AS p90_tokens
+FROM cum
+GROUP BY source
+ORDER BY source
+""",
+    doc="Per-source document-length quartiles + p90 (token counts): the "
+    "length-profile table a mixture designer reads next to "
+    "source_token_entropy and bpe_fertility_by_lang — a source whose "
+    "p90 is under the context window packs clean, one whose p25 is "
+    "tiny is probably fragments.  Exact type-1 quantiles with ALL "
+    "rank comparisons in integer arithmetic (4*cc >= tot etc. — the "
+    "weighted-median recipe) over per-source (length, count) "
+    "histograms; zero floats anywhere.  Scale shape: map-side token "
+    "counts, collapse to the (source x length) grid (length-domain-"
+    "bounded), per-source cumulative windows on that.",
+    tags=("llm", "curation", "quantile"),
+)
+def doc_length_by_source_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    nt = d.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("n"),
+    )
+    h = nt.groupBy("source", "n").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "source",
+        "n",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(Window.partitionBy("source")).alias("tot"),
+    )
+    pick = lambda cond: F.min(F.when(cond, F.col("n")))  # noqa: E731
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("tot").cast("long").alias("n_docs"),
+            pick(4 * F.col("cc") >= F.col("tot")).alias("p25_tokens"),
+            pick(2 * F.col("cc") >= F.col("tot")).alias("p50_tokens"),
+            pick(4 * F.col("cc") >= 3 * F.col("tot")).alias("p75_tokens"),
+            pick(10 * F.col("cc") >= 9 * F.col("tot")).alias("p90_tokens"),
+        )
+        .orderBy("source")
+    )

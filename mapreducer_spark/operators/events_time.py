@@ -1999,3 +1999,67 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "event_count_overdispersion",
+    oracle="""
+WITH uc AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n_users,
+         CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(c * c AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))
+           AS var
+  FROM uc GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(mu, 6) AS mean_per_user,
+       round(var, 6) AS variance,
+       round(var / mu, 6) AS dispersion_index,
+       var / mu > 1.5 AS overdispersed
+FROM m
+ORDER BY event_type
+""",
+    doc="Overdispersion check of per-user event counts by type: the "
+    "variance-to-mean dispersion index (=1 under Poisson arrivals; "
+    ">1 means heavy users dominate) — the distributional assumption "
+    "gate behind event_burst_detection's z-thresholds and the "
+    "capacity planner's choice between Poisson and negative-binomial "
+    "sizing, and the formal statement of the skew that "
+    "join_key_skew_profile detects per key.  Exact integer moments "
+    "(counts and squared counts in DECIMAL) folded identically in "
+    "double, rounded once; the verdict compares identical doubles to "
+    "a 1.5 literal.  Scale shape: one (type, user) collapse, one "
+    "5-row moments aggregation.",
+    tags=("events", "agg", "profiling"),
+)
+def event_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uc = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("c").cast("decimal(18,0)")).cast("double")
+    s2 = F.sum((F.col("c") * F.col("c")).cast("decimal(28,0)")).cast(
+        "double"
+    )
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    return (
+        uc.groupBy("event_type")
+        .agg(
+            n.cast("long").alias("n_users"),
+            F.round(mu, 6).alias("mean_per_user"),
+            F.round(var, 6).alias("variance"),
+            F.round(var / mu, 6).alias("dispersion_index"),
+            (var / mu > 1.5).alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )

@@ -749,3 +749,88 @@ def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "modularity",
         )
     )
+
+
+_RICH_CLUB_KS = (8, 16, 24, 32, 48)
+
+
+@register(
+    "copurchase_rich_club",
+    oracle=f"""
+WITH e AS MATERIALIZED ({_ORACLE_COPURCHASE_EDGES}),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+ks AS (SELECT UNNEST([{", ".join(str(k) for k in _RICH_CLUB_KS)}]) AS k),
+club AS (
+  SELECT ks.k, deg.src FROM ks JOIN deg ON deg.deg > ks.k
+),
+nodes AS (SELECT k, COUNT(*) AS n_club FROM club GROUP BY k),
+intra AS (
+  SELECT a.k, COUNT(*) AS m_club
+  FROM e JOIN club a ON a.src = e.src
+         JOIN club b ON b.k = a.k AND b.src = e.dst
+  GROUP BY a.k
+)
+SELECT nodes.k,
+       CAST(nodes.n_club AS BIGINT) AS n_club_nodes,
+       CAST(COALESCE(intra.m_club, 0) AS BIGINT) AS n_club_edges_directed,
+       round(CAST(COALESCE(intra.m_club, 0) AS DOUBLE)
+             / (CAST(nodes.n_club AS DOUBLE) * (nodes.n_club - 1)), 6)
+         AS rich_club_coeff
+FROM nodes LEFT JOIN intra ON intra.k = nodes.k
+WHERE nodes.n_club > 1
+ORDER BY nodes.k
+""",
+    doc="Rich-club coefficient phi(k) of the co-purchase graph: among "
+    f"nodes of degree > k (grid {_RICH_CLUB_KS}), what fraction of "
+    "possible links exists — do the hub parts preferentially co-sell "
+    "with EACH OTHER (rich club) or bridge disjoint niches?  The "
+    "density-at-the-top companion to copurchase_assortativity's "
+    "global correlation (assortativity can be ~0 while a tight rich "
+    "club exists at the extreme tail) and the structural context for "
+    "k-core's cohesion filter.  On the symmetric directed list, "
+    "phi = m_directed / (n * (n-1)) exactly.  Pure integer counting "
+    "to one rounded division per k.  Scale shape: one degree "
+    "aggregation, a |club|-sized broadcast membership per k (clubs "
+    "shrink as k grows), two semi-join-shaped edge filters.",
+    tags=("graph", "agg", "profiling"),
+)
+def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = copurchase_sym_edges(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ks = spark.createDataFrame(
+        [(k,) for k in _RICH_CLUB_KS], "k int"
+    )
+    club = ks.join(deg, deg.deg > ks.k).select("k", "src")
+    club = club.localCheckpoint(eager=True)
+    nodes = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_club"))
+    ca = club.select("k", F.col("src").alias("ea"))
+    cb = club.select(F.col("k").alias("kb"), F.col("src").alias("eb"))
+    intra = (
+        sym.join(F.broadcast(ca), sym.src == ca.ea)
+        .join(
+            F.broadcast(cb),
+            (F.col("kb") == F.col("k")) & (sym.dst == cb.eb),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("m_club"))
+    )
+    return (
+        nodes.join(intra, "k", "left")
+        .where(F.col("n_club") > 1)
+        .select(
+            "k",
+            F.col("n_club").cast("long").alias("n_club_nodes"),
+            F.coalesce(F.col("m_club"), F.lit(0))
+            .cast("long")
+            .alias("n_club_edges_directed"),
+            F.round(
+                F.coalesce(F.col("m_club"), F.lit(0)).cast("double")
+                / (
+                    F.col("n_club").cast("double")
+                    * (F.col("n_club") - 1)
+                ),
+                6,
+            ).alias("rich_club_coeff"),
+        )
+        .orderBy("k")
+    )

@@ -180,6 +180,9 @@ DEFAULT_PICKS = [
     "abc_xyz_matrix",
     "join_size_estimate",
     "quality_score_lift_table",
+    "event_count_overdispersion",
+    "copurchase_rich_club",
+    "doc_length_by_source_quantiles",
 ]
 
 
