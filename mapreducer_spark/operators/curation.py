@@ -1961,3 +1961,148 @@ def doc_length_by_source_quantiles(
         )
         .orderBy("source")
     )
+
+
+@register(
+    "source_quality_league",
+    oracle=f"""
+WITH nt AS (
+  SELECT source, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+per_doc AS (
+  SELECT source, len(t) AS n_tokens,
+         1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_frac,
+         len(list_filter(t, x -> x IN
+             ({", ".join("'" + b + "'" for b in _BLOCKLIST)}))) AS hits
+  FROM nt WHERE len(t) >= 1
+),
+agg AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         round(CAST(SUM(CAST(round(dup_frac, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) / COUNT(*), 6) AS mean_dup_frac,
+         round(CAST(SUM(CAST(hits AS DECIMAL(18,0))) AS DOUBLE) * 10000
+               / CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS DOUBLE), 4)
+           AS hits_per_10k,
+         CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS BIGINT)
+           AS total_tokens
+  FROM per_doc GROUP BY source
+),
+ent AS (
+  SELECT source,
+         round(CAST(SUM(CAST(round(
+             -(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 10)
+             AS DECIMAL(28,10))) AS DOUBLE), 6) AS entropy_bits
+  FROM (
+    SELECT source, tok, COUNT(*) AS c,
+           SUM(COUNT(*)) OVER (PARTITION BY source) AS n
+    FROM (SELECT source, unnest(t) AS tok FROM nt)
+    GROUP BY source, tok
+  ) GROUP BY source
+),
+ranked AS (
+  SELECT agg.source, agg.n_docs, agg.mean_dup_frac, agg.hits_per_10k,
+         ent.entropy_bits,
+         ROW_NUMBER() OVER (ORDER BY agg.mean_dup_frac, agg.source)
+           AS r_dup,
+         ROW_NUMBER() OVER (ORDER BY agg.hits_per_10k, agg.source)
+           AS r_block,
+         ROW_NUMBER() OVER (ORDER BY ent.entropy_bits DESC, agg.source)
+           AS r_entropy
+  FROM agg JOIN ent ON ent.source = agg.source
+)
+SELECT source, n_docs, mean_dup_frac, hits_per_10k, entropy_bits,
+       CAST(r_dup + r_block + r_entropy AS BIGINT) AS composite_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY r_dup + r_block + r_entropy,
+                               source) AS BIGINT) AS league_position
+FROM ranked
+ORDER BY league_position
+""",
+    doc="Per-source quality league table: duplicate-token fraction "
+    "(repetition), blocklist hit density (content), and token entropy "
+    "(diversity) each ranked across sources, composite = rank sum — "
+    "the ONE table a mixture designer sorts before assigning "
+    "temperature weights, composing the signals that "
+    "gopher_repetition_rules, blocklist_filter_rates and "
+    "source_token_entropy report separately (same formulas, same "
+    "tokenizer — the league is a reconciliation surface as much as a "
+    "readout).  Determinism: every metric is the established recipe "
+    "(8dp-rounded dup fractions and 10dp entropy terms into decimal "
+    "sums, exact hit counts); ranks are row_number with a source "
+    "tie-break, so the composite is integer-exact.  Scale shape: two "
+    "corpus passes (per-doc array metrics map-side; one (source, "
+    "token) aggregation for entropy), then windows over 20 rows.",
+    tags=("llm", "curation", "quality", "mining"),
+)
+def source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    ts = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+        lambda x: F.length(x) > 0,
+    )
+    per_doc = d.select(
+        "source",
+        F.size(ts).alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+        ).alias("dup_frac"),
+        F.size(F.filter(ts, lambda x: x.isin(*_BLOCKLIST))).alias(
+            "hits"
+        ),
+    ).where(F.col("n_tokens") >= 1)
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(
+                F.round(F.col("dup_frac"), 8).cast("decimal(28,8)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dup_frac"),
+        F.round(
+            F.sum(F.col("hits").cast("decimal(18,0)")).cast("double")
+            * 10000
+            / F.sum(F.col("n_tokens").cast("decimal(18,0)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("hits_per_10k"),
+    )
+    tok = d.select("source", F.explode(ts).alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wsrc = Window.partitionBy("source")
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        cnt.withColumn("n", F.sum("c").over(wsrc))
+        .select(
+            "source",
+            F.round(-p * F.log2(p), 10).cast("decimal(28,10)").alias("h"),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("h").cast("double"), 6).alias("entropy_bits"))
+    )
+    joined = agg.join(ent, "source")
+    r_dup = F.row_number().over(Window.orderBy("mean_dup_frac", "source"))
+    r_block = F.row_number().over(Window.orderBy("hits_per_10k", "source"))
+    r_ent = F.row_number().over(
+        Window.orderBy(F.col("entropy_bits").desc(), "source")
+    )
+    ranked = joined.select(
+        "source",
+        "n_docs",
+        "mean_dup_frac",
+        "hits_per_10k",
+        "entropy_bits",
+        (r_dup + r_block + r_ent).cast("long").alias("composite_rank"),
+    )
+    return ranked.withColumn(
+        "league_position",
+        F.row_number()
+        .over(Window.orderBy("composite_rank", "source"))
+        .cast("long"),
+    ).orderBy("league_position")

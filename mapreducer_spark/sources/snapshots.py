@@ -274,6 +274,55 @@ def snapshot_merge(
     return snapshot_write(merged, table_dir, op="merge", tag=tag)
 
 
+def snapshot_read_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Read only the rows ADDED between ``since_version`` (exclusive)
+    and ``version`` (inclusive; default head) — the append-only
+    incremental-consumption fast path (Delta's readChangeFeed /
+    Iceberg's incremental scan for appends): generations listed by the
+    target manifest but not by the base manifest are exactly the
+    appended data, so the read touches only NEW files — no row-level
+    diff, no scan of the base (contrast snapshot_diff, which computes
+    row-level insert/delete/update CDC and must read both sides).
+
+    Raises if the range crosses a non-append commit (overwrite / merge
+    / compact rewrite data, so "new generations" would not mean "added
+    rows"); callers fall back to snapshot_diff for those ranges.
+    """
+    versions = _list_versions(table_dir)
+    if since_version not in versions:
+        raise ValueError(
+            f"since_version {since_version} not found in {table_dir!r}"
+        )
+    if version is None:
+        version = versions[-1]
+    if version not in versions or version < since_version:
+        raise ValueError(
+            f"bad version range {since_version}..{version} for {table_dir!r}"
+        )
+    for v in versions:
+        if since_version < v <= version:
+            op = _read_manifest(table_dir, v).get("op")
+            if op != "append":
+                raise ValueError(
+                    f"version {v} is op={op!r}: the range crosses a "
+                    "non-append commit; use snapshot_diff for row-level "
+                    "CDC instead"
+                )
+    base = set(_manifest_dirs(_read_manifest(table_dir, since_version)))
+    target = _manifest_dirs(_read_manifest(table_dir, version))
+    new_dirs = [d for d in target if d not in base]
+    if not new_dirs:
+        # Zero new generations: an empty frame WITH the table's schema.
+        return snapshot_read(spark, table_dir, version=version).limit(0)
+    paths = [os.path.join(table_dir, d) for d in new_dirs]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def snapshot_diff(
     spark: SparkSession,
     table_dir: str,

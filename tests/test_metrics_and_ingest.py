@@ -837,3 +837,55 @@ def test_snapshot_merge_into_empty_table(spark, tmp_path):
     assert {
         (r.id, r.s) for r in snapshot_read(spark, tdir).collect()
     } == {(1, "new"), (2, "x")}
+
+
+def test_snapshot_read_incremental_appends(spark, tmp_path):
+    """Incremental read returns exactly the appended rows between two
+    versions, refuses ranges crossing non-append commits, and returns
+    an empty schema-correct frame for an empty range."""
+    import pytest
+
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_merge,
+        snapshot_read_incremental,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "inc_table")
+    snapshot_write(
+        spark.createDataFrame([(1, "a")], "id long, s string"), tdir
+    )
+    snapshot_write(
+        spark.createDataFrame([(2, "b")], "id long, s string"),
+        tdir,
+        op="append",
+    )
+    snapshot_write(
+        spark.createDataFrame([(3, "c"), (4, "d")], "id long, s string"),
+        tdir,
+        op="append",
+    )
+    # v0 -> v2: the two appended batches, nothing from the base.
+    got = {
+        (r.id, r.s)
+        for r in snapshot_read_incremental(spark, tdir, 0).collect()
+    }
+    assert got == {(2, "b"), (3, "c"), (4, "d")}
+    # v1 -> v2: just the second append.
+    got = {
+        (r.id, r.s)
+        for r in snapshot_read_incremental(spark, tdir, 1).collect()
+    }
+    assert got == {(3, "c"), (4, "d")}
+    # Empty range: schema preserved, zero rows.
+    empty = snapshot_read_incremental(spark, tdir, 2)
+    assert empty.count() == 0 and set(empty.columns) == {"id", "s"}
+    # A merge commit breaks append-only semantics for the range.
+    snapshot_merge(
+        spark.createDataFrame([(1, "a2")], "id long, s string"),
+        tdir,
+        key_cols=["id"],
+        order_cols=["s"],
+    )
+    with pytest.raises(ValueError, match="non-append"):
+        snapshot_read_incremental(spark, tdir, 0)

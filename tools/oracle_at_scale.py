@@ -183,6 +183,7 @@ DEFAULT_PICKS = [
     "event_count_overdispersion",
     "copurchase_rich_club",
     "doc_length_by_source_quantiles",
+    "source_quality_league",
 ]
 
 
