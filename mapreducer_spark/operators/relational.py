@@ -1635,3 +1635,244 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+_GROWTH_Y1 = 1996
+_GROWTH_Y2 = 1997
+
+
+@register(
+    "revenue_growth_decomposition",
+    oracle=f"""
+WITH yr AS (
+  SELECT p_brand AS brand,
+         CAST(SUM(CASE WHEN year(l_shipdate) = {_GROWTH_Y1}
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN year(l_shipdate) = {_GROWTH_Y2}
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS q2,
+         SUM(CASE WHEN year(l_shipdate) = {_GROWTH_Y1}
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS r1,
+         SUM(CASE WHEN year(l_shipdate) = {_GROWTH_Y2}
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS r2
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE year(l_shipdate) IN ({_GROWTH_Y1}, {_GROWTH_Y2})
+  GROUP BY 1
+),
+px AS (
+  SELECT brand, q1, q2,
+         CAST(COALESCE(r1, 0) AS DOUBLE) AS r1,
+         CAST(COALESCE(r2, 0) AS DOUBLE) AS r2,
+         CASE WHEN q1 > 0 THEN CAST(r1 AS DOUBLE) / q1 END AS p1,
+         CASE WHEN q2 > 0 THEN CAST(r2 AS DOUBLE) / q2 END AS p2
+  FROM yr
+)
+SELECT brand, q1, q2,
+       round(r1, 2) AS revenue_y1,
+       round(r2, 2) AS revenue_y2,
+       round(r2 - r1, 2) AS total_change,
+       round(CASE WHEN p1 IS NOT NULL THEN (q2 - q1) * p1 ELSE r2 END, 2)
+         AS volume_effect,
+       round(CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL
+                  THEN (p2 - p1) * q2
+                  WHEN p1 IS NOT NULL AND p2 IS NULL THEN -0.0
+                  ELSE 0.0 END + 0.0, 2) AS price_effect
+FROM px
+ORDER BY brand
+""",
+    doc="Revenue growth decomposition by brand "
+    f"({_GROWTH_Y1} -> {_GROWTH_Y2}): total change split into a VOLUME "
+    "effect ((q2-q1) * p1, quantity change at old unit price — the "
+    "Laspeyres base) and a PRICE effect ((p2-p1) * q2, realized-price "
+    "change on new volume — Paasche weighting), which sum exactly to "
+    "the total by construction — the FP&A bridge that answers 'did we "
+    "sell MORE or sell DEARER' per brand, which "
+    "monthly_revenue_mom's single delta cannot.  Unit prices are "
+    "realized (revenue/quantity), division of exact decimals by exact "
+    "integer quantities in identical order; brand disappearance/"
+    "appearance edge cases are CASE-guarded identically (a brand with "
+    "no y1 sales books everything as volume).  Scale shape: one "
+    "broadcast part join, one brand-year conditional aggregation, "
+    "arithmetic on 25 rows.",
+    tags=("relational", "agg", "mining"),
+)
+def revenue_growth_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(_GROWTH_Y1, _GROWTH_Y2)
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    in_y = lambda y: F.year("l_shipdate") == y  # noqa: E731
+    yr = j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.sum(
+            F.when(in_y(_GROWTH_Y1), F.col("l_quantity").cast("long"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("q1"),
+        F.sum(
+            F.when(in_y(_GROWTH_Y2), F.col("l_quantity").cast("long"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("q2"),
+        F.sum(
+            F.when(
+                in_y(_GROWTH_Y1),
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            )
+        ).alias("r1d"),
+        F.sum(
+            F.when(
+                in_y(_GROWTH_Y2),
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            )
+        ).alias("r2d"),
+    )
+    px = yr.select(
+        "brand",
+        "q1",
+        "q2",
+        F.coalesce(F.col("r1d"), F.lit(0)).cast("double").alias("r1"),
+        F.coalesce(F.col("r2d"), F.lit(0)).cast("double").alias("r2"),
+        F.when(
+            F.col("q1") > 0, F.col("r1d").cast("double") / F.col("q1")
+        ).alias("p1"),
+        F.when(
+            F.col("q2") > 0, F.col("r2d").cast("double") / F.col("q2")
+        ).alias("p2"),
+    )
+    return px.select(
+        "brand",
+        "q1",
+        "q2",
+        F.round(F.col("r1"), 2).alias("revenue_y1"),
+        F.round(F.col("r2"), 2).alias("revenue_y2"),
+        F.round(F.col("r2") - F.col("r1"), 2).alias("total_change"),
+        F.round(
+            F.when(
+                F.col("p1").isNotNull(),
+                (F.col("q2") - F.col("q1")) * F.col("p1"),
+            ).otherwise(F.col("r2")),
+            2,
+        ).alias("volume_effect"),
+        F.round(
+            F.when(
+                F.col("p1").isNotNull() & F.col("p2").isNotNull(),
+                (F.col("p2") - F.col("p1")) * F.col("q2"),
+            )
+            .when(
+                F.col("p1").isNotNull() & F.col("p2").isNull(),
+                F.lit(-0.0),
+            )
+            .otherwise(F.lit(0.0))
+            + F.lit(0.0),
+            2,
+        ).alias("price_effect"),
+    ).orderBy("brand")
+
+
+_MIG_Y1 = 1996
+_MIG_Y2 = 1997
+# Spend-band edges in whole k$ (annual): 0 is "inactive".
+_MIG_BANDS = (0, 100, 250, 500)
+
+
+def _mig_band_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} < {b * 1000} THEN '{i}_under_{b}k'"
+        for i, b in enumerate(_MIG_BANDS[1:], start=1)
+    )
+    return (
+        f"(CASE WHEN {col} IS NULL OR {col} = 0 THEN '0_inactive' "
+        f"{cases} ELSE '{len(_MIG_BANDS)}_over_{_MIG_BANDS[-1]}k' END)"
+    )
+
+
+@register(
+    "customer_spend_band_migration",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN year(o_orderdate) = {_MIG_Y1}
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s1,
+         SUM(CASE WHEN year(o_orderdate) = {_MIG_Y2}
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s2
+  FROM orders
+  WHERE year(o_orderdate) IN ({_MIG_Y1}, {_MIG_Y2})
+  GROUP BY 1
+)
+SELECT {_mig_band_sql("s1")} AS band_y1,
+       {_mig_band_sql("s2")} AS band_y2,
+       COUNT(*) AS n_customers,
+       round(CAST(SUM(COALESCE(s2, 0)) AS DOUBLE)
+             - CAST(SUM(COALESCE(s1, 0)) AS DOUBLE), 2) AS spend_change
+FROM spend
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Customer spend-band migration matrix "
+    f"({_MIG_Y1} -> {_MIG_Y2}): customers bucketed into fixed annual "
+    "spend bands each year (inactive / <100k / <250k / <500k / over), "
+    "transition cells counted with the net spend change per cell — "
+    "the year-scale upgrade/downgrade/churn movement view that "
+    "customer_rfm_segments snapshots cannot show and "
+    "user_lifecycle_states shows only at the active/inactive grain.  "
+    "FIXED band edges (not quantiles) so a cell means the same thing "
+    "every year — the standard choice for migration matrices, and "
+    "incidentally fully deterministic: band edges compare exact "
+    "decimals to integer literals, zero floats before the final "
+    "rounded net change.  Scale shape: one customer-year conditional "
+    "aggregation, a <=25-cell readout.",
+    tags=("relational", "agg", "mining"),
+)
+def customer_spend_band_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(_MIG_Y1, _MIG_Y2)
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.year("o_orderdate") == _MIG_Y1,
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        ).alias("s1"),
+        F.sum(
+            F.when(
+                F.year("o_orderdate") == _MIG_Y2,
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        ).alias("s2"),
+    )
+
+    def band(col: str):
+        c = (
+            F.when(
+                F.col(col).isNull() | (F.col(col) == 0), "0_inactive"
+            )
+        )
+        for i, b in enumerate(_MIG_BANDS[1:], start=1):
+            c = c.when(F.col(col) < b * 1000, f"{i}_under_{b}k")
+        return c.otherwise(
+            f"{len(_MIG_BANDS)}_over_{_MIG_BANDS[-1]}k"
+        )
+
+    return (
+        spend.groupBy(
+            band("s1").alias("band_y1"), band("s2").alias("band_y2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.coalesce(F.col("s2"), F.lit(0))).cast("double")
+                - F.sum(F.coalesce(F.col("s1"), F.lit(0))).cast("double"),
+                2,
+            ).alias("spend_change"),
+        )
+        .orderBy("band_y1", "band_y2")
+    )

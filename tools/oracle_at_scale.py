@@ -184,6 +184,8 @@ DEFAULT_PICKS = [
     "copurchase_rich_club",
     "doc_length_by_source_quantiles",
     "source_quality_league",
+    "revenue_growth_decomposition",
+    "customer_spend_band_migration",
 ]
 
 
