@@ -1876,3 +1876,124 @@ def customer_spend_band_migration(
         )
         .orderBy("band_y1", "band_y2")
     )
+
+
+_TRIM_PCT_NUM = 5  # trim 5% from each tail
+_TRIM_PCT_DEN = 100
+
+
+@register(
+    "trimmed_mean_order_value",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER () AS n
+  FROM h
+),
+k AS (
+  SELECT CAST(n * {_TRIM_PCT_NUM} / {_TRIM_PCT_DEN} AS BIGINT) AS k,
+         CAST(n AS BIGINT) AS n
+  FROM cum LIMIT 1
+),
+interior AS (
+  SELECT
+    SUM(CAST(greatest(0, least(cc, k.n - k.k)
+                         - greatest(cc - c, k.k)) AS DECIMAL(18,0))
+        * v) AS int_sum,
+    MIN(CASE WHEN cc >= k.k + 1 THEN v END) AS lo_val,
+    MIN(CASE WHEN cc >= k.n - k.k THEN v END) AS hi_val
+  FROM cum CROSS JOIN k
+),
+full_sum AS (
+  SELECT SUM(CAST(c AS DECIMAL(18,0)) * v) AS s FROM h
+)
+SELECT k.n AS n_orders, k.k AS k_trimmed_each_side,
+       round(CAST(full_sum.s AS DOUBLE) / k.n, 6) AS mean,
+       round(CAST(interior.int_sum AS DOUBLE) / (k.n - 2 * k.k), 6)
+         AS trimmed_mean_5pct,
+       round(CAST(interior.int_sum
+                  + k.k * (interior.lo_val + interior.hi_val)
+                  AS DOUBLE) / k.n, 6) AS winsorized_mean_5pct
+FROM k CROSS JOIN interior CROSS JOIN full_sum
+""",
+    doc="Exact 5% trimmed and winsorized mean of order value, computed "
+    "DISTRIBUTED: collapse to the (value, count) histogram, one "
+    "cumulative window over the price-domain-bounded grid, and the "
+    "interior mass of each bucket is the exact integer overlap "
+    "greatest(0, min(cc, n-k) - max(cc-c, k)) — full buckets, the two "
+    "partially-trimmed boundary buckets, and the tails all fall out "
+    "of one formula with NO per-row sort (the robust-location "
+    "companion to value_outliers_mad: MAD flags outliers, the "
+    "trimmed mean reports location immune to them; winsorized "
+    "replaces each trimmed tail with k copies of the boundary "
+    "value).  Determinism: every quantity is exact integer x exact "
+    "decimal until three final rounded divisions.  Scale shape: one "
+    "collapse, windows on the bounded grid — the "
+    "approx_price_quantiles selection shape applied to L-statistics.",
+    tags=("relational", "window", "quantile", "profiling"),
+)
+def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = o.groupBy(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cum = cum.withColumn(
+        "k",
+        (F.col("n") * _TRIM_PCT_NUM / _TRIM_PCT_DEN).cast("long"),
+    )
+    interior_rows = F.greatest(
+        F.lit(0),
+        F.least(F.col("cc"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cc") - F.col("c"), F.col("k")),
+    )
+    agg = cum.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max("k").cast("long").alias("k"),
+        F.sum(interior_rows.cast("decimal(18,0)") * F.col("v")).alias(
+            "int_sum"
+        ),
+        F.min(
+            F.when(F.col("cc") >= F.col("k") + 1, F.col("v"))
+        ).alias("lo_val"),
+        F.min(
+            F.when(F.col("cc") >= F.col("n") - F.col("k"), F.col("v"))
+        ).alias("hi_val"),
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("v")).alias(
+            "full_sum"
+        ),
+    )
+    return agg.select(
+        "n_orders",
+        F.col("k").alias("k_trimmed_each_side"),
+        F.round(
+            F.col("full_sum").cast("double") / F.col("n_orders"), 6
+        ).alias("mean"),
+        F.round(
+            F.col("int_sum").cast("double")
+            / (F.col("n_orders") - 2 * F.col("k")),
+            6,
+        ).alias("trimmed_mean_5pct"),
+        F.round(
+            (
+                F.col("int_sum")
+                + F.col("k") * (F.col("lo_val") + F.col("hi_val"))
+            ).cast("double")
+            / F.col("n_orders"),
+            6,
+        ).alias("winsorized_mean_5pct"),
+    )

@@ -2893,3 +2893,192 @@ def corpus_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "perplexity_length_bias",
+    oracle=f"""
+WITH ppl AS ({_BIGRAM_PPL_ORACLE}),
+st AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(n_bigrams AS DECIMAL(18,0))) AS DOUBLE)
+           / COUNT(*) AS mux,
+         CAST(SUM(CAST(avg_log2_s AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS muy
+  FROM ppl
+),
+nrm AS (
+  SELECT n_bigrams, avg_log2_s,
+         (n_bigrams - st.mux) / st.mux AS rx,
+         (avg_log2_s - st.muy) / abs(st.muy) AS ry
+  FROM ppl CROSS JOIN st
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(round(rx, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(ry, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(rx * ry, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(round(rx * rx, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(round(ry * ry, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS syy
+  FROM nrm
+),
+corr AS (
+  SELECT round((sxy / n - (sx / n) * (sy / n))
+               / sqrt((sxx / n - (sx / n) * (sx / n))
+                      * (syy / n - (sy / n) * (sy / n))), 6) AS r,
+         CAST(n AS BIGINT) AS n_docs
+  FROM m
+),
+h AS (SELECT n_bigrams, COUNT(*) AS c FROM ppl GROUP BY 1),
+cum AS (
+  SELECT n_bigrams,
+         SUM(c) OVER (ORDER BY n_bigrams
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER () AS tot
+  FROM h
+),
+edges AS (
+  SELECT b.b AS bin,
+         MIN(CASE WHEN 5 * cc >= b.b * tot THEN n_bigrams END) AS hi
+  FROM cum CROSS JOIN generate_series(1, 5) AS b(b)
+  GROUP BY b.b
+),
+binned AS (
+  SELECT (SELECT MIN(bin) FROM edges WHERE ppl.n_bigrams <= edges.hi)
+           AS len_bin,
+         avg_log2_s
+  FROM ppl
+)
+SELECT len_bin,
+       COUNT(*) AS n_docs_bin,
+       round(CAST(SUM(CAST(avg_log2_s AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_log2_s,
+       corr.r AS length_score_pearson_r,
+       corr.n_docs
+FROM binned CROSS JOIN corr
+GROUP BY len_bin, corr.r, corr.n_docs
+ORDER BY len_bin
+""",
+    doc="Length bias of the bigram quality score: Pearson correlation "
+    "between per-doc length (bigram count) and the Stupid-Backoff "
+    "avg log2 score, plus mean score by length QUINTILE (exact "
+    "integer-rank bin edges) — the standard audit before using a "
+    "perplexity filter (LM scores are notoriously length-confounded: "
+    "threshold an uncorrected score and you silently select short "
+    "docs; CCNet bins by length for exactly this reason).  "
+    "Determinism: mean-normalized moment recipe (6dp decimal terms), "
+    "quintile edges by 5*cc >= b*tot integer comparisons, bin "
+    "assignment via a min-over-edges scalar subquery mirrored "
+    "exactly.  Scale shape: the per-doc score frame is the existing "
+    "broadcast-LM pipeline; moments and bins collapse it once.",
+    tags=("llm", "text", "quality", "mining"),
+)
+def perplexity_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ppl = doc_bigram_perplexity(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "avg_log2_s"
+    )
+    ppl = ppl.localCheckpoint(eager=True)
+    n = F.count(F.lit(1))
+    st = ppl.agg(
+        (
+            F.sum(F.col("n_bigrams").cast("decimal(18,0)")).cast("double")
+            / n
+        ).alias("mux"),
+        (
+            F.sum(F.col("avg_log2_s").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / n
+        ).alias("muy"),
+    )
+    nrm = ppl.crossJoin(F.broadcast(st)).select(
+        ((F.col("n_bigrams") - F.col("mux")) / F.col("mux")).alias("rx"),
+        (
+            (F.col("avg_log2_s") - F.col("muy")) / F.abs(F.col("muy"))
+        ).alias("ry"),
+    )
+    dsum = lambda c: F.sum(  # noqa: E731
+        F.round(c, 6).cast("decimal(28,6)")
+    ).cast("double")
+    m = nrm.agg(
+        n.alias("n"),
+        dsum(F.col("rx")).alias("sx"),
+        dsum(F.col("ry")).alias("sy"),
+        dsum(F.col("rx") * F.col("ry")).alias("sxy"),
+        dsum(F.col("rx") * F.col("rx")).alias("sxx"),
+        dsum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nn = F.col("n")
+    corr = m.select(
+        F.round(
+            (F.col("sxy") / nn - (F.col("sx") / nn) * (F.col("sy") / nn))
+            / F.sqrt(
+                (
+                    F.col("sxx") / nn
+                    - (F.col("sx") / nn) * (F.col("sx") / nn)
+                )
+                * (
+                    F.col("syy") / nn
+                    - (F.col("sy") / nn) * (F.col("sy") / nn)
+                )
+            ),
+            6,
+        ).alias("length_score_pearson_r"),
+        nn.cast("long").alias("n_docs"),
+    )
+    h = ppl.groupBy("n_bigrams").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("n_bigrams").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select(
+        "n_bigrams",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("tot"),
+    )
+    b = spark.range(1, 6).select(F.col("id").cast("int").alias("bin"))
+    edges = (
+        b.crossJoin(cum)
+        .groupBy("bin")
+        .agg(
+            F.min(
+                F.when(
+                    5 * F.col("cc") >= F.col("bin") * F.col("tot"),
+                    F.col("n_bigrams"),
+                )
+            ).alias("hi")
+        )
+    )
+    assigned = ppl.crossJoin(F.broadcast(edges)).where(
+        F.col("n_bigrams") <= F.col("hi")
+    )
+    # Per-DOC bin: docs sharing (length, score) must each count once.
+    binned = assigned.groupBy("doc_id", "avg_log2_s").agg(
+        F.min("bin").alias("len_bin")
+    )
+    return (
+        binned.groupBy("len_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_bin"),
+            F.round(
+                F.sum(F.col("avg_log2_s").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_log2_s"),
+        )
+        .crossJoin(F.broadcast(corr))
+        .select(
+            "len_bin",
+            "n_docs_bin",
+            "mean_log2_s",
+            "length_score_pearson_r",
+            "n_docs",
+        )
+        .orderBy("len_bin")
+    )

@@ -186,6 +186,8 @@ DEFAULT_PICKS = [
     "source_quality_league",
     "revenue_growth_decomposition",
     "customer_spend_band_migration",
+    "perplexity_length_bias",
+    "trimmed_mean_order_value",
 ]
 
 
