@@ -54,6 +54,11 @@ PICKS = [
     ("market_basket_rules", "basket rules: in-array i<j pair expansion, floor before the frequency joins"),
     ("customer_spend_gini", "exact Gini: value-histogram collapse, windows over distinct values only"),
     ("label_centroid_auc", "rank-sum AUC: 10-row centroid broadcast, window over collapsed (label, score) groups"),
+    ("embedding_kmeans_spherical", "in-engine Lloyd rounds: k-row centroid broadcast per round, map-side assignment, checkpointed iterates"),
+    ("copurchase_link_prediction", "Adamic-Adar: in-array wedge expansion over memoized edges, anti-join removes existing edges"),
+    ("bootstrap_revenue_ci", "hash bootstrap: one md5 per row, 50-way map-side fan-out into ONE shuffle of 50 groups"),
+    ("ship_delay_percentiles", "integer percentiles: (month x delay) domain grid + per-month cumulative windows, zero floats"),
+    ("trimmed_mean_order_value", "L-statistics: value-histogram collapse, bucket-overlap interior mass, no per-row sort"),
 ]
 
 
