@@ -2354,3 +2354,141 @@ def quantity_weighted_price_median(
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "duplicate_orders_audit",
+    oracle="""
+WITH g AS (
+  SELECT o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         COUNT(*) AS n_copies,
+         MIN(o_orderkey) AS first_orderkey
+  FROM orders
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) > 1
+)
+SELECT o_custkey, CAST(price AS DOUBLE) AS price, day,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       first_orderkey,
+       round(CAST((n_copies - 1) * price AS DOUBLE), 2)
+         AS suspected_double_billing
+FROM g
+ORDER BY suspected_double_billing DESC, o_custkey, day
+""",
+    doc="Duplicate-payment audit: orders sharing (customer, exact "
+    "amount, same day) — the classic accounts-payable double-billing "
+    "screen, which is exact-dedup (dedup_exact's shape) transplanted "
+    "to the relational side with a business key instead of a content "
+    "hash; suspected exposure = (copies-1) x amount.  Pure grouping "
+    "and integer/decimal arithmetic; ordering on the rounded exposure "
+    "with (custkey, day) tie-breaks.  Scale shape: one "
+    "map-side-combined groupBy on the business key, HAVING before "
+    "anything wide.",
+    tags=("profiling", "agg", "governance"),
+)
+def duplicate_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return g.select(
+        "o_custkey",
+        F.col("price").cast("double").alias("price"),
+        "day",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        "first_orderkey",
+        F.round(
+            ((F.col("n_copies") - 1) * F.col("price")).cast("double"), 2
+        ).alias("suspected_double_billing"),
+    ).orderBy(
+        F.col("suspected_double_billing").desc(), "o_custkey", "day"
+    )
+
+
+# chi-square(0.95, df=9) for the 10-digit uniformity test.
+_DIGIT_CHISQ_CRIT_9 = 16.919
+
+
+@register(
+    "price_ending_digit_bias",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(CAST(o_totalprice * 100 AS BIGINT) % 10 AS BIGINT)
+           AS last_cent_digit
+  FROM orders
+),
+cnt AS (SELECT last_cent_digit, COUNT(*) AS c FROM d GROUP BY 1),
+n AS (SELECT SUM(c) AS n FROM cnt)
+SELECT last_cent_digit,
+       CAST(c AS BIGINT) AS n_orders,
+       round(CAST(c AS DOUBLE) / n.n, 6) AS share,
+       round((c - CAST(n.n AS DOUBLE) / 10)
+             * (c - CAST(n.n AS DOUBLE) / 10)
+             / (CAST(n.n AS DOUBLE) / 10), 6) AS chi2_term,
+       round(CAST(SUM(CAST(round((c - CAST(n.n AS DOUBLE) / 10)
+                 * (c - CAST(n.n AS DOUBLE) / 10)
+                 / (CAST(n.n AS DOUBLE) / 10), 8) AS DECIMAL(28,8)))
+             OVER () AS DOUBLE), 6) AS chi2_total,
+       CAST(SUM(CAST(round((c - CAST(n.n AS DOUBLE) / 10)
+                 * (c - CAST(n.n AS DOUBLE) / 10)
+                 / (CAST(n.n AS DOUBLE) / 10), 8) AS DECIMAL(28,8)))
+             OVER () AS DOUBLE) > {_DIGIT_CHISQ_CRIT_9} AS biased
+FROM cnt CROSS JOIN n
+ORDER BY last_cent_digit
+""",
+    doc="Price-ending digit bias: distribution of the last cents digit "
+    "of order totals with a chi-square uniformity test (df=9) — the "
+    "forensic-accounting companion to benford_first_digit (Benford "
+    "governs LEADING digits of natural amounts; TRAILING digits of "
+    "honest aggregated totals should be uniform, and spikes at 0/9 "
+    "flag rounding, psychological pricing, or fabrication).  Exact "
+    "integer cents via decimal*100, identical-order double terms "
+    "rounded 8dp into a decimal window total.  Scale shape: one "
+    "10-cell aggregation.",
+    tags=("profiling", "agg", "governance"),
+)
+def price_ending_digit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.pmod(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            ),
+            F.lit(10),
+        ).alias("last_cent_digit")
+    )
+    cnt = d.groupBy("last_cent_digit").agg(F.count(F.lit(1)).alias("c"))
+    nn = cnt.agg(F.sum("c").alias("n"))
+    e = F.col("n").cast("double") / 10
+    term = (F.col("c") - e) * (F.col("c") - e) / e
+    wall = Window.partitionBy()
+    tot = F.sum(
+        F.round(term, 8).cast("decimal(28,8)")
+    ).over(wall).cast("double")
+    return (
+        cnt.crossJoin(F.broadcast(nn))
+        .select(
+            "last_cent_digit",
+            F.col("c").cast("long").alias("n_orders"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+            F.round(term, 6).alias("chi2_term"),
+            F.round(tot, 6).alias("chi2_total"),
+            (tot > _DIGIT_CHISQ_CRIT_9).alias("biased"),
+        )
+        .orderBy("last_cent_digit")
+    )

@@ -1081,3 +1081,119 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOPN)
     )
+
+
+@register(
+    "in_session_conversion",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL '{_GAP_MIN} minutes'
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, event_type,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS has_purchase,
+         COUNT(*) AS n_events
+  FROM sessioned GROUP BY 1, 2
+)
+SELECT
+  COUNT(*) AS n_sessions,
+  CAST(SUM(has_view) AS BIGINT) AS sessions_with_view,
+  CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS converting_sessions,
+  round(CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+        / SUM(has_view), 6) AS in_session_cvr,
+  round(CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1
+                      THEN CAST(n_events AS BIGINT) END) AS DOUBLE)
+        / SUM(CASE WHEN has_view = 1 AND has_purchase = 1
+                   THEN 1 END), 4) AS avg_events_converting,
+  round(CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 0
+                      THEN CAST(n_events AS BIGINT) END) AS DOUBLE)
+        / SUM(CASE WHEN has_view = 1 AND has_purchase = 0
+                   THEN 1 END), 4) AS avg_events_nonconverting
+FROM per_session
+""",
+    doc="In-session conversion rate: sessions containing a view that "
+    "also contain a purchase, with mean session length for converting "
+    "vs non-converting sessions — the SESSION-grain funnel that "
+    "conversion_delay_percentiles' user-grain latency and "
+    "event_funnel_ordered's global ordering both miss (a user may "
+    "convert days later; in-session conversion is the UX-quality "
+    "number).  Boundaries are the exact event_sessions formulation, "
+    "so all three session queries reconcile.  Pure integer flags to "
+    "three rounded divisions.  Scale shape: one user-keyed window, "
+    "one session collapse, a 1-row readout.",
+    tags=("events", "session", "mining"),
+)
+def in_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.expr(f"INTERVAL {_GAP_MIN} MINUTES")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessioned = e.select(
+        "user_id",
+        "event_type",
+        new_session.alias("ns"),
+        "ts",
+        "event_id",
+    ).select(
+        "user_id",
+        "event_type",
+        F.sum("ns").over(wrun).alias("session_id"),
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("has_view"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    conv = (F.col("has_view") == 1) & (F.col("has_purchase") == 1)
+    nonconv = (F.col("has_view") == 1) & (F.col("has_purchase") == 0)
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("sessions_with_view"),
+        F.sum(F.when(conv, 1).otherwise(0))
+        .cast("long")
+        .alias("converting_sessions"),
+        F.round(
+            F.sum(F.when(conv, 1).otherwise(0)).cast("double")
+            / F.sum("has_view"),
+            6,
+        ).alias("in_session_cvr"),
+        F.round(
+            F.sum(F.when(conv, F.col("n_events").cast("long"))).cast(
+                "double"
+            )
+            / F.sum(F.when(conv, 1)),
+            4,
+        ).alias("avg_events_converting"),
+        F.round(
+            F.sum(
+                F.when(nonconv, F.col("n_events").cast("long"))
+            ).cast("double")
+            / F.sum(F.when(nonconv, 1)),
+            4,
+        ).alias("avg_events_nonconverting"),
+    )

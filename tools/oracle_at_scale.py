@@ -188,6 +188,9 @@ DEFAULT_PICKS = [
     "customer_spend_band_migration",
     "perplexity_length_bias",
     "trimmed_mean_order_value",
+    "duplicate_orders_audit",
+    "price_ending_digit_bias",
+    "in_session_conversion",
 ]
 
 
