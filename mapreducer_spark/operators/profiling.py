@@ -2492,3 +2492,166 @@ def price_ending_digit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("last_cent_digit")
     )
+
+
+@register(
+    "order_status_reconciliation",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT)
+           AS n_f_lines
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderstatus, n_lines, n_f_lines,
+         CASE WHEN o_orderstatus = 'F' AND n_f_lines <> n_lines THEN 1
+              WHEN o_orderstatus = 'O' AND n_f_lines <> 0 THEN 1
+              ELSE 0 END AS inconsistent
+  FROM orders JOIN li ON li.l_orderkey = o_orderkey
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_f_lines) AS BIGINT) AS n_finished_lines,
+       CAST(SUM(inconsistent) AS BIGINT) AS n_inconsistent_orders,
+       round(CAST(SUM(inconsistent) AS DOUBLE) / COUNT(*), 6)
+         AS inconsistency_rate
+FROM j
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Cross-table status reconciliation: order-level status vs its "
+    "lineitems' statuses — an order marked F(inished) with unfinished "
+    "lines, or O(pen) with finished lines, is an update-anomaly "
+    "signature (the denormalized-rollup drift every warehouse "
+    "accumulates; TPC-H's generator makes P exactly the mixed state, "
+    "which the query confirms structurally).  The business-RULE "
+    "companion to referential_integrity_checks' key-existence audit "
+    "and lineitem_constraint_checks' row-local assertions: this one "
+    "needs the join.  Pure integer counting to one rounded rate.  "
+    "Scale shape: one lineitem collapse to per-order counters, one "
+    "key join, a 3-row readout.",
+    tags=("profiling", "join", "governance"),
+)
+def order_status_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_f_lines"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderstatus",
+        "n_lines",
+        "n_f_lines",
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("n_f_lines") != F.col("n_lines")),
+            1,
+        )
+        .when(
+            (F.col("o_orderstatus") == "O") & (F.col("n_f_lines") != 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("inconsistent"),
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("n_f_lines").cast("long").alias("n_finished_lines"),
+            F.sum("inconsistent")
+            .cast("long")
+            .alias("n_inconsistent_orders"),
+            F.round(
+                F.sum("inconsistent").cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("inconsistency_rate"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_TOPCUST_K = 100
+_TOPCUST_Y1 = 1996
+_TOPCUST_Y2 = 1997
+
+
+@register(
+    "top_customer_stability",
+    oracle=f"""
+WITH s AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders
+  WHERE year(o_orderdate) IN ({_TOPCUST_Y1}, {_TOPCUST_Y2})
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT o_custkey, yr,
+         ROW_NUMBER() OVER (PARTITION BY yr
+                            ORDER BY spend DESC, o_custkey) AS rn
+  FROM s
+),
+t1 AS (SELECT o_custkey FROM r WHERE yr = {_TOPCUST_Y1}
+       AND rn <= {_TOPCUST_K}),
+t2 AS (SELECT o_custkey FROM r WHERE yr = {_TOPCUST_Y2}
+       AND rn <= {_TOPCUST_K}),
+ov AS (SELECT COUNT(*) AS n_staying FROM t1 JOIN t2 USING (o_custkey))
+SELECT {_TOPCUST_K} AS top_k,
+       CAST(ov.n_staying AS BIGINT) AS n_staying,
+       CAST({_TOPCUST_K} - ov.n_staying AS BIGINT) AS n_churned,
+       round(CAST(ov.n_staying AS DOUBLE)
+             / (2 * {_TOPCUST_K} - ov.n_staying), 6) AS jaccard
+FROM ov
+""",
+    doc=f"Top-{_TOPCUST_K} customer stability across years "
+    f"({_TOPCUST_Y1} vs {_TOPCUST_Y2}): how many of last year's top "
+    "spenders are still top this year, with the Jaccard of the two "
+    "sets — the key-account churn number behind "
+    "customer_spend_band_migration's full matrix (this is its "
+    "top-of-book corner, the one sales leadership actually asks "
+    "for).  Ranks are row_number with a custkey tie-break over the "
+    "customer DIMENSION (the abc argument); set overlap is one "
+    "dimension join; one rounded division.",
+    tags=("relational", "window", "mining"),
+)
+def top_customer_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(_TOPCUST_Y1, _TOPCUST_Y2)
+    )
+    s = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    w = Window.partitionBy("yr").orderBy(
+        F.col("spend").desc(), "o_custkey"
+    )
+    r = s.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _TOPCUST_K
+    )
+    t1 = r.where(F.col("yr") == _TOPCUST_Y1).select("o_custkey")
+    t2 = r.where(F.col("yr") == _TOPCUST_Y2).select("o_custkey")
+    ov = t1.join(t2, "o_custkey").agg(
+        F.count(F.lit(1)).alias("n_staying")
+    )
+    return ov.select(
+        F.lit(_TOPCUST_K).alias("top_k"),
+        F.col("n_staying").cast("long").alias("n_staying"),
+        (F.lit(_TOPCUST_K) - F.col("n_staying"))
+        .cast("long")
+        .alias("n_churned"),
+        F.round(
+            F.col("n_staying").cast("double")
+            / (2 * _TOPCUST_K - F.col("n_staying")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -191,6 +191,8 @@ DEFAULT_PICKS = [
     "duplicate_orders_audit",
     "price_ending_digit_bias",
     "in_session_conversion",
+    "order_status_reconciliation",
+    "top_customer_stability",
 ]
 
 
