@@ -2106,3 +2106,164 @@ def source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("composite_rank", "source"))
         .cast("long"),
     ).orderBy("league_position")
+
+
+@register(
+    "corpus_datasheet",
+    oracle=f"""
+WITH nt AS (
+  SELECT doc_id, source, lang,
+         {oracle_md5_int64("text")} AS content_hash,
+         {ORACLE_TOKEN_LIST_SNIPPET} AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source, lang, content_hash, len(t) AS n,
+         CASE WHEN len(t) >= 1
+              THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         END AS dup_frac,
+         len(list_filter(t, x -> x IN
+             ({", ".join("'" + b + "'" for b in _BLOCKLIST)}))) AS hits
+  FROM nt
+),
+uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM nt) GROUP BY 1
+),
+nu AS (SELECT SUM(c) AS n FROM uni),
+ent AS (
+  SELECT round(CAST(SUM(CAST(round(
+           -(CAST(c AS DOUBLE) / nu.n) * log2(CAST(c AS DOUBLE) / nu.n),
+           10) AS DECIMAL(28,10))) AS DOUBLE), 6) AS h
+  FROM uni CROSS JOIN nu
+)
+SELECT
+  COUNT(*) AS n_docs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(SUM(CAST(n AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS vocab_size,
+  round(CAST(SUM(CAST(n AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*), 4)
+    AS mean_doc_tokens,
+  round(1.0 - CAST(COUNT(DISTINCT content_hash) AS DOUBLE) / COUNT(*), 6)
+    AS exact_dup_rate,
+  round(CAST(COUNT(*) FILTER (WHERE n >= {_MIN_TOKENS}
+             AND dup_frac <= {_DUP_TOKEN_MAX}) AS DOUBLE) / COUNT(*), 6)
+    AS len_dup_pass_rate,
+  round(CAST(COUNT(*) FILTER (WHERE hits > 0) AS DOUBLE) / COUNT(*), 6)
+    AS blocklist_flag_rate,
+  (SELECT h FROM ent) AS unigram_entropy_bits
+FROM per_doc
+""",
+    doc="The corpus DATASHEET ('Datasheets for Datasets', Gebru et al. "
+    "2021, the quantitative panel): one row summarizing scale (docs, "
+    "sources, languages, tokens, vocabulary, mean length), integrity "
+    "(exact-duplicate rate via content hash), quality (share passing "
+    "the length+repetition sub-gate — the O(n)-checkable part of the "
+    "Gopher rules; blocklist flag rate), and diversity (corpus "
+    "unigram entropy) — the first query run on ANY new drop, every "
+    "number reconciling with its dedicated operator (dedup_exact, "
+    "gopher_repetition_rules, blocklist_filter_rates, "
+    "corpus_entropy_rate) because each reuses that operator's exact "
+    "formula.  Scale shape: one map-side per-doc pass + one "
+    "(token) aggregation; all counting and established decimal "
+    "recipes.",
+    tags=("llm", "curation", "profiling"),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    ts = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+        lambda x: F.length(x) > 0,
+    )
+    per_doc = d.select(
+        "source",
+        "lang",
+        md5_int64(F.col("text")).alias("content_hash"),
+        F.size(ts).alias("n"),
+        F.when(
+            F.size(ts) >= 1,
+            F.lit(1.0)
+            - F.size(F.array_distinct(ts)).cast("double") / F.size(ts),
+        ).alias("dup_frac"),
+        F.size(F.filter(ts, lambda x: x.isin(*_BLOCKLIST))).alias(
+            "hits"
+        ),
+    )
+    per_doc = per_doc.localCheckpoint(eager=True)
+    uni = (
+        d.select(F.explode(ts).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    )
+    hterm = F.round(
+        -(F.col("c").cast("double") / F.col("n"))
+        * F.log2(F.col("c").cast("double") / F.col("n")),
+        10,
+    ).cast("decimal(28,10)")
+    ent = (
+        uni.crossJoin(F.broadcast(nu.select("n")))
+        .agg(F.round(F.sum(hterm).cast("double"), 6).alias("h"))
+    )
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.col("n").cast("decimal(18,0)"))
+        .cast("long")
+        .alias("total_tokens"),
+        F.round(
+            F.sum(F.col("n").cast("decimal(18,0)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_doc_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("content_hash").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("n") >= _MIN_TOKENS)
+                    & (F.col("dup_frac") <= _DUP_TOKEN_MAX),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("len_dup_pass_rate"),
+        F.round(
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("blocklist_flag_rate"),
+    )
+    return (
+        base.crossJoin(
+            F.broadcast(
+                nu.select(F.col("vocab").cast("long").alias("vocab_size"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(ent.select(F.col("h").alias("unigram_entropy_bits")))
+        )
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_tokens",
+            "vocab_size",
+            "mean_doc_tokens",
+            "exact_dup_rate",
+            "len_dup_pass_rate",
+            "blocklist_flag_rate",
+            "unigram_entropy_bits",
+        )
+    )

@@ -193,6 +193,7 @@ DEFAULT_PICKS = [
     "in_session_conversion",
     "order_status_reconciliation",
     "top_customer_stability",
+    "corpus_datasheet",
 ]
 
 
