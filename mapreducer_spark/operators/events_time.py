@@ -1565,6 +1565,14 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day"),
         (F.dayofweek("ts") - 1).cast("int").alias("dow"),
     ).agg(F.count(F.lit(1)).alias("n"))
+    return seasonal_anomaly_report(daily)
+
+
+def seasonal_anomaly_report(daily: DataFrame) -> DataFrame:
+    """The dow-adjusted anomaly report over a (day, dow, n) frame —
+    shared verbatim by the batch query above and the streaming monitor
+    (streaming/jobs.py::run_seasonal_anomaly_monitor), so their parity
+    holds by construction."""
     base = daily.groupBy("dow").agg(
         (
             F.sum(F.col("n").cast("decimal(18,0)")).cast("double")

@@ -927,3 +927,75 @@ def run_changepoint_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def run_seasonal_anomaly_monitor(
+    events_stream: DataFrame,
+    state_dir: str,
+    report_dir: str,
+    checkpoint: str,
+) -> None:
+    """Streaming day-of-week seasonal anomaly monitoring: each
+    micro-batch folds its per-(day, dow) event counts into the daily
+    state table, then re-derives the SAME dow-baseline z-score report
+    the batch operator (operators/events_time.py::
+    events_seasonal_anomaly) produces via the shared
+    seasonal_anomaly_report algebra — always equal to a from-scratch
+    batch run over everything seen so far (parity test).
+
+    Replay safety is the changepoint monitor's contract verbatim:
+    counts are not idempotent under re-addition, so partials are keyed
+    by batch_id and a replayed batch REPLACES its own rows; the report
+    derives from the re-grouped daily grain (exact integer counts, so
+    the batch/stream split cannot change a digit); both writes use
+    write-aside-then-swap.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from mapreducer_spark.operators.events_time import (
+        seasonal_anomaly_report,
+    )
+
+    def _swap_write(df: DataFrame, target: str, batch_id: int) -> None:
+        tmp = f"{target}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{target}.old-{batch_id}"
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day"),
+                (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(batch_id).alias("batch_id"), "day", "dow", "n")
+        )
+        try:
+            state = spark.read.parquet(state_dir).where(
+                F.col("batch_id") != batch_id
+            )
+            state = state.unionByName(partial)
+        except Exception:
+            state = partial
+        _swap_write(state, state_dir, batch_id)
+        daily = (
+            spark.read.parquet(state_dir)
+            .groupBy("day", "dow")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        _swap_write(seasonal_anomaly_report(daily), report_dir, batch_id)
+
+    q = (
+        events_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

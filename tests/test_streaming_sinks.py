@@ -786,3 +786,63 @@ def test_changepoint_monitor_matches_batch_and_replays(spark, sf_dir, tmp_path):
     run_changepoint_monitor(stream(), state, report, str(tmp_path / "cp_ck2"))
     got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
     assert got2 == want
+
+
+def test_seasonal_anomaly_monitor_matches_batch(spark, tmp_path):
+    """Streaming dow-anomaly monitor: after draining 3 micro-batches the
+    report equals the batch events_seasonal_anomaly EXACTLY; partials
+    are batch-keyed (no double counts); full replay from a fresh
+    checkpoint leaves the report unchanged."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from mapreducer_spark.operators.events_time import (
+        events_seasonal_anomaly,
+    )
+    from mapreducer_spark.streaming.jobs import run_seasonal_anomaly_monitor
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "ts", "value", "user_id"
+    )
+    in_dir = tmp_path / "sa_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"sa_stage_{k}"
+        ev.where(f"user_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_type string, ts timestamp, value double, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    state = str(tmp_path / "sa_state")
+    report = str(tmp_path / "sa_report")
+    run_seasonal_anomaly_monitor(
+        stream(), state, report, str(tmp_path / "sa_ck1")
+    )
+
+    want = {
+        tuple(r) for r in events_seasonal_anomaly(spark, SF_DIR).collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got == want
+
+    st = spark.read.parquet(state)
+    assert st.select("batch_id").distinct().count() == 3
+    assert (
+        st.groupBy("batch_id", "day", "dow").count().where("count > 1").count()
+        == 0
+    )
+
+    run_seasonal_anomaly_monitor(
+        stream(), state, report, str(tmp_path / "sa_ck2")
+    )
+    got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got2 == want
