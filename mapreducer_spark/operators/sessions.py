@@ -1197,3 +1197,111 @@ def in_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_events_nonconverting"),
     )
+
+
+@register(
+    "customer_order_regularity",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              LAG(CAST(date_trunc('day', o_orderdate) AS DATE)) OVER w,
+              CAST(date_trunc('day', o_orderdate) AS DATE)) AS BIGINT)
+           AS g
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+m AS (
+  SELECT o_custkey, COUNT(*) AS n_gaps,
+         CAST(SUM(CAST(g AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(CAST(g * g AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(g AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(g AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))
+           AS var
+  FROM seq WHERE g IS NOT NULL
+  GROUP BY 1 HAVING COUNT(*) >= 3
+),
+banded AS (
+  SELECT CASE WHEN mu <= 0 THEN 'degenerate'
+              WHEN sqrt(greatest(var, 0)) / mu < 0.3 THEN 'clockwork'
+              WHEN sqrt(greatest(var, 0)) / mu < 0.7 THEN 'regular'
+              WHEN sqrt(greatest(var, 0)) / mu < 1.1 THEN 'irregular'
+              ELSE 'sporadic' END AS regularity,
+         n_gaps, mu
+  FROM m
+)
+SELECT regularity,
+       COUNT(*) AS n_customers,
+       round(CAST(SUM(CAST(round(mu, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_mean_gap_days,
+       round(CAST(SUM(CAST(n_gaps AS DECIMAL(18,0))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_n_gaps
+FROM banded
+GROUP BY regularity
+ORDER BY regularity
+""",
+    doc="Order-cadence regularity segmentation: per customer (>= 3 "
+    "gaps) the coefficient of variation of inter-order gaps, banded "
+    "into clockwork (<0.3 — replenishment/subscription-like, the "
+    "segment autoship offers convert), regular, irregular, and "
+    "sporadic (>=1.1, memoryless-or-worse: a Poisson process has "
+    "CV = 1) — the per-CUSTOMER regularity view that "
+    "customer_reorder_intervals' global histogram and the XYZ "
+    "matrix's per-PART demand CV both miss.  Exact integer gap "
+    "moments per customer (the overdispersion recipe), identical "
+    "double folds, band edges on identical doubles; zero-variance "
+    "guard via greatest(var, 0) against negative epsilon from "
+    "cancellation on BOTH engines identically.  Scale shape: one "
+    "customer-keyed window, one customer collapse, a 4-row readout.",
+    tags=("relational", "window", "mining"),
+)
+def customer_order_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", "o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(day, F.lag(day).over(w)).cast("long").alias("g"),
+    ).where(F.col("g").isNotNull())
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("g").cast("decimal(18,0)")).cast("double")
+    s2 = F.sum((F.col("g") * F.col("g")).cast("decimal(28,0)")).cast(
+        "double"
+    )
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    m = (
+        seq.groupBy("o_custkey")
+        .agg(n.alias("n_gaps"), mu.alias("mu"), var.alias("var"))
+        .where(F.col("n_gaps") >= 3)
+    )
+    cv = F.sqrt(F.greatest(F.col("var"), F.lit(0.0))) / F.col("mu")
+    band = (
+        F.when(F.col("mu") <= 0, "degenerate")
+        .when(cv < 0.3, "clockwork")
+        .when(cv < 0.7, "regular")
+        .when(cv < 1.1, "irregular")
+        .otherwise("sporadic")
+    )
+    return (
+        m.select(band.alias("regularity"), "n_gaps", "mu")
+        .groupBy("regularity")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(
+                    F.round(F.col("mu"), 6).cast("decimal(28,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_mean_gap_days"),
+            F.round(
+                F.sum(F.col("n_gaps").cast("decimal(18,0)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_n_gaps"),
+        )
+        .orderBy("regularity")
+    )

@@ -3082,3 +3082,77 @@ def perplexity_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bin")
     )
+
+
+_BURST_TOPK = 40
+
+
+@register(
+    "token_burstiness_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, tok, COUNT(*) AS k
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY 1, 2
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM toks),
+agg AS (
+  SELECT tok,
+         CAST(SUM(k) AS BIGINT) AS tf,
+         COUNT(*) AS df
+  FROM occ GROUP BY tok
+)
+SELECT tok, tf, df,
+       round(CAST(tf AS DOUBLE) / df, 6) AS burstiness,
+       round(CAST(df AS DOUBLE) / nd.n_docs, 6) AS doc_rate
+FROM agg CROSS JOIN nd
+ORDER BY tf DESC, tok
+LIMIT {_BURST_TOPK}
+""",
+    doc="Token burstiness (Church & Gale 1995) for the top tokens by "
+    "frequency: burstiness = tf/df, the mean occurrences per "
+    "CONTAINING document — a token with high tf but low df 'bursts' "
+    "in few documents (topical/template words) while function words "
+    "spread evenly; the per-token version of the corpus-level "
+    "repetition signals (gopher dup_frac is its per-doc dual), and "
+    "the statistic a stopword-list builder thresholds on.  Pure "
+    "integer counting to two rounded divisions; top-k orders on "
+    "exact tf with a token tie-break.  Scale shape: one (doc, token) "
+    "collapse, one token aggregation, TakeOrdered top-40.",
+    tags=("llm", "text", "profiling"),
+)
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    ts = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+        lambda x: F.length(x) > 0,
+    )
+    occ = (
+        d.select("doc_id", F.explode(ts).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    agg = occ.groupBy("tok").agg(
+        F.sum("k").cast("long").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs"), 6
+            ).alias("doc_rate"),
+        )
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(_BURST_TOPK)
+    )

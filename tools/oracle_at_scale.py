@@ -194,6 +194,8 @@ DEFAULT_PICKS = [
     "order_status_reconciliation",
     "top_customer_stability",
     "corpus_datasheet",
+    "customer_order_regularity",
+    "token_burstiness_topk",
 ]
 
 
