@@ -1,0 +1,170 @@
+"""Mathematical invariants of the round-8 statistical operators.
+
+These are THIRD checks, independent of both the Spark implementation
+and the DuckDB oracle formulation: each asserts a property the
+STATISTIC itself must satisfy (bounds, monotonicity, accounting
+identities), so a bug that slipped into both engines identically — the
+one failure mode the hash gate cannot see — still gets caught.
+"""
+
+from __future__ import annotations
+
+from mapreducer_spark.registry import all_queries
+
+
+def _rows(spark, sf_dir, name):
+    return all_queries()[name].fn(spark, sf_dir).collect()
+
+
+def test_bounded_statistics_stay_in_range(spark, sf_dir):
+    """Correlations in [-1,1]; KS, rates, shares, rich-club, JSD in
+    [0,1]; chi-square and F nonnegative."""
+    (row,) = _rows(spark, sf_dir, "spend_frequency_rank_correlation")
+    assert -1.0 <= row.spearman_rho <= 1.0
+
+    for r in _rows(spark, sf_dir, "lineitem_correlation_matrix"):
+        assert -1.0 <= r.pearson_r <= 1.0
+
+    (row,) = _rows(spark, sf_dir, "copurchase_assortativity")
+    assert -1.0 <= row.assortativity <= 1.0
+
+    (row,) = _rows(spark, sf_dir, "returns_price_ks_test")
+    assert 0.0 <= row.ks_stat <= 1.0 and row.crit_95 > 0
+
+    (row,) = _rows(spark, sf_dir, "priority_mix_chisq")
+    assert row.chi2 >= 0 and row.df == (row.n_priorities - 1) * (
+        row.n_years - 1
+    )
+
+    (row,) = _rows(spark, sf_dir, "price_anova_by_priority")
+    assert row.f_stat >= 0 and row.df_between == row.n_groups - 1
+
+    for r in _rows(spark, sf_dir, "copurchase_rich_club"):
+        assert 0.0 <= r.rich_club_coeff <= 1.0
+
+    for r in _rows(spark, sf_dir, "source_js_divergence"):
+        assert 0.0 <= r.jsd_bits <= 1.0 + 1e-9  # JSD (log2) is <= 1
+
+    (row,) = _rows(spark, sf_dir, "copurchase_brand_modularity")
+    assert -1.0 <= row.modularity <= 1.0
+
+
+def test_survival_curve_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "customer_survival_curve"),
+        key=lambda r: r.horizon,
+    )
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev + 1e-9  # S(t) nonincreasing
+        prev = r.survival
+
+
+def test_growth_decomposition_accounting_identity(spark, sf_dir):
+    """volume_effect + price_effect == total_change per brand (the
+    construction claim in the docstring, checked to rounding)."""
+    for r in _rows(spark, sf_dir, "revenue_growth_decomposition"):
+        assert (
+            abs((r.volume_effect + r.price_effect) - r.total_change)
+            < 0.02  # two 2dp-rounded addends
+        )
+
+
+def test_lift_table_monotone_capture(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "quality_score_lift_table"),
+        key=lambda r: r.decile,
+    )
+    assert rows[-1].capture_rate == 1.0
+    prev = 0.0
+    for r in rows:
+        assert r.capture_rate >= prev - 1e-9
+        prev = r.capture_rate
+        assert r.lift >= 0
+
+
+def test_calibration_ece_is_weighted_gap_mean(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "classifier_calibration_bins")
+    n = sum(r.n_docs for r in rows)
+    ece = sum(r.n_docs * r.gap for r in rows) / n
+    assert abs(rows[0].ece - ece) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.observed_rate <= 1.0
+
+
+def test_trimmed_mean_between_min_and_mean_bounds(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "trimmed_mean_order_value")
+    # Right-skewed distribution: trimming the tails pulls the mean in;
+    # winsorizing moves it less than trimming.
+    assert row.k_trimmed_each_side == row.n_orders // 20
+    assert row.trimmed_mean_5pct > 0
+    assert (
+        min(row.trimmed_mean_5pct, row.winsorized_mean_5pct)
+        <= row.mean
+        <= max(row.mean, row.winsorized_mean_5pct) + 1e-6
+    )
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "bootstrap_revenue_ci")
+    assert row.ci_lo_95 <= row.boot_mean <= row.ci_hi_95
+    # The resampled mean should sit near the full mean (Poisson(1)
+    # bootstrap is unbiased; 50 replicates at fixture n are tight).
+    assert abs(row.boot_mean - row.full_mean) / row.full_mean < 0.05
+    assert row.ci_lo_95 <= row.full_mean <= row.ci_hi_95
+
+
+def test_lifecycle_states_accounting_identity(spark, sf_dir):
+    """active(W) - active(W-1) == new + resurrected - churned for every
+    week where churn is defined."""
+    rows = _rows(spark, sf_dir, "user_lifecycle_states")
+    byweek: dict = {}
+    for r in rows:
+        byweek.setdefault(r.week, {})[r.state] = r.n_users
+    weeks = sorted(byweek)
+    for prev, cur in zip(weeks, weeks[1:]):
+        if "churned" not in byweek[cur]:
+            continue
+        active = lambda w: sum(  # noqa: E731
+            v for k, v in byweek[w].items() if k != "churned"
+        )
+        delta = active(cur) - active(prev)
+        flows = (
+            byweek[cur].get("new", 0)
+            + byweek[cur].get("resurrected", 0)
+            - byweek[cur]["churned"]
+        )
+        assert delta == flows
+
+
+def test_datasheet_reconciles_with_dedicated_operators(spark, sf_dir):
+    (ds,) = _rows(spark, sf_dir, "corpus_datasheet")
+    # Exact-dup rate reconciles with the content-hash group count over
+    # the RAW corpus (dedup_exact runs on the synthesized-dup corpus,
+    # so reconcile against a direct recount here).
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.functions.hashes import md5_int64
+    from mapreducer_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    distinct = d.select(md5_int64(F.col("text"))).distinct().count()
+    assert ds.n_docs == n
+    assert abs(ds.exact_dup_rate - (1.0 - distinct / n)) < 1e-6
+    # Entropy reconciles with corpus_entropy_rate's unigram number.
+    (er,) = _rows(spark, sf_dir, "corpus_entropy_rate")
+    assert abs(ds.unigram_entropy_bits - er.unigram_entropy_bits) < 1e-6
+    assert ds.vocab_size == er.vocab_size
+
+
+def test_weighted_median_dominates_row_median_under_qty_weighting(
+    spark, sf_dir
+):
+    """Sanity: weighted quantile picks are actual data values and the
+    p90 is >= the median per group."""
+    for r in _rows(spark, sf_dir, "quantity_weighted_price_median"):
+        assert r.weighted_median_price <= r.weighted_p90_price
+        assert r.total_weight > 0
