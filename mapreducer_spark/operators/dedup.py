@@ -2047,3 +2047,157 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
     )
+
+
+def _minhash_estimator_oracle_sql() -> str:
+    """Signature CTEs (front of the LSH twin chain, through ``sig``)
+    joined against the blocked-exact pair set: per planted near-dup
+    pair, the 16-perm MinHash Jaccard estimate beside the exact
+    Jaccard."""
+    front = _lsh_md5_oracle_ctes()
+    # Keep only corpus..sig (drop the banding/candidate CTEs the
+    # estimator doesn't need: everything from ",\nb AS (" on).
+    front = front[: front.index(",\nb AS (")]
+    matches = " + ".join(
+        f"(CASE WHEN a.mh{i} = b2.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+WITH {front},
+tsets AS (
+  SELECT doc_id,
+         regexp_extract(text, '^[a-z0-9]+') AS block,
+         list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
+  FROM corpus
+),
+pairs AS (
+  SELECT pa.doc_id AS id_a, pb.doc_id AS id_b,
+         round(CAST(len(list_intersect(pa.tok_set, pb.tok_set)) AS DOUBLE)
+               / len(list_distinct(list_concat(pa.tok_set, pb.tok_set))),
+               6) AS jaccard
+  FROM tsets pa JOIN tsets pb
+    ON pa.block = pb.block AND pa.doc_id < pb.doc_id
+  WHERE CAST(len(list_intersect(pa.tok_set, pb.tok_set)) AS DOUBLE)
+        / len(list_distinct(list_concat(pa.tok_set, pb.tok_set)))
+        >= {_JACCARD_THRESHOLD}
+),
+ssets AS (
+  SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+),
+est AS (
+  SELECT pairs.jaccard AS token_j,
+         round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sset, sb.sset))), 6)
+           AS shingle_j,
+         CAST(({matches}) AS DOUBLE) / {_MINHASH_K} AS est_j
+  FROM pairs
+  JOIN sig a ON a.doc_id = pairs.id_a
+  JOIN sig b2 ON b2.doc_id = pairs.id_b
+  JOIN ssets sa ON sa.doc_id = pairs.id_a
+  JOIN ssets sb ON sb.doc_id = pairs.id_b
+)
+SELECT COUNT(*) AS n_pairs,
+       round(CAST(SUM(CAST(round(est_j, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_estimated_j,
+       round(CAST(SUM(CAST(shingle_j AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_exact_shingle_j,
+       round(CAST(SUM(CAST(round(abs(est_j - shingle_j), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mae_vs_shingle,
+       round(CAST(SUM(CAST(round(est_j - shingle_j, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_bias_vs_shingle,
+       round(CAST(SUM(CAST(token_j AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_token_j
+FROM est
+"""
+
+
+@register(
+    "minhash_estimator_error",
+    oracle=_minhash_estimator_oracle_sql(),
+    doc="MinHash Jaccard-ESTIMATOR quality on the planted near-dup "
+    f"pairs: per pair, the {_MINHASH_K}-permutation signature "
+    "agreement fraction (the unbiased MinHash estimate, "
+    "E[matches/k] = J) beside the exact SHINGLE-set Jaccard — the "
+    "quantity MinHash actually estimates; the first cut compared "
+    "against TOKEN-set Jaccard and read an absurd 0.79 MAE, which is "
+    "not estimator error but the token-vs-shingle similarity gap "
+    "minhash_lsh_recall already documented (token sets saturate on "
+    "the small-vocab fixture; shingle sets do not) — mean_token_j "
+    "stays as a column so the gap itself is visible.  MAE and bias "
+    "vs shingle Jaccard are the VALUE-accuracy half of the sketch "
+    "story (minhash_lsh_recall measures the RETRIEVAL half; expected "
+    f"MAE at k={_MINHASH_K} is ~sqrt(J(1-J)/k)).  "
+    "Determinism: signatures are the exact md5-affine pipeline of "
+    "the LSH twin; estimates are multiples of 1/k (exactly "
+    "representable); per-pair terms round at 6dp into decimal sums.  "
+    "Scale shape: signatures map-side per doc, one join against the "
+    "pair frame (|pairs| rows, never corpus-squared).",
+    tags=("llm", "dedup", "sketch", "approx"),
+)
+def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = docs_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus, use_md5=True)
+    pairs = neardup_jaccard_blocked(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE),
+        lambda x: F.length(x) > 0,
+    )
+    with_toks = corpus.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") > 0
+    )
+    ssets = with_toks.select(
+        "doc_id",
+        F.array_distinct(shingle_col(F.col("toks"), 3)).alias("sset"),
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+    )
+    sa = ssets.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
+    sb = ssets.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_distinct(F.concat(F.col("sa"), F.col("sb"))))
+    est = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("jaccard").alias("token_j"),
+            F.round(inter.cast("double") / union, 6).alias("shingle_j"),
+            (matches.cast("double") / _MINHASH_K).alias("est_j"),
+        )
+    )
+    n = F.count(F.lit(1))
+    dmean = lambda c: F.round(  # noqa: E731
+        F.sum(F.round(c, 6).cast("decimal(18,6)")).cast("double") / n, 6
+    )
+    return est.agg(
+        n.alias("n_pairs"),
+        dmean(F.col("est_j")).alias("mean_estimated_j"),
+        F.round(
+            F.sum(F.col("shingle_j").cast("decimal(18,6)")).cast("double")
+            / n,
+            6,
+        ).alias("mean_exact_shingle_j"),
+        dmean(F.abs(F.col("est_j") - F.col("shingle_j"))).alias(
+            "mae_vs_shingle"
+        ),
+        dmean(F.col("est_j") - F.col("shingle_j")).alias(
+            "mean_bias_vs_shingle"
+        ),
+        F.round(
+            F.sum(F.col("token_j").cast("decimal(18,6)")).cast("double")
+            / n,
+            6,
+        ).alias("mean_token_j"),
+    )

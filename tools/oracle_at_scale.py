@@ -196,6 +196,7 @@ DEFAULT_PICKS = [
     "corpus_datasheet",
     "customer_order_regularity",
     "token_burstiness_topk",
+    "minhash_estimator_error",
 ]
 
 
