@@ -3402,3 +3402,91 @@ def embedding_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _ivf_balance_oracle_sql() -> str | None:
+    ctes = _ivf_oracle_ctes()
+    if ctes is None:
+        return None
+    # Only the cents/e/assigned front is needed; drop probes onward.
+    front = ctes[: ctes.index(",\nprobes AS (")]
+    return f"""
+WITH {front},
+sizes AS (
+  SELECT cluster, COUNT(*) AS n_vectors FROM assigned GROUP BY cluster
+),
+tot AS (
+  SELECT SUM(n_vectors) AS n, COUNT(*) AS n_lists FROM sizes
+)
+SELECT sizes.cluster,
+       CAST(sizes.n_vectors AS BIGINT) AS n_vectors,
+       round(CAST(sizes.n_vectors AS DOUBLE) / tot.n, 6) AS share,
+       round(CAST(tot.n_lists AS DOUBLE)
+             * CAST((SELECT SUM(CAST(round(
+                 (CAST(s2.n_vectors AS DOUBLE) / tot.n)
+                 * (CAST(s2.n_vectors AS DOUBLE) / tot.n), 10)
+                 AS DECIMAL(28,10))) FROM sizes s2) AS DOUBLE), 6)
+         AS imbalance_factor
+FROM sizes CROSS JOIN tot
+ORDER BY sizes.cluster
+"""
+
+
+@register(
+    "ivf_list_balance",
+    oracle=_ivf_balance_oracle_sql(),
+    doc="IVF inverted-list balance report: per frozen-index cluster the "
+    "vector count and share, plus the global imbalance factor "
+    "n_lists * sum(share^2) — the expected relative scan cost of a "
+    "random probe vs perfectly balanced lists (1.0 = balanced; the "
+    "quantity that decides whether the coarse quantizer needs "
+    "re-training or the nprobe sweep's costs are lopsided).  The "
+    "serving-ops companion to ann_ivf_nprobe_sweep (which measures "
+    "recall per probe budget; this measures COST per probe) and "
+    "join_key_skew_profile's same diagnostic for shuffle keys.  "
+    "Assignment is the exact frozen-index map-side argmax of the ANN "
+    "path; shares are identical-order divisions; the imbalance sum "
+    "rounds 10dp terms into a decimal.  Degrades with the index "
+    "contract: fingerprint drift drops the oracle to rows-only, "
+    "serving live-trains.  Scale shape: one assignment scan, one "
+    "16-row aggregation.",
+    tags=("llm", "similarity", "profiling"),
+)
+def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.vectors import norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = _centroid_list(em, sf_dir)
+    index = _index_frame(spark, cents)
+    with_norm = (
+        fan_out(em)
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("__vn"))
+        .crossJoin(F.broadcast(index))
+    )
+    assigned = with_norm.select(
+        F.array_max(_cluster_sims(F.col("embedding"), F.col("__vn")))
+        .getField("cid")
+        .alias("cluster"),
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    wall = Window.partitionBy()
+    n = F.sum("n_vectors").over(wall)
+    n_lists = F.count(F.lit(1)).over(wall)
+    share = F.col("n_vectors").cast("double") / n
+    imb = F.round(
+        n_lists.cast("double")
+        * F.sum(
+            F.round(share * share, 10).cast("decimal(28,10)")
+        ).over(wall).cast("double"),
+        6,
+    )
+    return sizes.select(
+        "cluster",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(share, 6).alias("share"),
+        imb.alias("imbalance_factor"),
+    ).orderBy("cluster")
