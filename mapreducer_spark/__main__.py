@@ -169,6 +169,29 @@ def cmd_monitor_changepoints(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_monitor_seasonal(args: argparse.Namespace) -> int:
+    """Run the streaming day-of-week seasonal anomaly monitor
+    (availableNow) and print the current report — the operational twin
+    of the events_seasonal_anomaly query; the batch-keyed daily state
+    table makes re-runs extend history instead of recounting."""
+    from mapreducer_spark.streaming.jobs import (
+        read_events_stream,
+        run_seasonal_anomaly_monitor,
+    )
+
+    spark = _get_spark(args)
+    run_seasonal_anomaly_monitor(
+        read_events_stream(spark, args.sf_dir),
+        args.state_dir,
+        args.report_dir,
+        args.checkpoint,
+    )
+    report = spark.read.parquet(args.report_dir)
+    for row in sorted(report.collect(), key=lambda r: (str(r.day), r.dow)):
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    return 0
+
+
 def cmd_snapshot_diff(args: argparse.Namespace) -> int:
     from mapreducer_spark.sources.snapshots import snapshot_diff
 
@@ -423,6 +446,17 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--out", default=None)
     sd.add_argument("--limit", type=int, default=20)
     sd.set_defaults(fn=cmd_snapshot_diff)
+
+    ms = sub.add_parser(
+        "monitor-seasonal",
+        help="streaming day-of-week anomaly monitor: fold new events "
+        "into the daily state table and refresh the report",
+    )
+    ms.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ms.add_argument("state_dir", help="batch-keyed daily partials table")
+    ms.add_argument("report_dir", help="current anomaly report")
+    ms.add_argument("--checkpoint", required=True)
+    ms.set_defaults(fn=cmd_monitor_seasonal)
 
     sm = sub.add_parser(
         "snapshot-merge",
