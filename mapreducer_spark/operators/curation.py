@@ -2267,3 +2267,145 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unigram_entropy_bits",
         )
     )
+
+
+@register(
+    "quality_score_quantile_map",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_ORACLE_TOKS}) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         ({oracle_md5_int64("tok")} % {_QC_BUCKETS}) - {_QC_WSCALE} AS w
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, source,
+         ROUND(1.0 / (1.0 + exp(-(CAST(SUM(w) AS DOUBLE)
+               / ({_QC_WSCALE}.0 * COUNT(*))))), 6) AS score
+  FROM feats GROUP BY doc_id, source
+),
+srch AS (
+  SELECT source, score, COUNT(*) AS c FROM scored GROUP BY 1, 2
+),
+scum AS (
+  SELECT source, score,
+         SUM(c) OVER (PARTITION BY source ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER (PARTITION BY source) AS tot
+  FROM srch
+),
+gcum AS (
+  SELECT score,
+         SUM(c) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(c) OVER () AS tot
+  FROM (SELECT score, COUNT(*) AS c FROM scored GROUP BY 1)
+),
+d AS (SELECT unnest(generate_series(1, 4)) AS q)
+SELECT scum_e.source, d.q AS quartile,
+       scum_e.src_edge, g.global_edge,
+       round(scum_e.src_edge - g.global_edge, 6) AS shift
+FROM d
+JOIN (
+  SELECT source, d2.q,
+         MIN(CASE WHEN 4 * cc >= d2.q * tot THEN score END) AS src_edge
+  FROM scum CROSS JOIN generate_series(1, 4) AS d2(q)
+  GROUP BY source, d2.q
+) scum_e ON scum_e.q = d.q
+JOIN (
+  SELECT d3.q,
+         MIN(CASE WHEN 4 * cc >= d3.q * tot THEN score END) AS global_edge
+  FROM gcum CROSS JOIN generate_series(1, 4) AS d3(q)
+  GROUP BY d3.q
+) g ON g.q = d.q
+ORDER BY scum_e.source, d.q
+""",
+    doc="Quantile normalization map for the quality score: per source, "
+    "the exact quartile edges of its score distribution beside the "
+    "GLOBAL quartile edges and the shift between them — the "
+    "batch-effect table behind per-source threshold correction "
+    "(thresholding a raw score keeps different quality SHARES from "
+    "sources whose score distributions sit at different levels — the "
+    "multi-source cousin of perplexity_length_bias's length "
+    "confound; mapping each source's quantiles onto the global ones "
+    "is textbook quantile normalization).  Exact integer-rank "
+    "quartile picks (4*cc >= q*tot) over score-collapsed histograms "
+    "per source and globally; scores are the established 6dp "
+    "sigmoid.  Scale shape: one map-side scorer, two "
+    "score-domain-bounded histogram collapses, windows on those.",
+    tags=("llm", "curation", "quantile", "mining"),
+)
+def quality_score_quantile_map(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = quality_classifier_linear(spark, sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    ss = scored.join(docs, "doc_id").select("source", "score")
+    ss = ss.localCheckpoint(eager=True)
+    srch = ss.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scum = srch.select(
+        "source",
+        "score",
+        F.sum("c").over(wsrc).alias("cc"),
+        F.sum("c").over(Window.partitionBy("source")).alias("tot"),
+    )
+    gh = ss.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    wg = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gcum = gh.select(
+        "score",
+        F.sum("c").over(wg).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("tot"),
+    )
+    qs = spark.range(1, 5).select(F.col("id").cast("int").alias("q"))
+    src_edges = (
+        qs.crossJoin(scum)
+        .groupBy("source", "q")
+        .agg(
+            F.min(
+                F.when(
+                    4 * F.col("cc") >= F.col("q") * F.col("tot"),
+                    F.col("score"),
+                )
+            ).alias("src_edge")
+        )
+    )
+    g_edges = (
+        qs.crossJoin(gcum)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    4 * F.col("cc") >= F.col("q") * F.col("tot"),
+                    F.col("score"),
+                )
+            ).alias("global_edge")
+        )
+    )
+    return (
+        src_edges.join(F.broadcast(g_edges), "q")
+        .select(
+            "source",
+            F.col("q").alias("quartile"),
+            "src_edge",
+            "global_edge",
+            F.round(
+                F.col("src_edge") - F.col("global_edge"), 6
+            ).alias("shift"),
+        )
+        .orderBy("source", "quartile")
+    )

@@ -3156,3 +3156,99 @@ def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "tok")
         .limit(_BURST_TOPK)
     )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+),
+docs AS (SELECT doc_id, len(t) AS n FROM toks),
+ck AS (
+  SELECT d.d AS decile,
+         MIN(CASE WHEN 10 * rn >= d.d * tot THEN doc_id END) AS ckpt_doc
+  FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+           COUNT(*) OVER () AS tot
+    FROM docs
+  ) CROSS JOIN generate_series(1, 10) AS d(d)
+  GROUP BY d.d
+),
+firsts AS (
+  SELECT tok, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY tok
+)
+SELECT ck.decile, ck.ckpt_doc,
+       (SELECT CAST(SUM(CAST(n AS DECIMAL(18,0))) AS BIGINT) FROM docs
+        WHERE doc_id <= ck.ckpt_doc) AS tokens_seen,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+        WHERE first_doc <= ck.ckpt_doc) AS types_seen
+FROM ck
+ORDER BY ck.decile
+""",
+    doc="Empirical vocabulary-growth curve: distinct types vs tokens "
+    "seen at 10 corpus-prefix checkpoints (doc_id order) — the "
+    "measured curve whose log-log slope heaps_law_fit estimates "
+    "parametrically, and the saturation diagnostic that says WHERE "
+    "the vocabulary closes (a template corpus saturates in the first "
+    "decile; open text never does).  Checkpoints are exact "
+    "integer-rank decile picks over the doc dimension; types-seen "
+    "uses the first-occurrence table (min doc_id per token — the "
+    "ngram_novelty machinery at token grain), so no prefix is ever "
+    "re-scanned.  Scale shape: one token first-occurrence "
+    "aggregation, one doc-length collapse, 10 conditional folds over "
+    "the token-dimension-sized firsts table.",
+    tags=("llm", "text", "profiling"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    with_toks = d.select("doc_id", _tokens_col().alias("t"))
+    docs = with_toks.select("doc_id", F.size("t").alias("n"))
+    docs = docs.localCheckpoint(eager=True)
+    rn = F.row_number().over(Window.orderBy("doc_id"))
+    tot = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = docs.select("doc_id", rn.alias("rn"), tot.alias("tot"))
+    dk = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    ck = (
+        dk.crossJoin(ranked)
+        .groupBy("decile")
+        .agg(
+            F.min(
+                F.when(
+                    10 * F.col("rn") >= F.col("decile") * F.col("tot"),
+                    F.col("doc_id"),
+                )
+            ).alias("ckpt_doc")
+        )
+    )
+    firsts = (
+        with_toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    tokens_at = (
+        ck.crossJoin(docs)
+        .where(F.col("doc_id") <= F.col("ckpt_doc"))
+        .groupBy("decile", "ckpt_doc")
+        .agg(
+            F.sum(F.col("n").cast("decimal(18,0)"))
+            .cast("long")
+            .alias("tokens_seen")
+        )
+    )
+    types_at = (
+        ck.crossJoin(firsts)
+        .where(F.col("first_doc") <= F.col("ckpt_doc"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("types_seen"))
+    )
+    return (
+        tokens_at.join(types_at, "decile")
+        .select("decile", "ckpt_doc", "tokens_seen", "types_seen")
+        .orderBy("decile")
+    )

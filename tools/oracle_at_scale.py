@@ -197,6 +197,8 @@ DEFAULT_PICKS = [
     "customer_order_regularity",
     "token_burstiness_topk",
     "minhash_estimator_error",
+    "vocab_growth_curve",
+    "quality_score_quantile_map",
 ]
 
 
