@@ -208,6 +208,29 @@ def main() -> None:
             f"{SCALE10} missing — run `python tools/gen_scale10.py` first"
         )
     picks = sys.argv[1:] or DEFAULT_PICKS
+    # Frozen-index oracles (IVF/PQ centroid literals) render for
+    # SPARK_GRAFT_ORACLE_SF, which must point at the 10x fixture when
+    # sweeping them — a plain run renders gate-scale literals and
+    # MISMATCHes by construction, which reads like a defect but is an
+    # operator error (it cost a re-run in r8).  Warn loudly up front.
+    frozen_prefixes = ("ann_ivf", "ann_pq", "ivf_", "semdedup")
+    frozen_picks = [
+        n for n in picks if n.startswith(frozen_prefixes)
+    ]
+    if frozen_picks and os.environ.get("SPARK_GRAFT_ORACLE_SF") is None:
+        print(
+            json.dumps(
+                {
+                    "warning": "frozen-index picks without "
+                    "SPARK_GRAFT_ORACLE_SF — their oracles render "
+                    "GATE-scale centroid literals and will MISMATCH "
+                    "against 10x serving; set "
+                    "SPARK_GRAFT_ORACLE_SF=<repo>/.scale10/sf1",
+                    "picks": frozen_picks,
+                }
+            ),
+            flush=True,
+        )
     spark = get_spark(
         app_name="oracle-at-scale",
         master="local[32]",
