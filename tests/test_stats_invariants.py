@@ -168,3 +168,57 @@ def test_weighted_median_dominates_row_median_under_qty_weighting(
     for r in _rows(spark, sf_dir, "quantity_weighted_price_median"):
         assert r.weighted_median_price <= r.weighted_p90_price
         assert r.total_weight > 0
+
+
+def test_vocab_growth_monotone(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "vocab_growth_curve"), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b.tokens_seen >= a.tokens_seen
+        assert b.types_seen >= a.types_seen
+    # Final checkpoint covers the whole corpus: reconcile with the
+    # datasheet's totals.
+    (ds,) = _rows(spark, sf_dir, "corpus_datasheet")
+    assert rows[-1].tokens_seen == ds.total_tokens
+    assert rows[-1].types_seen == ds.vocab_size
+
+
+def test_quantile_map_edges_ordered(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = _rows(spark, sf_dir, "quality_score_quantile_map")
+    by_src = defaultdict(list)
+    for r in rows:
+        assert 0.0 <= r.src_edge <= 1.0 and 0.0 <= r.global_edge <= 1.0
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.quartile)
+        for a, b in zip(rs, rs[1:]):
+            assert b.src_edge >= a.src_edge, src
+            assert b.global_edge >= a.global_edge
+
+
+def test_minhash_estimator_unbiased_and_bounded(spark, sf_dir):
+    (row,) = _rows(spark, sf_dir, "minhash_estimator_error")
+    assert 0.0 <= row.mean_estimated_j <= 1.0
+    assert 0.0 <= row.mean_exact_shingle_j <= 1.0
+    assert row.mae_vs_shingle >= abs(row.mean_bias_vs_shingle) - 1e-9
+    # Unbiasedness: |bias| well under the per-pair binomial sd ~1/sqrt(16).
+    assert abs(row.mean_bias_vs_shingle) < 0.25 / 4
+
+
+def test_ivf_balance_shares_sum_to_one(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "ivf_list_balance")
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    (imb,) = {r.imbalance_factor for r in rows}
+    assert imb >= 1.0 - 1e-6  # Cauchy-Schwarz: balanced is the minimum
+    assert sum(r.n_vectors for r in rows) > 0
+
+
+def test_in_session_reconciles_with_session_count(spark, sf_dir):
+    (conv,) = _rows(spark, sf_dir, "in_session_conversion")
+    n_sessions = len(_rows(spark, sf_dir, "event_sessions"))
+    assert conv.n_sessions == n_sessions
+    assert conv.converting_sessions <= conv.sessions_with_view <= n_sessions
