@@ -65,6 +65,43 @@ def cms_cells(ev: DataFrame) -> DataFrame:
 
 
 
+def cms_report_from_counts(counts: DataFrame) -> DataFrame:
+    """The heavy-hitters report derived from per-user EXACT counts —
+    shared verbatim by the batch query below and the streaming monitor
+    (streaming/jobs.py::run_heavy_hitters_monitor), so their parity
+    holds by construction.  The CMS grid is rebuilt from the counts by
+    WEIGHTED cell increments (a user with count c adds c to each of its
+    d cells — identical to per-event increments because integer sums
+    commute), then every user probes min-over-rows as usual."""
+    spark = counts.sparkSession
+    rows_j = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    probes = counts.crossJoin(F.broadcast(rows_j)).select(
+        "user_id", "exact_cnt", "j", cms_cell_col().alias("cell")
+    )
+    cells = probes.groupBy("j", "cell").agg(
+        F.sum("exact_cnt").alias("cnt")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        counts.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy(F.col("est_cnt").desc(), "user_id")
+        .limit(_CMS_TOPN)
+    )
+
+
 @register(
     "cms_heavy_hitters",
     oracle=f"""
@@ -118,31 +155,13 @@ WHERE rn <= {_CMS_TOPN}
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    rows_j = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
-    cells = cms_cells(ev)
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    probes = exact.crossJoin(F.broadcast(rows_j)).select(
-        "user_id", "j", cms_cell_col().alias("cell")
+    # One per-user exact-count collapse, then the shared counts-driven
+    # report (identical cell sums to per-event increments — integer
+    # addition commutes) so the streaming monitor's parity is literal.
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
     )
-    est = (
-        probes.join(F.broadcast(cells), ["j", "cell"])
-        .groupBy("user_id")
-        .agg(F.min("cnt").alias("est_cnt"))
-    )
-    # Global top-N via orderBy+limit = TakeOrderedAndProject (per-partition
-    # heaps + driver merge of N rows), never a single-partition window.
-    return (
-        exact.join(est, "user_id")
-        .select(
-            "user_id",
-            "exact_cnt",
-            "est_cnt",
-            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
-            (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
-        )
-        .orderBy(F.col("est_cnt").desc(), "user_id")
-        .limit(_CMS_TOPN)
-    )
+    return cms_report_from_counts(counts)
 
 
 # --------------------------------------------------------------------------

@@ -999,3 +999,70 @@ def run_seasonal_anomaly_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def run_heavy_hitters_monitor(
+    events_stream: DataFrame,
+    state_dir: str,
+    report_dir: str,
+    checkpoint: str,
+) -> None:
+    """Streaming count-min heavy-hitters monitoring: each micro-batch
+    folds its per-user event counts into the state table, then
+    re-derives the SAME top-N report the batch operator
+    (operators/sketches.py::cms_heavy_hitters) produces via the shared
+    cms_report_from_counts algebra — the merged CMS grid is rebuilt
+    from the folded counts by weighted increments, which equals
+    per-event increments exactly because integer addition commutes
+    (this is WHY CMS is the canonical mergeable sketch: daily shard
+    grids add cell-wise; folding counts first is the same sum in a
+    different association order).
+
+    Replay contract: the changepoint monitor's verbatim — batch-keyed
+    partials so a replayed batch REPLACES its rows, write-aside-then-
+    swap for both tables.
+    """
+    import shutil
+    import uuid as _uuid
+
+    from mapreducer_spark.operators.sketches import cms_report_from_counts
+
+    def _swap_write(df: DataFrame, target: str, batch_id: int) -> None:
+        tmp = f"{target}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{target}.old-{batch_id}"
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(batch_id).alias("batch_id"), "user_id", "n")
+        )
+        try:
+            state = spark.read.parquet(state_dir).where(
+                F.col("batch_id") != batch_id
+            )
+            state = state.unionByName(partial)
+        except Exception:
+            state = partial
+        _swap_write(state, state_dir, batch_id)
+        counts = (
+            spark.read.parquet(state_dir)
+            .groupBy("user_id")
+            .agg(F.sum("n").cast("long").alias("exact_cnt"))
+        )
+        _swap_write(cms_report_from_counts(counts), report_dir, batch_id)
+
+    q = (
+        events_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -846,3 +846,63 @@ def test_seasonal_anomaly_monitor_matches_batch(spark, tmp_path):
     )
     got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
     assert got2 == want
+
+
+def test_heavy_hitters_monitor_matches_batch(spark, tmp_path):
+    """Streaming CMS heavy-hitters monitor: after 3 micro-batches the
+    report equals the batch cms_heavy_hitters EXACTLY (the mergeable-
+    sketch property made operational); replay-safe via batch-keyed
+    partials; fresh-checkpoint full replay leaves it unchanged."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from mapreducer_spark.operators.sketches import cms_heavy_hitters
+    from mapreducer_spark.streaming.jobs import run_heavy_hitters_monitor
+    from tests.conftest import SF_DIR
+
+    # Split by EVENT id (not user): a user's counts then genuinely
+    # merge ACROSS batches, which is the property under test.
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "ts", "value", "user_id"
+    )
+    in_dir = tmp_path / "hh_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"hh_stage_{k}"
+        ev.where(f"event_id % 3 = {k}").drop("event_id").coalesce(
+            1
+        ).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_type string, ts timestamp, value double, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    state = str(tmp_path / "hh_state")
+    report = str(tmp_path / "hh_report")
+    run_heavy_hitters_monitor(
+        stream(), state, report, str(tmp_path / "hh_ck1")
+    )
+
+    want = {tuple(r) for r in cms_heavy_hitters(spark, SF_DIR).collect()}
+    got = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got == want
+
+    st = spark.read.parquet(state)
+    assert st.select("batch_id").distinct().count() == 3
+    assert (
+        st.groupBy("batch_id", "user_id").count().where("count > 1").count()
+        == 0
+    )
+
+    run_heavy_hitters_monitor(
+        stream(), state, report, str(tmp_path / "hh_ck2")
+    )
+    got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got2 == want
