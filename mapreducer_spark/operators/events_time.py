@@ -2071,3 +2071,86 @@ def event_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_type_user_overlap",
+    oracle="""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT pairs.type_a, pairs.type_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(pairs.n_both AS BIGINT) AS n_both,
+       round(CAST(pairs.n_both AS DOUBLE)
+             / (sa.n + sb.n - pairs.n_both), 6) AS jaccard,
+       round(CAST(pairs.n_both AS DOUBLE)
+             / least(sa.n, sb.n), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.event_type = pairs.type_a
+JOIN sizes sb ON sb.event_type = pairs.type_b
+ORDER BY type_a, type_b
+""",
+    doc="Audience overlap between event types: exact user-set Jaccard "
+    "and containment for every type pair — 'do clickers also "
+    "purchase?' as set arithmetic, the EXACT ground truth the "
+    "kmv_set_operations sketch estimates (read together they close "
+    "the estimate-vs-exact loop the way minhash_estimator_error does "
+    "for MinHash), and the audience view behind "
+    "event_markov_transitions' flow view.  Pure integer counting to "
+    "two rounded divisions; the pair join is keyed on user_id with "
+    "per-user type sets bounded by the 5-type domain.  Scale shape: "
+    "one distinct collapse to (type, user), a user-keyed self-join "
+    "with m^2-per-key on m <= 5, a 10-row readout.",
+    tags=("events", "join", "profiling"),
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    tu = tu.localCheckpoint(eager=True)
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("type_a", "type_b")
+    )

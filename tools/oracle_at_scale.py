@@ -199,6 +199,7 @@ DEFAULT_PICKS = [
     "minhash_estimator_error",
     "vocab_growth_curve",
     "quality_score_quantile_map",
+    "event_type_user_overlap",
 ]
 
 
