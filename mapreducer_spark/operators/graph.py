@@ -834,3 +834,182 @@ def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_PL_DMIN = 4  # MLE tail cutoff: fit only degrees >= dmin
+
+
+@register(
+    "copurchase_degree_powerlaw",
+    oracle=f"""
+WITH e AS MATERIALIZED ({_ORACLE_COPURCHASE_EDGES}),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+tail AS (SELECT deg FROM deg WHERE deg >= {_PL_DMIN})
+SELECT
+  (SELECT COUNT(*) FROM deg) AS n_vertices,
+  COUNT(*) AS n_tail,
+  CAST(MIN(deg) AS BIGINT) AS d_min,
+  CAST(MAX(deg) AS BIGINT) AS d_max,
+  round(1.0 + CAST(COUNT(*) AS DOUBLE)
+        / CAST(SUM(CAST(round(ln(CAST(deg AS DOUBLE)
+                                  / ({_PL_DMIN} - 0.5)), 10)
+                        AS DECIMAL(28,10))) AS DOUBLE), 6) AS alpha_mle,
+  round((1.0 + CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(CAST(round(ln(CAST(deg AS DOUBLE)
+                                   / ({_PL_DMIN} - 0.5)), 10)
+                         AS DECIMAL(28,10))) AS DOUBLE) - 1.0)
+        / sqrt(CAST(COUNT(*) AS DOUBLE)), 6) AS alpha_stderr
+FROM tail
+""",
+    doc="Power-law exponent of the co-purchase degree distribution "
+    "(Clauset-Shalizi-Newman discrete MLE with the -1/2 continuity "
+    "correction: alpha = 1 + n / sum ln(d/(dmin-1/2)), stderr = "
+    f"(alpha-1)/sqrt(n), tail cutoff dmin={_PL_DMIN}) — is the graph "
+    "scale-free (alpha ~ 2-3, hubs guaranteed, salt your joins) or "
+    "homogeneous (alpha large / fit poor, uniform partitioning is "
+    "fine)?  The distributional summary behind the rich-club and "
+    "assortativity structure readouts, and the degree-side analogue "
+    "of corpus_zipf_fit.  Determinism: exact integer degrees; ln "
+    "terms round at 10dp into a decimal sum (PMI recipe); two "
+    "rounded outputs.  Scale shape: one degree aggregation, one "
+    "tail fold.",
+    tags=("graph", "agg", "mining"),
+)
+def copurchase_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = copurchase_sym_edges(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    tail = deg.where(F.col("deg") >= _PL_DMIN)
+    lnterm = F.round(
+        F.log(F.col("deg").cast("double") / (_PL_DMIN - 0.5)), 10
+    ).cast("decimal(28,10)")
+    n = F.count(F.lit(1))
+    s = F.sum(lnterm).cast("double")
+    alpha = F.lit(1.0) + n.cast("double") / s
+    agg = tail.agg(
+        n.alias("n_tail"),
+        F.min("deg").cast("long").alias("d_min"),
+        F.max("deg").cast("long").alias("d_max"),
+        F.round(alpha, 6).alias("alpha_mle"),
+        F.round(
+            (alpha - 1.0) / F.sqrt(n.cast("double")), 6
+        ).alias("alpha_stderr"),
+    )
+    return agg.crossJoin(F.broadcast(nv)).select(
+        "n_vertices",
+        "n_tail",
+        "d_min",
+        "d_max",
+        "alpha_mle",
+        "alpha_stderr",
+    )
+
+
+# Wilson 95% z and the rule floor shared with market_basket_rules.
+_WILSON_Z = 1.96
+_WILSON_TOPK = 40
+
+
+@register(
+    "basket_rule_wilson_ranking",
+    oracle=f"""
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pa AS (SELECT l_partkey AS part, COUNT(*) AS n_a FROM po GROUP BY 1),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_MBR_MIN_AB}
+),
+scored AS (
+  SELECT pc.part_a, pc.part_b, pc.n_ab, ca.n_a,
+         CAST(pc.n_ab AS DOUBLE) / ca.n_a AS p,
+         {_WILSON_Z} * {_WILSON_Z} AS z2
+  FROM pc JOIN pa ca ON ca.part = pc.part_a
+)
+SELECT part_a, part_b, n_ab, n_a,
+       round(p, 6) AS conf_a_to_b,
+       round((p + z2 / (2 * n_a)
+              - {_WILSON_Z} * sqrt((p * (1 - p) + z2 / (4 * n_a)) / n_a))
+             / (1 + z2 / n_a), 6) AS wilson_lower_95
+FROM scored
+ORDER BY round((p + z2 / (2 * n_a)
+              - {_WILSON_Z} * sqrt((p * (1 - p) + z2 / (4 * n_a)) / n_a))
+             / (1 + z2 / n_a), 6) DESC, part_a, part_b
+LIMIT {_WILSON_TOPK}
+""",
+    doc="Association rules ranked by the WILSON 95% lower bound of the "
+    "confidence (Wilson 1927) instead of the raw ratio — the fix for "
+    "market_basket_rules' small-sample trap, where a 3-of-3 rule "
+    "(conf 1.0, n=3) outranks a 90-of-100 one; the lower bound "
+    "penalizes thin evidence exactly the way rating systems rank "
+    "items, so the top of this list is deployable as-is.  "
+    "Determinism: exact counts; the Wilson expression folds "
+    "identically in double from exact-cast inputs and the ORDER BY "
+    "uses the ROUNDED bound with (part_a, part_b) tie-breaks.  Scale "
+    "shape: the basket-rules pair derivation (relational self-join "
+    "here, in-array expansion in the twin — both counted exactly), "
+    "one frequency join, TakeOrdered top-40.",
+    tags=("graph", "mining", "topk", "agg"),
+)
+def basket_rule_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pa = sets.select(F.explode("ps").alias("part")).groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice("ps", i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pc = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _MBR_MIN_AB)
+    )
+    ca = pa.select(F.col("part").alias("part_a"), "n_a")
+    scored = pc.join(F.broadcast(ca), "part_a").select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        "n_a",
+        (F.col("n_ab").cast("double") / F.col("n_a")).alias("p"),
+    )
+    z2 = F.lit(_WILSON_Z * _WILSON_Z)
+    na = F.col("n_a")
+    wilson = (
+        F.col("p")
+        + z2 / (2 * na)
+        - F.lit(_WILSON_Z)
+        * F.sqrt(
+            (F.col("p") * (1 - F.col("p")) + z2 / (4 * na)) / na
+        )
+    ) / (1 + z2 / na)
+    return (
+        scored.select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            F.round("p", 6).alias("conf_a_to_b"),
+            F.round(wilson, 6).alias("wilson_lower_95"),
+        )
+        .orderBy(F.col("wilson_lower_95").desc(), "part_a", "part_b")
+        .limit(_WILSON_TOPK)
+    )

@@ -200,6 +200,8 @@ DEFAULT_PICKS = [
     "vocab_growth_curve",
     "quality_score_quantile_map",
     "event_type_user_overlap",
+    "copurchase_degree_powerlaw",
+    "basket_rule_wilson_ranking",
 ]
 
 
