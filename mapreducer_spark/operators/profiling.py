@@ -2655,3 +2655,156 @@ def top_customer_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+@register(
+    "simpson_paradox_check",
+    oracle="""
+WITH gm AS (
+  SELECT l_returnflag AS grp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS mux,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS muy
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT gm.grp,
+         l_quantity / gm.mux AS rx,
+         l_extendedprice / gm.muy AS ry
+  FROM lineitem JOIN gm ON gm.grp = l_returnflag
+),
+m AS (
+  SELECT grp, COUNT(*) AS n,
+         CAST(SUM(CAST(round(rx, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(ry, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(rx * ry, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(round(rx * rx, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(round(ry * ry, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           AS syy
+  FROM r GROUP BY grp
+),
+per_group AS (
+  SELECT grp, CAST(n AS BIGINT) AS n_rows,
+         round((sxy / n - (sx / n) * (sy / n))
+               / sqrt((sxx / n - (sx / n) * (sx / n))
+                      * (syy / n - (sy / n) * (sy / n))), 6) AS r
+  FROM m
+),
+pooled AS (
+  SELECT round((SUM(sxy) / SUM(n)
+                - (SUM(sx) / SUM(n)) * (SUM(sy) / SUM(n)))
+               / sqrt((SUM(sxx) / SUM(n)
+                       - (SUM(sx) / SUM(n)) * (SUM(sx) / SUM(n)))
+                      * (SUM(syy) / SUM(n)
+                         - (SUM(sy) / SUM(n)) * (SUM(sy) / SUM(n)))),
+               6) AS pooled_r
+  FROM m
+)
+SELECT per_group.grp AS grp, per_group.n_rows, per_group.r AS group_r,
+       pooled.pooled_r,
+       sign(per_group.r) <> sign(pooled.pooled_r) AS sign_flips
+FROM per_group CROSS JOIN pooled
+ORDER BY grp
+""",
+    doc="Simpson's-paradox screen on the quantity~price relation: "
+    "within-group Pearson per return flag beside the POOLED "
+    "correlation over group-mean-normalized values, flagging sign "
+    "flips — the aggregation trap where a relation holds in every "
+    "stratum yet reverses in the blend (on TPC-H it should NOT flip, "
+    "which is itself the audit result; on real data this query is "
+    "run before trusting any whole-table correlation from "
+    "lineitem_correlation_matrix).  Group-mean normalization makes "
+    "the pooled moments the exact weighted combination of the group "
+    "moments — one pass computes both.  Determinism: the established "
+    "mean-normalized 6dp-decimal moment recipe; sign comparison on "
+    "the 6dp-rounded correlations.  Scale shape: one group-means "
+    "pass, one grouped-moments pass, folds on 3 rows.",
+    tags=("profiling", "agg", "mining"),
+)
+def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    gm = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mux"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("muy"),
+    )
+    r = li.join(
+        F.broadcast(gm), li.l_returnflag == gm.grp
+    ).select(
+        "grp",
+        (F.col("l_quantity") / F.col("mux")).alias("rx"),
+        (F.col("l_extendedprice") / F.col("muy")).alias("ry"),
+    )
+    dsum = lambda c: F.sum(  # noqa: E731
+        F.round(c, 6).cast("decimal(28,6)")
+    ).cast("double")
+    m = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("rx")).alias("sx"),
+        dsum(F.col("ry")).alias("sy"),
+        dsum(F.col("rx") * F.col("ry")).alias("sxy"),
+        dsum(F.col("rx") * F.col("rx")).alias("sxx"),
+        dsum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    m = m.localCheckpoint(eager=True)
+    nn = F.col("n")
+    corr = F.round(
+        (F.col("sxy") / nn - (F.col("sx") / nn) * (F.col("sy") / nn))
+        / F.sqrt(
+            (F.col("sxx") / nn - (F.col("sx") / nn) * (F.col("sx") / nn))
+            * (
+                F.col("syy") / nn
+                - (F.col("sy") / nn) * (F.col("sy") / nn)
+            )
+        ),
+        6,
+    )
+    per_group = m.select(
+        "grp", nn.cast("long").alias("n_rows"), corr.alias("group_r")
+    )
+    sn = F.sum("n")
+    pooled = m.agg(
+        F.round(
+            (
+                F.sum("sxy") / sn
+                - (F.sum("sx") / sn) * (F.sum("sy") / sn)
+            )
+            / F.sqrt(
+                (
+                    F.sum("sxx") / sn
+                    - (F.sum("sx") / sn) * (F.sum("sx") / sn)
+                )
+                * (
+                    F.sum("syy") / sn
+                    - (F.sum("sy") / sn) * (F.sum("sy") / sn)
+                )
+            ),
+            6,
+        ).alias("pooled_r")
+    )
+    return (
+        per_group.crossJoin(F.broadcast(pooled))
+        .select(
+            "grp",
+            "n_rows",
+            "group_r",
+            "pooled_r",
+            (
+                F.signum(F.col("group_r"))
+                != F.signum(F.col("pooled_r"))
+            ).alias("sign_flips"),
+        )
+        .orderBy("grp")
+    )

@@ -202,6 +202,7 @@ DEFAULT_PICKS = [
     "event_type_user_overlap",
     "copurchase_degree_powerlaw",
     "basket_rule_wilson_ranking",
+    "simpson_paradox_check",
 ]
 
 
