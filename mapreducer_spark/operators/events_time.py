@@ -2154,3 +2154,136 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "retention_decay_fit",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+first AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY 1),
+mx AS (SELECT MAX(wk) AS max_wk FROM uw),
+cells AS (
+  SELECT first.cohort,
+         CAST(date_diff('day', first.cohort, uw.wk) // 7 AS INT) AS k,
+         COUNT(DISTINCT uw.user_id) AS n_active
+  FROM uw JOIN first ON first.user_id = uw.user_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, n_active AS size FROM cells WHERE k = 0),
+rates AS (
+  SELECT cells.k,
+         CAST(SUM(cells.n_active) AS DOUBLE)
+           / SUM(sizes.size) AS rate
+  FROM cells
+  JOIN sizes ON sizes.cohort = cells.cohort
+  CROSS JOIN mx
+  WHERE cells.k >= 1
+    AND date_diff('day', cells.cohort, mx.max_wk) // 7 >= cells.k
+  GROUP BY cells.k
+),
+pts AS (
+  SELECT k, round(ln(rate), 8) AS y FROM rates WHERE rate > 0
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(k AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(k * y, 8) AS DECIMAL(28,8))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(k * k AS DECIMAL(28,0))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+         AS log_retention_slope,
+       round(1.0 - exp((sxy - sx * sy / n) / (sxx - sx * sx / n)), 6)
+         AS implied_weekly_churn,
+       round(-0.6931471805599453
+             / ((sxy - sx * sy / n) / (sxx - sx * sx / n)), 6)
+         AS half_life_weeks
+FROM m
+""",
+    doc="Exponential retention-decay fit: pooled cohort retention rate "
+    "at each week offset (RIGHT-CENSORING corrected — a cohort only "
+    "enters the offset-k denominator if k weeks are observable for "
+    "it, the mistake that makes naive retention curves look like "
+    "they improve near the data edge), then log-linear OLS over the "
+    "offsets: slope = weekly log-retention, giving implied weekly "
+    "churn and the half-life in weeks — the single-parameter summary "
+    "of user_retention_cohorts' full triangle, and the growth-side "
+    "analogue of customer_survival_curve (events vs orders, "
+    "exponential fit vs nonparametric KM).  Determinism: rates are "
+    "identical-order divisions of exact distinct counts; ln rounds "
+    "at 8dp; OLS moments are tiny decimal sums; ln(2) is a literal.  "
+    "Scale shape: one distinct collapse, one cohort-offset "
+    "aggregation, the fit on a handful of offsets.",
+    tags=("events", "timeseries", "mining"),
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    uw = uw.localCheckpoint(eager=True)
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    cells = (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("k"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    cells = cells.localCheckpoint(eager=True)
+    sizes = cells.where(F.col("k") == 0).select(
+        "cohort", F.col("n_active").alias("size")
+    )
+    rates = (
+        cells.where(F.col("k") >= 1)
+        .join(sizes, "cohort")
+        .crossJoin(F.broadcast(mx))
+        .where(
+            (F.datediff("max_wk", "cohort") / 7).cast("int")
+            >= F.col("k")
+        )
+        .groupBy("k")
+        .agg(
+            (
+                F.sum("n_active").cast("double") / F.sum("size")
+            ).alias("rate")
+        )
+    )
+    pts = rates.where(F.col("rate") > 0).select(
+        "k", F.round(F.log("rate"), 8).alias("y")
+    )
+    n = F.count(F.lit(1))
+    m = pts.agg(
+        n.alias("n"),
+        F.sum(F.col("k").cast("decimal(18,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("k") * F.col("y"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("k") * F.col("k")).cast("decimal(28,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    nn = F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    )
+    return m.select(
+        nn.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("log_retention_slope"),
+        F.round(F.lit(1.0) - F.exp(slope), 6).alias(
+            "implied_weekly_churn"
+        ),
+        F.round(F.lit(-0.6931471805599453) / slope, 6).alias(
+            "half_life_weeks"
+        ),
+    )

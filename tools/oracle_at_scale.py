@@ -203,6 +203,7 @@ DEFAULT_PICKS = [
     "copurchase_degree_powerlaw",
     "basket_rule_wilson_ranking",
     "simpson_paradox_check",
+    "retention_decay_fit",
 ]
 
 
