@@ -2808,3 +2808,86 @@ def simpson_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "join_fanout_profile",
+    oracle="""
+WITH f AS (
+  SELECT l_orderkey, COUNT(*) AS fanout FROM lineitem GROUP BY 1
+),
+h AS (SELECT fanout, COUNT(*) AS n_keys FROM f GROUP BY 1),
+cum AS (
+  SELECT fanout, n_keys,
+         SUM(n_keys) OVER (ORDER BY fanout
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(n_keys) OVER () AS nk,
+         SUM(CAST(fanout AS DECIMAL(18,0)) * n_keys) OVER () AS total_rows
+  FROM h
+)
+SELECT fanout,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       round(CAST(n_keys AS DOUBLE) / nk, 6) AS key_share,
+       round(CAST(CAST(fanout AS DECIMAL(18,0)) * n_keys AS DOUBLE)
+             / CAST(total_rows AS DOUBLE), 6) AS row_share,
+       CAST(MIN(CASE WHEN 100 * cc >= 99 * nk THEN fanout END)
+            OVER () AS BIGINT) AS p99_fanout,
+       round(CAST(total_rows AS DOUBLE) / nk, 4) AS mean_fanout
+FROM cum
+ORDER BY fanout
+""",
+    doc="Join fan-out profile for orders JOIN lineitem: the "
+    "lines-per-order distribution with each fan-out level's KEY share "
+    "vs ROW share, the exact p99 fan-out (integer rank over the "
+    "domain-bounded histogram) and the mean — the statistic a join "
+    "planner multiplies to size the output (|orders| x mean_fanout) "
+    "and reads to rule skew in or out (row_share concentrated at "
+    "high fan-outs = salt; TPC-H's 1-7 uniform = don't) — the "
+    "FAN-OUT companion to join_key_skew_profile's per-key "
+    "concentration and join_size_estimate's sketched total.  Pure "
+    "integer counting to three rounded divisions.  Scale shape: one "
+    "key collapse, windows over the <=7-row fan-out histogram.",
+    tags=("profiling", "join", "agg"),
+)
+def join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("fanout"))
+    h = f.groupBy("fanout").agg(F.count(F.lit(1)).alias("n_keys"))
+    wcum = Window.orderBy("fanout").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    rows_at = F.col("fanout").cast("decimal(18,0)") * F.col("n_keys")
+    cum = h.select(
+        "fanout",
+        "n_keys",
+        F.sum("n_keys").over(wcum).alias("cc"),
+        F.sum("n_keys").over(wall).alias("nk"),
+        F.sum(rows_at).over(wall).alias("total_rows"),
+    )
+    return cum.select(
+        "fanout",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.round(
+            F.col("n_keys").cast("double") / F.col("nk"), 6
+        ).alias("key_share"),
+        F.round(
+            (F.col("fanout").cast("decimal(18,0)") * F.col("n_keys"))
+            .cast("double")
+            / F.col("total_rows").cast("double"),
+            6,
+        ).alias("row_share"),
+        F.min(
+            F.when(
+                100 * F.col("cc") >= 99 * F.col("nk"), F.col("fanout")
+            )
+        )
+        .over(wall)
+        .cast("long")
+        .alias("p99_fanout"),
+        F.round(
+            F.col("total_rows").cast("double") / F.col("nk"), 4
+        ).alias("mean_fanout"),
+    ).orderBy("fanout")

@@ -204,6 +204,7 @@ DEFAULT_PICKS = [
     "basket_rule_wilson_ranking",
     "simpson_paradox_check",
     "retention_decay_fit",
+    "join_fanout_profile",
 ]
 
 
