@@ -48,6 +48,124 @@ def oracle_dec_avg(expr: str, scale: int = 2) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT(*)"
 
 
+def fixed6_quantize(c: Column) -> Column:
+    """floor(x * 1e6 + 0.5) as LONG — the fixed6 quantization step.
+
+    Pure double arithmetic (multiply, add, floor), so it stays inside
+    whole-stage codegen with zero per-row BigDecimal allocations, and it
+    is bit-deterministic cross-engine: both Spark and DuckDB evaluate
+    the identical IEEE-754 expression on the identical input double.
+    (``F.round(x, 6)`` by contrast routes every row through a JVM
+    BigDecimal string round — exact but ~10x slower, and its
+    decimal-string HALF_UP can disagree with double-space rounding at
+    ties, which is why the mirror must be this exact formula, not
+    ``round()``.)  Exactness bound: |x| * 1e6 < 2^53 (|x| < ~9e9) —
+    far above any mean-normalized moment.
+    """
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def fixed6_finalize(k: str) -> Column:
+    """Merge fixed6 LONG partials exactly and emit the DOUBLE sum.
+
+    Partials are cast to DECIMAL(28,0) so the merge is exact at any
+    data scale (a plain LONG merge could overflow past ~9e10 rows of
+    O(100)-magnitude terms); the exact integer total divided by 1e6 and
+    cast to DOUBLE is the correctly-rounded nearest double — identical
+    to the oracle's ``CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) /
+    1000000.0`` while the total stays below 2^53 (the same documented
+    cliff as dec_sum).
+    """
+    return (
+        (F.sum(F.col(k).cast("decimal(28,0)")) / F.lit(1000000))
+        .cast("double")
+        .alias(k)
+    )
+
+
+def oracle_fixed6_sum(expr: str) -> str:
+    """DuckDB mirror of one fixed6 term: same floor quantization, BIGINT
+    sum (CAST wrapped — SUM(BIGINT) is HUGEINT, banned at the gate),
+    same /1e6 readout."""
+    return (
+        f"CAST(CAST(SUM(CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT))"
+        " AS BIGINT) AS DOUBLE) / 1000000.0"
+    )
+
+
+def fixed6_sums(
+    df,
+    terms: dict,
+    count_alias: str | None = "n",
+):
+    """Exact 6dp-quantized sums as DOUBLEs via the scaled-long fast path.
+
+    The moment-machinery workhorse: each term is quantized to an
+    integer-valued LONG in pure double arithmetic (fixed6_quantize),
+    partially summed per input partition as LONGs inside whole-stage
+    codegen, and only the <= num_partitions partial rows pay the exact
+    wide-decimal merge.  Result is order-independent (integer sums) and
+    bit-identical across engines/partitionings — the determinism the
+    DECIMAL(28,6) recipe bought, without its per-row BigDecimal cost
+    (~8x faster on a 15-term moment scan).
+
+    Scale shape: LONG partial overflow needs |term| * 1e6 *
+    rows_per_partition > 9.2e18 — O(100) terms times multi-million-row
+    partitions sit ~4 orders of magnitude below it; the DECIMAL merge is
+    O(num_partitions) rows regardless of data size, so the pattern holds
+    at 100 TB where a single-level long sum could overflow.
+
+    Returns a ONE-ROW DataFrame with one DOUBLE column per key in
+    ``terms`` plus a BIGINT row count (``count_alias``, skipped if None).
+    Oracle mirror per term: :func:`oracle_fixed6_sum`.
+    """
+    scaled = df.select(
+        *[fixed6_quantize(c).alias(k) for k, c in terms.items()]
+    )
+    part = scaled.groupBy(F.spark_partition_id().alias("__pid")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(k).alias(k) for k in terms],
+    )
+    finals = [fixed6_finalize(k) for k in terms]
+    if count_alias is not None:
+        finals.insert(
+            0, F.coalesce(F.sum("__n"), F.lit(0)).alias(count_alias)
+        )
+    return part.agg(*finals)
+
+
+def fixed6_grouped_sums(
+    df,
+    group_cols: list,
+    terms: dict,
+    count_alias: str | None = "n",
+):
+    """Grouped twin of :func:`fixed6_sums` — exact 6dp-rounded sums per
+    group via the same scaled-long codegen path.
+
+    Stage 1 groups on (group_cols..., spark_partition_id()) summing
+    LONGs — entirely map-side combinable; stage 2 merges the
+    groups x partitions partial rows with exact wide-decimal sums.
+    Bit-identical for any partitioning (integer arithmetic throughout);
+    the same per-partition overflow bound as fixed6_sums applies per
+    (group, partition) slice, which is strictly smaller.
+    """
+    scaled = df.select(
+        *group_cols,
+        *[fixed6_quantize(c).alias(k) for k, c in terms.items()],
+    )
+    part = scaled.groupBy(
+        *group_cols, F.spark_partition_id().alias("__pid")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(k).alias(k) for k in terms],
+    )
+    finals = [fixed6_finalize(k) for k in terms]
+    if count_alias is not None:
+        finals.insert(0, F.sum("__n").alias(count_alias))
+    return part.groupBy(*group_cols).agg(*finals)
+
+
 def salted_group_sum(
     df,
     key_cols: list[str],

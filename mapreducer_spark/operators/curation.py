@@ -74,6 +74,30 @@ def _oracle_ngrams(tcol: str, n: int) -> str:
     )
 
 
+def _oracle_topbigram_ctes(base: str) -> str:
+    """CTE pair computing each doc's max bigram multiplicity from CTE
+    ``base`` (columns doc_id, t) — O(tokens) via unnest + hash
+    aggregation.  Replaces the r1-r8 formulation
+    ``list_max(list_transform(list_distinct(bigrams), g ->
+    len(list_filter(bigrams, x -> x = g))))``, which is O(n^2) PER DOC
+    (a full list scan per distinct bigram) and dominated the 10x
+    sweep's wall for every gopher-labelled oracle (~2 min/row at 10x —
+    VERDICT r8 #5).  Same value: MAX(COUNT(*)) per (doc, bigram) is
+    exactly the max multiplicity.  Emits one row per doc with
+    len(t) >= 2 (every such doc has >= 1 bigram), so an inner join on
+    doc_id preserves the old row set.
+    """
+    return f"""__bg AS (
+  SELECT doc_id, unnest({_oracle_ngrams('t', 2)}) AS g
+  FROM {base} WHERE len(t) >= 2
+),
+__bgtop AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM __bg GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)"""
+
+
 @register(
     "contamination_ngrams",
     oracle=f"""
@@ -138,15 +162,13 @@ _TOP_BIGRAM_MAX = 0.08
 WITH base AS (
   SELECT doc_id, {_ORACLE_TOKS} AS t FROM documents
 ),
+{_oracle_topbigram_ctes('base')},
 m AS (
-  SELECT doc_id,
+  SELECT base.doc_id,
          len(t) AS n_tokens,
          1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_frac,
-         CAST(list_max(list_transform(
-                list_distinct({_oracle_ngrams('t', 2)}),
-                g -> len(list_filter({_oracle_ngrams('t', 2)}, x -> x = g))
-              )) AS DOUBLE) / (len(t) - 1) AS top_bigram
-  FROM base WHERE len(t) >= 2
+         CAST(topc AS DOUBLE) / (len(t) - 1) AS top_bigram
+  FROM base JOIN __bgtop ON __bgtop.doc_id = base.doc_id
 )
 SELECT doc_id, n_tokens,
        round(dup_frac, 6) AS dup_token_frac,
@@ -1243,15 +1265,13 @@ WITH corpus AS (
 base AS (
   SELECT doc_id, text, {_ORACLE_TOKS} AS t FROM corpus
 ),
+{_oracle_topbigram_ctes('base')},
 m AS (
-  SELECT doc_id,
+  SELECT base.doc_id,
          len(t) AS n_tokens,
          1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_frac,
-         CAST(list_max(list_transform(
-                list_distinct({_oracle_ngrams('t', 2)}),
-                g -> len(list_filter({_oracle_ngrams('t', 2)}, x -> x = g))
-              )) AS DOUBLE) / (len(t) - 1) AS top_bigram
-  FROM base WHERE len(t) >= 2
+         CAST(topc AS DOUBLE) / (len(t) - 1) AS top_bigram
+  FROM base JOIN __bgtop ON __bgtop.doc_id = base.doc_id
 ),
 kept AS (
   SELECT b.doc_id, b.text, m.n_tokens
@@ -1663,16 +1683,15 @@ scored AS (
 gb AS (
   SELECT doc_id, {_ORACLE_TOKS} AS t FROM documents
 ),
+{_oracle_topbigram_ctes('gb')},
 gopher AS (
-  SELECT doc_id,
+  SELECT gb.doc_id,
          (len(t) >= {_MIN_TOKENS}
           AND 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
               <= {_DUP_TOKEN_MAX}
-          AND CAST(list_max(list_transform(
-                list_distinct({_oracle_ngrams('t', 2)}),
-                g -> len(list_filter({_oracle_ngrams('t', 2)}, x -> x = g))
-              )) AS DOUBLE) / (len(t) - 1) <= {_TOP_BIGRAM_MAX}) AS label
-  FROM gb WHERE len(t) >= 2
+          AND CAST(topc AS DOUBLE) / (len(t) - 1)
+              <= {_TOP_BIGRAM_MAX}) AS label
+  FROM gb JOIN __bgtop ON __bgtop.doc_id = gb.doc_id
 ),
 binned AS (
   SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
@@ -1775,17 +1794,15 @@ scored AS (
   FROM feats GROUP BY doc_id
 ),
 gb AS (SELECT doc_id, {_ORACLE_TOKS} AS t FROM documents),
+{_oracle_topbigram_ctes('gb')},
 gopher AS (
-  SELECT doc_id,
+  SELECT gb.doc_id,
          CASE WHEN len(t) >= {_MIN_TOKENS}
           AND 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
               <= {_DUP_TOKEN_MAX}
-          AND CAST(list_max(list_transform(
-                list_distinct({_oracle_ngrams('t', 2)}),
-                g -> len(list_filter({_oracle_ngrams('t', 2)}, x -> x = g))
-              )) AS DOUBLE) / (len(t) - 1) <= {_TOP_BIGRAM_MAX}
+          AND CAST(topc AS DOUBLE) / (len(t) - 1) <= {_TOP_BIGRAM_MAX}
           THEN 1 ELSE 0 END AS y
-  FROM gb WHERE len(t) >= 2
+  FROM gb JOIN __bgtop ON __bgtop.doc_id = gb.doc_id
 ),
 buckets AS (
   SELECT score, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos

@@ -2206,6 +2206,7 @@ SELECT CAST(n AS BIGINT) AS n_points,
              / ((sxy - sx * sy / n) / (sxx - sx * sx / n)), 6)
          AS half_life_weeks
 FROM m
+WHERE n >= 2 AND sxx * n <> sx * sx AND sxy * n <> sx * sy
 """,
     doc="Exponential retention-decay fit: pooled cohort retention rate "
     "at each week offset (RIGHT-CENSORING corrected — a cohort only "
@@ -2277,13 +2278,27 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / (
         F.col("sxx") - F.col("sx") * F.col("sx") / nn
     )
-    return m.select(
-        nn.cast("long").alias("n_points"),
-        F.round(slope, 6).alias("log_retention_slope"),
-        F.round(F.lit(1.0) - F.exp(slope), 6).alias(
-            "implied_weekly_churn"
-        ),
-        F.round(F.lit(-0.6931471805599453) / slope, 6).alias(
-            "half_life_weeks"
-        ),
+    # Degenerate fixture guard (both engines): <2 points or zero OLS
+    # variance means no fit exists — emit zero rows instead of an ANSI
+    # divide-by-zero (hit at sf0.001 where only offset k=1 survives the
+    # censoring filter).  The WHERE runs before the projection, so the
+    # slope expression never evaluates on the degenerate row.
+    return (
+        m.where(
+            (nn >= 2)
+            & (F.col("sxx") * nn != F.col("sx") * F.col("sx"))
+            # A perfectly flat fit (zero slope numerator) has no decay
+            # to report and would divide the half-life by zero.
+            & (F.col("sxy") * nn != F.col("sx") * F.col("sy"))
+        )
+        .select(
+            nn.cast("long").alias("n_points"),
+            F.round(slope, 6).alias("log_retention_slope"),
+            F.round(F.lit(1.0) - F.exp(slope), 6).alias(
+                "implied_weekly_churn"
+            ),
+            F.round(F.lit(-0.6931471805599453) / slope, 6).alias(
+                "half_life_weeks"
+            ),
+        )
     )

@@ -35,6 +35,69 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def filescan_counts(df: DataFrame) -> dict:
+    """Static count of FileScan nodes per source table in the plan.
+
+    Parses the formatted plan's scan-node detail sections: every
+    ``Scan parquet``/``Scan text`` node carries a ``Location:
+    ...[path]`` line; the path's basename (minus format suffix) is the
+    table.  Counting the STATIC plan (no execution needed) is exactly
+    right for the rescan defect class — the r8
+    lineitem_correlation_matrix regression (a 6-way unionAll re-reading
+    both lineitem subtrees per branch = 12 static scan nodes) was
+    visible here before any row moved.  Spark only collapses duplicate
+    subtrees at runtime via ReuseExchange for SHUFFLE results, not for
+    repeated scans feeding different operators, so a static scan count
+    is a faithful proxy for executed I/O passes.
+    """
+    plan = formatted_plan(df)
+    counts: dict = {}
+    for m in re.finditer(r"Location: \w+(?:\([^)]*\))?\s*\[([^\]]*)\]", plan):
+        path = m.group(1).split(",")[0].strip()
+        name = path.rstrip("/").rsplit("/", 1)[-1]
+        for suf in (".parquet", ".orc", ".csv", ".json", ".txt"):
+            if name.endswith(suf):
+                name = name[: -len(suf)]
+        counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+def executed_filescan_counts(df: DataFrame) -> dict:
+    """FileScan nodes per source table in the EXECUTED (post-AQE, post
+    ReuseExchange) plan — the number of times each table is actually
+    read.  The df must already have been executed (e.g. collected);
+    this only inspects, never runs.
+
+    Contrast :func:`filescan_counts`: the static plan double-counts
+    branches whose shuffle subtrees Spark collapses at runtime via
+    ReusedExchange (kmv_set_operations plans 36 static scan nodes but
+    executes 3), so the executed count is the honest rescan metric —
+    it is how the r8 judge confirmed lineitem_correlation_matrix's
+    6-way unionAll really paid 12 scans.
+    """
+    s = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    # AQE's toString appends the pre-execution plan under an
+    # "== Initial Plan ==" header; count only the final plan.
+    s = s.split("== Initial Plan ==")[0]
+    counts: dict = {}
+    for m in re.finditer(r"Location: \w+(?:\([^)]*\))?\s*\[([^\]]*)\]", s):
+        path = m.group(1).split(",")[0].strip()
+        name = path.rstrip("/").rsplit("/", 1)[-1]
+        for suf in (".parquet", ".orc", ".csv", ".json", ".txt"):
+            if name.endswith(suf):
+                name = name[: -len(suf)]
+        counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
+# The repo-wide rescan budget: no query may read the same table more
+# than this many times in its executed plan.  The honest ceiling is 7
+# (ann_ivf_int8_recall's adjudicated 3-leg sq+exact+ivf recall
+# pipeline); 8 leaves one scan of headroom without readmitting the
+# defect class (the r8 corr-matrix regression executed 12).
+MAX_EXECUTED_SCANS_PER_TABLE = 8
+
+
 def executed_plan(df: DataFrame) -> str:
     """Final (post-AQE) physical plan — runs the query.  Under AQE the
     pre-execution plan is just 'AdaptiveSparkPlan isFinalPlan=false';

@@ -107,7 +107,11 @@ def snapshot_write(
     winner's generations, so no committed rows are ever dropped
     (tests/test_metrics_and_ingest.py two-writer stress).
     """
-    if op not in ("overwrite", "append", "merge"):
+    # op="merge" is NOT accepted here: a merge result is a function of
+    # the head it read, so it must commit through snapshot_merge's
+    # compare-and-swap loop — this writer's blind rebase would
+    # re-publish a stale merge over a concurrent commit (ADVICE r8).
+    if op not in ("overwrite", "append"):
         raise ValueError(f"unknown snapshot op {op!r}")
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     gen = f"{_GEN_PREFIX}{uuid.uuid4().hex[:12]}"
@@ -221,6 +225,7 @@ def snapshot_merge(
     key_cols: list,
     order_cols: list,
     tag: str | None = None,
+    _test_pre_commit_hook=None,
 ) -> int:
     """MERGE INTO at the snapshot layer: upsert ``updates`` into the
     table's head (latest row per ``key_cols`` across existing ∪ updates,
@@ -247,31 +252,86 @@ def snapshot_merge(
     row's wins (__src=1 beats 0 in the ordering), so re-merging the
     same batch is idempotent AND an explicit correction with an
     unchanged timestamp still lands.
+
+    Concurrency (r9): a merge result is a FUNCTION of the head it read,
+    so the commit is a COMPARE-AND-SWAP on that head — attempt exactly
+    ``head + 1``, and on losing the race RE-READ the new head and
+    RE-MERGE before retrying (snapshot_compact's loop, bounded by
+    ``_MAX_COMPACT_RETRIES``).  The previous implementation committed
+    through snapshot_write, whose op="merge" conflict retry re-published
+    the SAME stale merged generation at the next version number —
+    silently dropping whatever a concurrent append/merge had committed
+    in between (the r8 advisor's lost-update race).  Each losing
+    attempt's generation dir is abandoned to the orphan sweep.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     spark = updates.sparkSession
-    versions = _list_versions(table_dir)
-    if versions:
-        existing = snapshot_read(spark, table_dir).withColumn(
-            "__src", F.lit(0)
+    last_err: str | None = None
+    for _ in range(_MAX_COMPACT_RETRIES):
+        versions = _list_versions(table_dir)
+        head_v = versions[-1] if versions else None
+        if head_v is not None:
+            existing = snapshot_read(
+                spark, table_dir, version=head_v
+            ).withColumn("__src", F.lit(0))
+            tagged = updates.withColumn("__src", F.lit(1))
+            # unionByName with allowMissingColumns: the schema-evolution
+            # path (updates add a column -> existing rows read NULL).
+            unioned = existing.unionByName(
+                tagged, allowMissingColumns=True
+            )
+        else:
+            unioned = updates.withColumn("__src", F.lit(1))
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
         )
-        tagged = updates.withColumn("__src", F.lit(1))
-        # unionByName with allowMissingColumns: the schema-evolution
-        # path (updates add a column -> existing rows read NULL).
-        unioned = existing.unionByName(tagged, allowMissingColumns=True)
-    else:
-        unioned = updates.withColumn("__src", F.lit(1))
-    w = Window.partitionBy(*key_cols).orderBy(
-        *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
+        merged = (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        os.makedirs(_versions_dir(table_dir), exist_ok=True)
+        gen = f"{_GEN_PREFIX}{uuid.uuid4().hex[:12]}"
+        gen_dir = os.path.join(table_dir, gen)
+        merged.write.mode("error").parquet(gen_dir)
+        n_rows = spark.read.parquet(gen_dir).count()
+        if _test_pre_commit_hook is not None:
+            _test_pre_commit_hook()
+        target_v = (head_v + 1) if head_v is not None else 0
+        manifest = {
+            "version": target_v,
+            "data_dirs": [gen],
+            "op": "merge",
+            "rows": n_rows,
+            "committed_at": time.time(),
+        }
+        if head_v is not None:
+            manifest["merged_from"] = head_v
+        if tag is not None:
+            manifest["tag"] = tag
+        try:
+            os.utime(gen_dir)
+        except OSError:
+            pass
+        try:
+            with open(
+                _manifest_path(table_dir, target_v), "x", encoding="utf-8"
+            ) as f:
+                json.dump(manifest, f)
+            return target_v
+        except FileExistsError:
+            # Concurrent commit took our target version: its rows are
+            # not in our merged generation, so restart from the NEW
+            # head (never chain manifests — that is append's rebase,
+            # wrong for a whole-table rewrite).
+            last_err = f"lost CAS race at version {target_v}"
+            continue
+    raise RuntimeError(
+        f"could not merge into {table_dir!r} after "
+        f"{_MAX_COMPACT_RETRIES} head changes ({last_err})"
     )
-    merged = (
-        unioned.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
-    return snapshot_write(merged, table_dir, op="merge", tag=tag)
 
 
 def snapshot_read_incremental(

@@ -103,7 +103,20 @@ def read_wds_shards(spark: SparkSession, pattern: str) -> DataFrame:
     (shard, key, ext, payload).  One ``binaryFile`` row per tar — shard
     size is the parallelism unit; extraction is Arrow-batched and
     streams members from an in-memory BytesIO, never touching local
-    disk."""
+    disk.
+
+    Memory contract: each WHOLE tar is held in executor memory while it
+    is unpacked (binaryFile delivers the full content column), so shards
+    must be sized well under the executor heap — the writer's
+    ``max_shard_bytes`` default keeps them so; enforce the same bound on
+    foreign shards before pointing this reader at them.
+
+    Foreign-shard edge (ADVICE r8): a tar member with NO dot in its name
+    is legal WebDataset-adjacent input; ``rpartition('.')`` used to
+    file it under key='' with the whole name as ext, silently merging
+    all such members into one sample.  Dotless names now keep the full
+    member name as the KEY with ext='' — each stays its own sample and
+    nothing is dropped."""
 
     def extract(batches):
         import pandas as pd
@@ -116,7 +129,10 @@ def read_wds_shards(spark: SparkSession, pattern: str) -> DataFrame:
                     for m in tf:
                         if not m.isfile():
                             continue
-                        key, _, ext = m.name.rpartition(".")
+                        key, dot, ext = m.name.rpartition(".")
+                        if not dot:
+                            # Dotless member: the whole name is the key.
+                            key, ext = m.name, ""
                         shards.append(name)
                         keys.append(key)
                         exts.append(ext)

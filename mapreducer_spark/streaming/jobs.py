@@ -857,6 +857,64 @@ def run_kmv_sketch_stream(
     q.awaitTermination()
 
 
+def _monitor_swap_write(df: DataFrame, target: str, batch_id: int) -> None:
+    """Write-aside-then-swap for the monitor state/report tables.
+
+    Not atomic across the two renames — a crash in between leaves
+    ``target`` missing with the previous state parked at
+    ``<target>.old-<batch_id>``; :func:`_monitor_recover_target`
+    restores exactly that case on the next read, so the pair is
+    crash-safe end-to-end (the r8 advisor's finding: without recovery,
+    a replayed batch silently reset the whole accumulated state to its
+    own partial).
+    """
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{target}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{target}.old-{batch_id}"
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _monitor_recover_target(target: str) -> None:
+    """If a crash between _monitor_swap_write's renames left ``target``
+    missing, restore the newest parked ``<target>.old-*`` backup."""
+    if os.path.exists(target):
+        return
+    parent, base = os.path.split(os.path.abspath(target.rstrip("/")))
+    if not os.path.isdir(parent):
+        return
+    prefix = base + ".old-"
+    backups = [d for d in os.listdir(parent) if d.startswith(prefix)]
+    if not backups:
+        return
+
+    def batch_key(name: str) -> int:
+        try:
+            return int(name[len(prefix):])
+        except ValueError:
+            return -1
+
+    newest = max(backups, key=batch_key)
+    os.rename(os.path.join(parent, newest), target)
+
+
+def _monitor_prev_state(spark, state_dir: str):
+    """The accumulated state table, or None only when none has EVER been
+    committed.  Recovers a crash-parked backup first; any other read
+    failure (corrupt parquet, permissions) PROPAGATES — the former
+    ``except Exception: state = partial`` silently discarded the entire
+    history on such errors (ADVICE r8)."""
+    _monitor_recover_target(state_dir)
+    if not os.path.exists(state_dir):
+        return None
+    return spark.read.parquet(state_dir)
+
+
 def run_changepoint_monitor(
     events_stream: DataFrame,
     state_dir: str,
@@ -882,19 +940,7 @@ def run_changepoint_monitor(
     the write-aside-then-swap pattern (cache() is not a durability
     barrier).
     """
-    import shutil
-    import uuid as _uuid
-
     from mapreducer_spark.operators.events_time import cusum_report
-
-    def _swap_write(df: DataFrame, target: str, batch_id: int) -> None:
-        tmp = f"{target}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{target}.old-{batch_id}"
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        shutil.rmtree(old, ignore_errors=True)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -903,21 +949,22 @@ def run_changepoint_monitor(
         ).agg(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
         ).select(F.lit(batch_id).alias("batch_id"), "event_type", "day", "v")
-        try:
-            state = spark.read.parquet(state_dir).where(
-                F.col("batch_id") != batch_id
+        prev = _monitor_prev_state(spark, state_dir)
+        state = (
+            partial
+            if prev is None
+            else prev.where(F.col("batch_id") != batch_id).unionByName(
+                partial
             )
-            state = state.unionByName(partial)
-        except Exception:
-            state = partial
+        )
         # Materialize the merged state off the directory being replaced.
-        _swap_write(state, state_dir, batch_id)
+        _monitor_swap_write(state, state_dir, batch_id)
         daily = (
             spark.read.parquet(state_dir)
             .groupBy("event_type", "day")
             .agg(F.sum("v").alias("v"))
         )
-        _swap_write(cusum_report(daily), report_dir, batch_id)
+        _monitor_swap_write(cusum_report(daily), report_dir, batch_id)
 
     q = (
         events_stream.writeStream.foreachBatch(step)
@@ -950,21 +997,9 @@ def run_seasonal_anomaly_monitor(
     the batch/stream split cannot change a digit); both writes use
     write-aside-then-swap.
     """
-    import shutil
-    import uuid as _uuid
-
     from mapreducer_spark.operators.events_time import (
         seasonal_anomaly_report,
     )
-
-    def _swap_write(df: DataFrame, target: str, batch_id: int) -> None:
-        tmp = f"{target}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{target}.old-{batch_id}"
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        shutil.rmtree(old, ignore_errors=True)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -976,20 +1011,23 @@ def run_seasonal_anomaly_monitor(
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit(batch_id).alias("batch_id"), "day", "dow", "n")
         )
-        try:
-            state = spark.read.parquet(state_dir).where(
-                F.col("batch_id") != batch_id
+        prev = _monitor_prev_state(spark, state_dir)
+        state = (
+            partial
+            if prev is None
+            else prev.where(F.col("batch_id") != batch_id).unionByName(
+                partial
             )
-            state = state.unionByName(partial)
-        except Exception:
-            state = partial
-        _swap_write(state, state_dir, batch_id)
+        )
+        _monitor_swap_write(state, state_dir, batch_id)
         daily = (
             spark.read.parquet(state_dir)
             .groupBy("day", "dow")
             .agg(F.sum("n").cast("long").alias("n"))
         )
-        _swap_write(seasonal_anomaly_report(daily), report_dir, batch_id)
+        _monitor_swap_write(
+            seasonal_anomaly_report(daily), report_dir, batch_id
+        )
 
     q = (
         events_stream.writeStream.foreachBatch(step)
@@ -1022,19 +1060,7 @@ def run_heavy_hitters_monitor(
     partials so a replayed batch REPLACES its rows, write-aside-then-
     swap for both tables.
     """
-    import shutil
-    import uuid as _uuid
-
     from mapreducer_spark.operators.sketches import cms_report_from_counts
-
-    def _swap_write(df: DataFrame, target: str, batch_id: int) -> None:
-        tmp = f"{target}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{target}.old-{batch_id}"
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        shutil.rmtree(old, ignore_errors=True)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1043,20 +1069,23 @@ def run_heavy_hitters_monitor(
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit(batch_id).alias("batch_id"), "user_id", "n")
         )
-        try:
-            state = spark.read.parquet(state_dir).where(
-                F.col("batch_id") != batch_id
+        prev = _monitor_prev_state(spark, state_dir)
+        state = (
+            partial
+            if prev is None
+            else prev.where(F.col("batch_id") != batch_id).unionByName(
+                partial
             )
-            state = state.unionByName(partial)
-        except Exception:
-            state = partial
-        _swap_write(state, state_dir, batch_id)
+        )
+        _monitor_swap_write(state, state_dir, batch_id)
         counts = (
             spark.read.parquet(state_dir)
             .groupBy("user_id")
             .agg(F.sum("n").cast("long").alias("exact_cnt"))
         )
-        _swap_write(cms_report_from_counts(counts), report_dir, batch_id)
+        _monitor_swap_write(
+            cms_report_from_counts(counts), report_dir, batch_id
+        )
 
     q = (
         events_stream.writeStream.foreachBatch(step)

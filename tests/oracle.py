@@ -146,6 +146,23 @@ def assert_matches_oracle(spark, query, sf_dir: str, max_report: int = 5) -> Non
     sdf = query.fn(spark, sf_dir)
     assert_scalar_schema(query.name, sdf)
     scols, srows = run_spark(sdf)
+    # Rescan budget on the just-executed plan (free — run_spark already
+    # collected): no query may read the same table more than
+    # MAX_EXECUTED_SCANS_PER_TABLE times.  This is the structural kill
+    # for the r8 corr-matrix defect class (a unionAll fan-out silently
+    # re-executing its input subtree per branch — 12 executed scans).
+    from mapreducer_spark.plans.inspect import (
+        MAX_EXECUTED_SCANS_PER_TABLE,
+        executed_filescan_counts,
+    )
+
+    for table, n_scans in executed_filescan_counts(sdf).items():
+        assert n_scans <= MAX_EXECUTED_SCANS_PER_TABLE, (
+            f"{query.name}: executed plan reads table {table!r} "
+            f"{n_scans} times (budget {MAX_EXECUTED_SCANS_PER_TABLE}) — "
+            "a branch is re-executing its input subtree; localCheckpoint "
+            "the shared frame or emit branches via F.stack"
+        )
     con = duck_connection(sf_dir)
     try:
         dcols, drows = run_duck(con, query.oracle)

@@ -176,3 +176,38 @@ def test_wds_shard_roundtrip_and_reproducibility(spark, tmp_path):
             open(os.path.join(out2, m.shard), "rb").read()
         ).hexdigest()
         assert h1 == h2, m.shard
+
+
+def test_wds_reader_dotless_members_stay_distinct(spark, tmp_path):
+    """Foreign-shard edge (ADVICE r8): tar members WITHOUT a dot in the
+    name must each stay their own sample (key=<full name>, ext=''),
+    not silently merge under key=''."""
+    import os
+    import tarfile
+
+    from mapreducer_spark.sources.wds import read_wds_shards
+
+    shard_dir = tmp_path / "foreign"
+    shard_dir.mkdir()
+    tar_path = str(shard_dir / "foreign-000.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        for name, body in [
+            ("README", b"no extension at all"),
+            ("LICENSE", b"also dotless"),
+            ("a.txt", b"normal member"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            import io as _io
+
+            tf.addfile(info, _io.BytesIO(body))
+
+    rows = read_wds_shards(
+        spark, os.path.join(str(shard_dir), "*.tar")
+    ).collect()
+    got = {(r.key, r.ext): bytes(r.payload) for r in rows}
+    assert got == {
+        ("README", ""): b"no extension at all",
+        ("LICENSE", ""): b"also dotless",
+        ("a", "txt"): b"normal member",
+    }

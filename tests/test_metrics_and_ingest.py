@@ -708,6 +708,56 @@ def test_snapshot_compact_cas_race_preserves_concurrent_append(spark, tmp_path):
     assert got == set(range(80))
 
 
+def test_snapshot_merge_cas_race_preserves_concurrent_append(spark, tmp_path):
+    """The snapshot_merge twin of the compact CAS test (ADVICE r8: merge
+    used to commit through snapshot_write, whose conflict retry
+    re-published the SAME stale merged generation — a concurrent
+    append's rows were silently dropped).  Now: merge loses the CAS at
+    head+1, re-reads the new head, RE-MERGES, and the final table holds
+    both the appended rows and the upserts."""
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 50).selectExpr("id", "id AS v", "0 AS ts"),
+        tdir,
+        op="overwrite",
+    )
+    fired = []
+
+    def race_once():
+        if not fired:
+            fired.append(True)
+            snapshot_write(
+                spark.range(50, 80).selectExpr("id", "id AS v", "0 AS ts"),
+                tdir,
+                op="append",
+            )
+
+    updates = spark.range(0, 10).selectExpr(
+        "id", "id + 1000 AS v", "1 AS ts"
+    )
+    v = snapshot_merge(
+        updates, tdir, key_cols=["id"], order_cols=["ts"],
+        _test_pre_commit_hook=race_once,
+    )
+    # v0 overwrite, v1 the racing append, v2 the (re-merged) merge.
+    assert v == 2
+    hist = snapshot_history(tdir)
+    assert [m["op"] for m in hist] == ["overwrite", "append", "merge"]
+    rows = {r.id: r.v for r in snapshot_read(spark, tdir).collect()}
+    # The concurrent append's rows survived the merge's CAS retry...
+    assert set(rows) == set(range(80))
+    # ...and the upserts landed on top of the re-read head.
+    assert all(rows[i] == i + 1000 for i in range(10))
+    assert all(rows[i] == i for i in range(10, 80))
+
+
 def test_snapshot_append_chains_onto_compacted_head(spark, tmp_path):
     """An append AFTER compaction rebases onto the compacted head: the
     new manifest lists [compacted_gen, new_gen] and the rows compose —

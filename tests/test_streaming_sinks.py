@@ -788,6 +788,54 @@ def test_changepoint_monitor_matches_batch_and_replays(spark, sf_dir, tmp_path):
     assert got2 == want
 
 
+def test_monitor_swap_crash_recovery_and_error_propagation(spark, tmp_path):
+    """The two r8-advisor hazards in the monitors' state handling:
+
+    1. A crash between _monitor_swap_write's two renames leaves the
+       state dir missing with history parked at ``<dir>.old-<batch>`` —
+       the next read must RESTORE it, not silently reset accumulated
+       state to the current batch's partial.
+    2. A real read failure (corrupt parquet) must PROPAGATE, not be
+       swallowed into the same silent reset.
+    """
+    import os as _os
+
+    from mapreducer_spark.streaming.jobs import (
+        _monitor_prev_state,
+        _monitor_swap_write,
+    )
+
+    state = str(tmp_path / "mon_state")
+    df1 = spark.range(5).selectExpr("id AS batch_id", "id AS n")
+    _monitor_swap_write(df1, state, batch_id=0)
+    # Simulate the crash window: target renamed away, tmp never swapped in.
+    _os.rename(state, state + ".old-0")
+    assert not _os.path.exists(state)
+    prev = _monitor_prev_state(spark, state)
+    assert prev is not None, "parked .old backup was not recovered"
+    assert prev.count() == 5
+    assert _os.path.exists(state)  # restored in place
+
+    # Several parked generations: the NEWEST batch id wins.
+    _os.rename(state, state + ".old-3")
+    _monitor_swap_write(df1.limit(2), state, batch_id=4)
+    _os.rename(state, state + ".old-12")
+    recovered = _monitor_prev_state(spark, state)
+    assert recovered.count() == 2  # .old-12 (newest), not .old-3
+
+    # Corrupt state must raise, never silently reset.
+    bad = str(tmp_path / "mon_bad")
+    _os.makedirs(bad)
+    with open(_os.path.join(bad, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df = _monitor_prev_state(spark, bad)
+        assert df is not None
+        df.collect()
+
+
 def test_seasonal_anomaly_monitor_matches_batch(spark, tmp_path):
     """Streaming dow-anomaly monitor: after draining 3 micro-batches the
     report equals the batch events_seasonal_anomaly EXACTLY; partials
