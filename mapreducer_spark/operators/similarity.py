@@ -3345,13 +3345,40 @@ def embedding_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
-    cents = em.where(F.col("vec_id") < _KM_K).select(
+    _, assign = _spherical_lloyd(em, _KM_K, _KM_ROUNDS)
+    return (
+        assign.groupBy(F.col("cent_id").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cosine"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _spherical_lloyd(em: DataFrame, k: int, rounds: int):
+    """The in-engine spherical k-means training loop shared by the
+    hash-checked embedding_kmeans_spherical query and the frozen-index
+    RETRAIN path (retrain_frozen_index, VERDICT r8 #6): ``rounds``
+    fixed Lloyd iterations over (vec_id, v), centroids seeded from the
+    first k vectors.  Returns (cents, final_assign) where cents is
+    (cent_id, cv array<double>) and final_assign carries the last
+    round's (vec_id, cent_id, v, sim).  Per round: ONE broadcast of the
+    k tiny centroid rows x one scan (map-side assignment), one
+    (cluster x dim) aggregation with map-side partials; centroid frames
+    localCheckpoint so the plan stays flat in rounds (the PageRank
+    lesson)."""
+    cents = em.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"),
         F.transform("v", lambda x: x.cast("double")).alias("cv"),
     ).localCheckpoint(eager=True)
 
     assign = None
-    for r in range(1, _KM_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
         w = Window.partitionBy("vec_id").orderBy(
             F.col("sim").desc(), F.col("cent_id")
@@ -3363,7 +3390,7 @@ def embedding_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") == 1)
             .drop("rnk")
         )
-        if r < _KM_ROUNDS:
+        if r < rounds:
             flat = assign.select(
                 "cent_id", F.posexplode("v").alias("pos0", "valf")
             ).select(
@@ -3390,18 +3417,64 @@ def embedding_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-    return (
-        assign.groupBy(F.col("cent_id").alias("cluster"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.round(
-                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_cosine"),
-        )
-        .orderBy("cluster")
+    return cents, assign
+
+
+def retrain_frozen_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str | None = None,
+    fingerprint_path: str | None = None,
+    k: int = _N_CENTROIDS,
+    rounds: int = _KM_ROUNDS,
+) -> list:
+    """IN-ENGINE frozen-index retrain (VERDICT r8 #6) — closes the ANN
+    index lifecycle: the drift guard (frozen_index_for) refuses a stale
+    index; this trains a replacement with the PROVEN oracle-checked
+    spherical-k-means dataflow (_spherical_lloyd, the loop behind the
+    hash-checked embedding_kmeans_spherical query), and commits it
+    under the SAME fingerprint contract tools/train_ivf_index.py uses —
+    merge-write into the artifact, per-fixture embeddings.parquet md5
+    recorded at training time.  Returns the trained centroids (k x dim
+    doubles, metadata-sized — the one collect is the index itself).
+
+    After the write the artifact caches are cleared, so the next
+    frozen_index_for / _centroid_list call serves the refreshed index
+    (oracle SQL strings rendered at import keep their old literals —
+    re-import or re-render for a new gate; serving needs no restart).
+    """
+    import json as _json
+
+    idx_path = index_path or _IVF_INDEX_PATH
+    fp_path = fingerprint_path or _IVF_FINGERPRINT_PATH
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
     )
+    cents, _ = _spherical_lloyd(em, k, rounds)
+    rows = cents.orderBy("cent_id").collect()
+    trained = [[float(x) for x in r.cv] for r in rows]
+
+    index: dict = {}
+    fingerprints: dict = {}
+    try:
+        with open(idx_path) as f:
+            index = _json.load(f)
+        with open(fp_path) as f:
+            fingerprints = _json.load(f)
+    except (OSError, ValueError):
+        pass
+    key = os.path.basename(sf_dir.rstrip("/"))
+    index[key] = trained
+    _embeddings_md5.cache_clear()
+    fingerprints[key] = _embeddings_md5(sf_dir)
+    os.makedirs(os.path.dirname(idx_path), exist_ok=True)
+    with open(idx_path, "w") as f:
+        _json.dump(index, f)
+    with open(fp_path, "w") as f:
+        _json.dump(fingerprints, f, indent=1)
+    _frozen_ivf_index.cache_clear()
+    _frozen_fingerprints.cache_clear()
+    return trained
 
 
 def _ivf_balance_oracle_sql() -> str | None:

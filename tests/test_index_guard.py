@@ -214,3 +214,77 @@ def test_trained_codebooks_cut_reconstruction_error(spark):
         .collect()[0][0]
     )
     assert trained < 0.9 * standin, (trained, standin)
+
+
+def test_index_lifecycle_drift_retrain_serve(spark, tmp_path, monkeypatch, restore_caches):
+    """Full ANN index lifecycle in-engine (VERDICT r8 #6): fresh fixture
+    -> retrain_frozen_index trains spherical k-means and freezes it
+    under the fingerprint contract -> guard serves; PERTURB the
+    embeddings (simulated fixture regeneration) -> guard REFUSES the
+    stale index with the loud warning -> retrain again -> ann_ivf_topk
+    serves the refreshed index (frozen path, not live fallback) and
+    equals the pipeline run explicitly on the retrained centroids."""
+    import shutil
+    import warnings
+
+    from mapreducer_spark.sources import load_table
+
+    idxp = str(tmp_path / "ivf_centroids.json")
+    fpp = str(tmp_path / "ivf_fingerprints.json")
+    monkeypatch.setattr(sim, "_IVF_INDEX_PATH", idxp)
+    monkeypatch.setattr(sim, "_IVF_FINGERPRINT_PATH", fpp)
+    _clear_caches()
+
+    fx = tmp_path / "sflife"
+    fx.mkdir()
+    shutil.copy(
+        os.path.join(TESTDATA, "sf0.001", "embeddings.parquet"),
+        fx / "embeddings.parquet",
+    )
+    sf_dir = str(fx)
+
+    # Unknown fixture: no frozen entry, live training is the normal path.
+    assert sim.frozen_index_for(sf_dir) is None
+
+    # In-engine retrain freezes index + fingerprint; guard now serves it.
+    t1 = sim.retrain_frozen_index(spark, sf_dir)
+    assert len(t1) == sim._N_CENTROIDS and len(t1[0]) == 64
+    assert sim.frozen_index_for(sf_dir) == t1
+
+    # Simulated regeneration: rewrite embeddings.parquet (drop one row).
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.count()
+    tmp_out = str(tmp_path / "regen")
+    em.where("vec_id <> 0").coalesce(1).write.parquet(tmp_out)
+    import glob
+
+    (part,) = glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+    os.remove(fx / "embeddings.parquet")
+    shutil.copy(part, fx / "embeddings.parquet")
+    sim._embeddings_md5.cache_clear()
+
+    # Drift: the guard refuses the stale index, loudly.
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert sim.frozen_index_for(sf_dir) is None
+    assert any("STALE" in str(w.message) for w in caught)
+
+    # Retrain on the regenerated fixture -> guard serves the NEW index.
+    t2 = sim.retrain_frozen_index(spark, sf_dir)
+    assert t2 != t1
+    assert sim.frozen_index_for(sf_dir) == t2
+
+    # End-to-end serve: ann_ivf_topk's pipeline via _centroid_list picks
+    # the frozen (retrained) index and matches an explicit run on t2.
+    em2 = load_table(spark, sf_dir, "embeddings")
+    assert em2.count() == n - 1
+    cl = sim._centroid_list(em2, sf_dir)
+    assert [v for _, v in cl] == t2  # frozen path, not live KMeans
+    served = {
+        tuple(r) for r in sim._ivf_topk(em2, cl).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in sim._ivf_topk(em2, list(enumerate(t2))).collect()
+    }
+    assert served and served == explicit
