@@ -997,12 +997,26 @@ FROM dau d JOIN wau w USING (report_day)
 def user_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").cast("date")
-    dau = e.groupBy(day.alias("report_day")).agg(
+    return stickiness_report(
+        e.select(day.alias("day"), "user_id")
+    )
+
+
+def stickiness_report(pairs: DataFrame) -> DataFrame:
+    """DAU/WAU stickiness from a (day, user_id) activity frame — the
+    shared algebra behind the batch query above and the streaming
+    monitor (streaming/jobs.py::run_stickiness_monitor, VERDICT r8 #7).
+    Input rows need not be distinct: both counts are countDistinct, so
+    any frame whose DISTINCT (day, user_id) set equals the raw events'
+    produces the identical report — the exactness contract that lets
+    the monitor keep a distinct-pair state table (a set union is
+    idempotent under batch replay) instead of batch-keyed partials."""
+    dau = pairs.groupBy(F.col("day").alias("report_day")).agg(
         F.countDistinct("user_id").alias("dau")
     )
-    fanned = e.select(
+    fanned = pairs.select(
         F.explode(
-            F.sequence(day, F.date_add(day, _WAU_WINDOW_DAYS - 1))
+            F.sequence("day", F.date_add("day", _WAU_WINDOW_DAYS - 1))
         ).alias("report_day"),
         "user_id",
     )

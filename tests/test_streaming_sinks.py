@@ -954,3 +954,57 @@ def test_heavy_hitters_monitor_matches_batch(spark, tmp_path):
     )
     got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
     assert got2 == want
+
+
+def test_stickiness_monitor_matches_batch_and_replays(spark, tmp_path):
+    """Streaming DAU/WAU stickiness monitor parity (the r8 verdict's
+    retention/growth-family twin): after draining the fixture in 3
+    micro-batches the report equals the batch user_stickiness_dau_wau
+    output exactly (distinct (day,user) pairs make the batch/stream
+    split invisible), and a full replay from a fresh checkpoint leaves
+    it unchanged (set-union state is idempotent)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from mapreducer_spark.operators.events_time import (
+        user_stickiness_dau_wau,
+    )
+    from mapreducer_spark.streaming.jobs import run_stickiness_monitor
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "user_id"
+    )
+    in_dir = tmp_path / "st_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"st_stage_{k}"
+        ev.where(f"user_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    state = str(tmp_path / "st_state")
+    report = str(tmp_path / "st_report")
+    run_stickiness_monitor(stream(), state, report, str(tmp_path / "st_ck1"))
+
+    want = {tuple(r) for r in user_stickiness_dau_wau(spark, SF_DIR).collect()}
+    got = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got == want and want
+
+    # State grain: distinct (day, user) pairs, no per-batch multiplicity.
+    st = spark.read.parquet(state)
+    assert st.count() == st.distinct().count()
+    assert set(st.columns) == {"day", "user_id"}
+
+    # Full replay from a fresh checkpoint: report unchanged (idempotent
+    # set-union state — the same pairs fold in again, changing nothing).
+    run_stickiness_monitor(stream(), state, report, str(tmp_path / "st_ck2"))
+    got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got2 == want
