@@ -2279,6 +2279,138 @@ def price_anova_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-sided z critical value at 95% — Welch df is ~1e5 on the fixture,
+# where t(df) is indistinguishable from the normal.
+_WELCH_SEGS = ("BUILDING", "MACHINERY")
+_WELCH_CRIT = 1.96
+
+
+@register(
+    "welch_price_ttest",
+    oracle=f"""
+WITH seg AS (
+  SELECT c_mktsegment AS grp, o_totalprice AS raw
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment IN ('{_WELCH_SEGS[0]}', '{_WELCH_SEGS[1]}')
+),
+mu AS (
+  SELECT CAST(SUM(CAST(raw AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+  FROM seg
+),
+r AS (SELECT grp, raw / mu.m AS x FROM seg CROSS JOIN mu),
+g AS (
+  SELECT grp, COUNT(*) AS n,
+         {oracle_fixed6_sum('x')} AS sx,
+         {oracle_fixed6_sum('x * x')} AS sxx
+  FROM r GROUP BY grp
+),
+p AS (
+  SELECT grp, n, sx / n AS m, (sxx - sx * sx / n) / (n - 1) AS v
+  FROM g
+),
+w AS (
+  SELECT a.n AS n1, a.m AS m1, a.v AS v1,
+         b.n AS n2, b.m AS m2, b.v AS v2
+  FROM p a, p b
+  WHERE a.grp = '{_WELCH_SEGS[0]}' AND b.grp = '{_WELCH_SEGS[1]}'
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       round(m1, 6) AS mean_ratio_a, round(m2, 6) AS mean_ratio_b,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df_welch,
+       CAST({_WELCH_CRIT} AS DOUBLE) AS crit_95,
+       abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > {_WELCH_CRIT}
+         AS reject_h0
+FROM w
+""",
+    doc=f"Welch two-sample t-test of order value between the "
+    f"{_WELCH_SEGS[0]} and {_WELCH_SEGS[1]} customer segments — the "
+    "unequal-variance two-group test completing the parametric family "
+    "(price_anova_by_priority tests k groups under one F; Welch is "
+    "the pairwise workhorse for segment A/B readouts and does NOT "
+    "assume equal variances, the classic t-test trap), with the "
+    "Welch-Satterthwaite effective df.  Values are normalized by the "
+    "pooled global mean: t and df are invariant under common scaling, "
+    "and magnitudes stay O(1) at any revenue scale (the ANOVA "
+    "recipe).  Determinism: exact decimal global mean; per-group "
+    "moments via the fixed6 scaled-long fast path; t/df fold from the "
+    "4 moments in identical IEEE order on both engines; the 95% "
+    "critical value is a literal (df ~ 1e5 >> normal regime).  Scale "
+    "shape: one broadcast-joined segment scan for the mean, one "
+    "grouped-moments pass, the test on 2 rows.",
+    tags=("profiling", "agg", "mining"),
+)
+def welch_price_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(*_WELCH_SEGS)
+    )
+    seg = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("grp"),
+        F.col("o_totalprice").alias("raw"),
+    )
+    mu = seg.agg(
+        (
+            F.sum(F.col("raw").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    r = seg.crossJoin(F.broadcast(mu)).select(
+        "grp", (F.col("raw") / F.col("m")).alias("x")
+    )
+    g = fixed6_grouped_sums(
+        r,
+        ["grp"],
+        {"sx": F.col("x"), "sxx": F.col("x") * F.col("x")},
+    )
+    nn = F.col("n")
+    p = g.select(
+        "grp",
+        nn.alias("n"),
+        (F.col("sx") / nn).alias("m"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / nn) / (nn - 1)).alias(
+            "v"
+        ),
+    )
+    # Pivot the 2-row moment frame into one row with conditional MAX —
+    # a filter+join pair here would re-execute the whole moment lineage
+    # per branch (the r8 correlation-matrix rescan class).
+    pick = lambda col, grp: F.max(  # noqa: E731
+        F.when(F.col("grp") == grp, F.col(col))
+    )
+    w = p.agg(
+        pick("n", _WELCH_SEGS[0]).alias("n1"),
+        pick("m", _WELCH_SEGS[0]).alias("m1"),
+        pick("v", _WELCH_SEGS[0]).alias("v1"),
+        pick("n", _WELCH_SEGS[1]).alias("n2"),
+        pick("m", _WELCH_SEGS[1]).alias("m2"),
+        pick("v", _WELCH_SEGS[1]).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2"))
+        / (F.col("n2") - 1)
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.round(F.col("m1"), 6).alias("mean_ratio_a"),
+        F.round(F.col("m2"), 6).alias("mean_ratio_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 2).alias("df_welch"),
+        F.lit(float(_WELCH_CRIT)).alias("crit_95"),
+        (F.abs(t) > _WELCH_CRIT).alias("reject_h0"),
+    )
+
+
 @register(
     "quantity_weighted_price_median",
     oracle="""

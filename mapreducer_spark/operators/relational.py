@@ -1610,10 +1610,15 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nm = F.count(F.lit(1))
-    s1 = F.sum(F.col("q").cast("decimal(28,0)")).cast("double")
-    s2 = F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).cast(
-        "double"
-    )
+    # q is an exact integer LONG, so plain long sums are bit-identical
+    # to the former DECIMAL(28,0)/(38,0) sums (same integer, same
+    # nearest-double cast) while staying inside whole-stage codegen —
+    # the wide-decimal buffers paid a per-row BigDecimal add over the
+    # part x month grid (r9, the fixed6 lesson).  Overflow bound is
+    # per part: months_per_part * max(q)^2 ~ 1e2 * 1e14 at extreme
+    # scale, far under 2^63.
+    s1 = F.sum("q").cast("double")
+    s2 = F.sum(F.col("q") * F.col("q")).cast("double")
     cv = F.sqrt(s2 / nm - (s1 / nm) * (s1 / nm)) / (s1 / nm)
     xyz = grid.groupBy("l_partkey").agg(
         F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(

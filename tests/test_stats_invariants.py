@@ -222,3 +222,78 @@ def test_in_session_reconciles_with_session_count(spark, sf_dir):
     n_sessions = len(_rows(spark, sf_dir, "event_sessions"))
     assert conv.n_sessions == n_sessions
     assert conv.converting_sessions <= conv.sessions_with_view <= n_sessions
+
+
+def test_fixed6_quantize_cross_engine_and_sum_exactness(spark):
+    """The r9 fixed6 primitive's two contracts, adversarially probed:
+
+    1. Cross-engine determinism: fixed6_quantize (floor(x*1e6+0.5) as
+       LONG in pure double arithmetic) must equal DuckDB's evaluation
+       of the literal same expression for doubles spanning magnitudes,
+       signs, ulp-of-a-tie neighborhoods, and round-vs-floor divergence
+       bait (0.0000005-style values).
+    2. Sum exactness: fixed6_sums / fixed6_grouped_sums must equal the
+       old DECIMAL(28,6)-sum-of-rounded recipe's ORDER INVARIANCE —
+       identical results under 1 vs 32 partitions.
+    """
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.functions.agg import (
+        fixed6_grouped_sums,
+        fixed6_quantize,
+        fixed6_sums,
+    )
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 0.1, -0.1, 1e-7, -1e-7, 5e-7, -5e-7,
+        0.0000005, 0.0000015, -0.0000025, 123.4567895, -123.4567895,
+        1.0000005, 0.9999995, 8999.999999, -8999.999999, 3.14159265358979,
+        2.718281828459045e3, -2.718281828459045e3, 1234567.891011,
+    ]
+    # ulp neighbors of a 6dp tie — the exact class where decimal-string
+    # HALF_UP (F.round) and double-space rounding disagree.
+    import math
+
+    vals += [math.nextafter(0.0000005, 0), math.nextafter(0.0000005, 1)]
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r.q
+        for r in sdf.select(fixed6_quantize(F.col("x")).alias("q"))
+        .orderBy("x")
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS q "
+            "FROM (SELECT unnest(?) AS x) ORDER BY x",
+            [vals],
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+    # Order/partitioning invariance of the staged sums.
+    base = spark.range(0, 20000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.sin(F.col("id").cast("double")) * 137.035999).alias("x"),
+    )
+    terms = {"sx": F.col("x"), "sxx": F.col("x") * F.col("x")}
+    one = fixed6_sums(base.coalesce(1), terms).collect()[0]
+    many = fixed6_sums(base.repartition(32), terms).collect()[0]
+    assert tuple(one) == tuple(many)
+    g_one = {
+        r.g: (r.n, r.sx, r.sxx)
+        for r in fixed6_grouped_sums(base.coalesce(1), ["g"], terms).collect()
+    }
+    g_many = {
+        r.g: (r.n, r.sx, r.sxx)
+        for r in fixed6_grouped_sums(
+            base.repartition(32), ["g"], terms
+        ).collect()
+    }
+    assert g_one == g_many

@@ -205,6 +205,85 @@ DEFAULT_PICKS = [
     "simpson_paradox_check",
     "retention_decay_fit",
     "join_fanout_profile",
+    # r9: VERDICT r8 #4 — point the sweep at the driver blind spot.
+    # Every never-driver-sampled name (per CORRECTNESS_r01..r08) now has
+    # a default 10x row; frozen-index names (ann_*/ivf_*/semdedup) stay
+    # in the separate SPARK_GRAFT_ORACLE_SF=.scale10/sf1 run.
+    "adaptive_threshold_script",
+    "approx_distinct_error_report",
+    "array_functions",
+    "bpe_fertility_by_lang",
+    "brand_collation_join",
+    "corpus_mixture_quota",
+    "corpus_weighted_interleave",
+    "cross_source_ngram_overlap",
+    "curation_pipeline_summary",
+    "customer_distribution",
+    "customer_reorder_intervals",
+    "customer_revenue_concentration",
+    "datetime_functions",
+    "doc_charclass_profile",
+    "embedding_centroid_per_label",
+    "embedding_gram_matrix",
+    "embedding_int8_error",
+    "embedding_int8_quant_error",
+    "embedding_matryoshka_fidelity",
+    "embedding_neardup",
+    "embedding_similarity_histogram",
+    "event_burst_detection",
+    "event_sessions",
+    "event_value_band_join",
+    "event_value_delta",
+    "events_dow_seasonality",
+    "excess_stock_suppliers_q20ish",
+    "hard_negative_mining",
+    "important_stock_q11ish",
+    "join_key_skew_profile",
+    "json_functions",
+    "last_purchase_locf",
+    "lateral_top_customers",
+    "latest_event_per_user",
+    "local_supplier_volume",
+    "math_functions",
+    "min_cost_supplier_q2ish",
+    "monthly_gap_fill",
+    "monthly_revenue_mom",
+    "moving_avg_spend",
+    "nation_market_share",
+    "nth_order_gap",
+    "open_orders_timeline",
+    "perplexity_filter_calibration",
+    "price_qty_regression",
+    "price_quantiles",
+    "priority_lateness_matrix",
+    "promo_revenue_ratio",
+    "quantity_decile_stats",
+    "rank_dense_ntile",
+    "returned_items_topn",
+    "running_customer_spend",
+    "scd2_event_type_history",
+    "segment_modal_priority",
+    "sequence_packing",
+    "shipping_priority_topn",
+    "similarity_topk",
+    "source_token_entropy",
+    "stratified_sample_orders",
+    "string_functions",
+    "supplier_concentration_hhi",
+    "supplier_count_by_part_q16ish",
+    "supplier_year_profit",
+    "suppliers_above_avg_revenue",
+    "top_supplier_revenue",
+    "unpivot_order_metrics",
+    "user_gap_distribution",
+    "user_growth_accretion",
+    "user_stickiness_dau_wau",
+    "volume_shipping_pairs",
+    "waiting_suppliers_q21ish",
+    "weighted_sample_orders",
+    "word_count_topk",
+    "zorder_codes",
+    "zorder_codes_3d",
 ]
 
 
