@@ -3274,10 +3274,14 @@ _KM_ROUNDS = 3  # fixed Lloyd rounds — hash-stable at any scale
 _KM_D = 64
 
 
-def _oracle_kmeans_sql() -> str:
-    """Unrolled fixed-round spherical k-means as chained CTEs."""
+def _oracle_spherical_ctes(k: int, rounds: int) -> str:
+    """CTE chain (e, c0..c{rounds-1}, a1..a{rounds}) of the unrolled
+    fixed-round spherical k-means — shared by the
+    embedding_kmeans_spherical oracle (k=4) and the frozen-index ARI
+    staleness gauge (k=_N_CENTROIDS), mirroring _spherical_lloyd
+    step-for-step."""
     steps = []
-    for r in range(1, _KM_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         steps.append(f"""
 a{r} AS (
   SELECT vec_id, cent_id, v, sim FROM (
@@ -3289,7 +3293,7 @@ a{r} AS (
     FROM e CROSS JOIN c{r - 1} c
   ) WHERE rnk = 1
 )""")
-        if r < _KM_ROUNDS:
+        if r < rounds:
             steps.append(f"""
 c{r} AS (
   SELECT cent_id, list(val ORDER BY dim) AS cv FROM (
@@ -3300,12 +3304,17 @@ c{r} AS (
     GROUP BY cent_id, i.i
   ) GROUP BY cent_id
 )""")
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_KM_K}),
-{",".join(steps)}
+c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {k}),
+{",".join(steps)}"""
+
+
+def _oracle_kmeans_sql() -> str:
+    """Unrolled fixed-round spherical k-means as chained CTEs."""
+    return f"""
+WITH {_oracle_spherical_ctes(_KM_K, _KM_ROUNDS)}
 SELECT cent_id AS cluster,
        COUNT(*) AS n_members,
        round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
@@ -3475,6 +3484,159 @@ def retrain_frozen_index(
     _frozen_ivf_index.cache_clear()
     _frozen_fingerprints.cache_clear()
     return trained
+
+
+def _ari_oracle_sql() -> str | None:
+    """ARI between the frozen-index assignment (literal centroids) and
+    the unrolled in-engine spherical retrain — None (rows-only) when no
+    fingerprint-fresh frozen index exists for the gate fixture."""
+    idx = frozen_index_for(_ORACLE_SF_DIR)
+    if idx is None:
+        return None
+    values = ",\n    ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in v)}] AS DOUBLE[]))"
+        for i, v in enumerate(idx)
+    )
+    r = _KM_ROUNDS
+    return f"""
+WITH {_oracle_spherical_ctes(_N_CENTROIDS, _KM_ROUNDS)},
+fr(cent_id, cv) AS (
+  VALUES {values}
+),
+fa AS (
+  SELECT vec_id, cent_id AS ca FROM (
+    SELECT e.vec_id, f.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, f.cv), 6) DESC,
+                      f.cent_id) AS rnk
+    FROM e CROSS JOIN fr f
+  ) WHERE rnk = 1
+),
+fb AS (SELECT vec_id, cent_id AS cb FROM a{r}),
+cont AS (
+  SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM fa JOIN fb USING (vec_id) GROUP BY ca, cb
+),
+ra AS (SELECT ca, CAST(SUM(nij) AS BIGINT) AS ai FROM cont GROUP BY ca),
+cb_ AS (SELECT cb, CAST(SUM(nij) AS BIGINT) AS bj FROM cont GROUP BY cb),
+m AS (
+  SELECT
+    (SELECT CAST(SUM(nij) AS BIGINT) FROM cont) AS n,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS ka,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cb_) AS kb,
+    (SELECT CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) FROM cont) AS sij,
+    (SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) FROM ra) AS sa,
+    (SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) FROM cb_) AS sb
+)
+SELECT n AS n_vectors, ka AS n_frozen_clusters, kb AS n_fresh_clusters,
+       round((CAST(sij AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))
+             / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)),
+             6) AS ari
+FROM m
+"""
+
+
+@register(
+    "ann_index_ari_staleness",
+    oracle=_ari_oracle_sql(),
+    doc=f"Adjusted Rand Index between the FROZEN IVF index's cluster "
+    "assignment and a fresh in-engine spherical-k-means retrain "
+    f"(k={_N_CENTROIDS}, {_KM_ROUNDS} Lloyd rounds) — the staleness "
+    "gauge closing the r9 index lifecycle: ivf_list_balance says the "
+    "frozen lists are usable, ann_ivf_kmeans_recall says serving "
+    "quality holds, and this says how far the PARTITION ITSELF has "
+    "drifted from what training on today's data would produce (ARI "
+    "~1: retraining would change little; low ARI: schedule "
+    "retrain_frozen_index).  ARI folds entirely from the contingency "
+    "table of the two labelings — exact integer pair counts "
+    "C(n,2) = n(n-1) DIV 2 per cell/row/col (exact in BIGINT to "
+    "~4e9 rows per cell; cast to DOUBLE only in the final ratio, "
+    "rounded 6dp in identical order on both engines).  Chance-"
+    "adjustment matters here because k=16 labelings agree "
+    "substantially by luck alone.  Determinism: both assignments are "
+    "round-6 cosine argmax with cent_id tie-break (the spherical-"
+    "k-means recipe); frozen centroids are repr() literals in both "
+    "engines.  Scale shape: two map-side assignments (broadcast "
+    "centroids), one join on vec_id, a <=k^2-cell contingency "
+    "aggregation, the fold on one row.",
+    tags=("llm", "similarity", "vector", "iterative"),
+)
+def ann_index_ari_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em_raw = load_table(spark, sf_dir, "embeddings")
+    em = em_raw.select("vec_id", F.col("embedding").alias("v"))
+    cl = _centroid_list(em_raw, sf_dir)  # frozen when fresh, else live
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in cl],
+        "cent_id int, cv array<double>",
+    )
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id")
+    )
+    fa = (
+        em.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", F.col("cent_id").alias("ca"))
+    )
+    _, fresh_assign = _spherical_lloyd(em, _N_CENTROIDS, _KM_ROUNDS)
+    fb = fresh_assign.select("vec_id", F.col("cent_id").alias("cb"))
+    cont = (
+        fa.join(fb, "vec_id")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
+    )
+    # C(x,2) = x(x-1) >> 1 — exact integer halving (x(x-1) is even);
+    # stays in LONG to ~4e9 rows per cell, mirrored by // 2 in DuckDB.
+    c2 = lambda c: F.sum(  # noqa: E731
+        F.shiftright((c * (c - F.lit(1))).cast("long"), 1)
+    ).cast("long")
+    ra = cont.groupBy("ca").agg(F.sum("nij").alias("ai"))
+    cb_ = cont.groupBy("cb").agg(F.sum("nij").alias("bj"))
+    m = (
+        cont.agg(
+            F.sum("nij").cast("long").alias("n"),
+            c2(F.col("nij")).alias("sij"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ra.agg(
+                    F.count(F.lit(1)).cast("long").alias("ka"),
+                    c2(F.col("ai")).alias("sa"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                cb_.agg(
+                    F.count(F.lit(1)).cast("long").alias("kb"),
+                    c2(F.col("bj")).alias("sb"),
+                )
+            )
+        )
+    )
+    nd = F.col("n").cast("double")
+    snn = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    sa, sb, sij = (
+        F.col("sa").cast("double"),
+        F.col("sb").cast("double"),
+        F.col("sij").cast("double"),
+    )
+    expd = sa * sb / snn
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.col("ka").alias("n_frozen_clusters"),
+        F.col("kb").alias("n_fresh_clusters"),
+        F.round((sij - expd) / ((sa + sb) / F.lit(2.0) - expd), 6).alias(
+            "ari"
+        ),
+    )
 
 
 def _ivf_balance_oracle_sql() -> str | None:

@@ -283,6 +283,7 @@ DEFAULT_PICKS = [
     "weighted_sample_orders",
     "word_count_topk",
     "zorder_codes",
+    "welch_price_ttest",
     "zorder_codes_3d",
 ]
 
@@ -298,7 +299,7 @@ def main() -> None:
     # sweeping them — a plain run renders gate-scale literals and
     # MISMATCHes by construction, which reads like a defect but is an
     # operator error (it cost a re-run in r8).  Warn loudly up front.
-    frozen_prefixes = ("ann_ivf", "ann_pq", "ivf_", "semdedup")
+    frozen_prefixes = ("ann_ivf", "ann_pq", "ann_index", "ivf_", "semdedup")
     frozen_picks = [
         n for n in picks if n.startswith(frozen_prefixes)
     ]
