@@ -50,3 +50,25 @@ def test_no_complex_typed_result_columns(spark, sf_dir, name):
     from tests.oracle import assert_scalar_schema
 
     assert_scalar_schema(name, QUERIES[name].fn(spark, sf_dir))
+
+
+def test_rows_only_queries_respect_scan_budget(spark, sf_dir):
+    """The oracle gate asserts the executed-scan budget for every
+    oracle-backed query as a side effect of collecting it (r9,
+    tests/oracle.py); the handful of rows-only queries (HLL sketches,
+    the xxhash64 LSH path) never pass through it, so execute them here
+    and hold them to the same ceiling."""
+    from mapreducer_spark.plans.inspect import (
+        MAX_EXECUTED_SCANS_PER_TABLE,
+        executed_filescan_counts,
+    )
+
+    rows_only = [n for n, q in QUERIES.items() if q.oracle is None]
+    assert rows_only, "expected at least the HLL/xxhash64 rows-only set"
+    for name in rows_only:
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.collect()
+        for table, n_scans in executed_filescan_counts(df).items():
+            assert n_scans <= MAX_EXECUTED_SCANS_PER_TABLE, (
+                f"{name}: executed plan reads {table!r} {n_scans} times"
+            )
