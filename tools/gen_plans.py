@@ -59,6 +59,8 @@ PICKS = [
     ("bootstrap_revenue_ci", "hash bootstrap: one md5 per row, 50-way map-side fan-out into ONE shuffle of 50 groups"),
     ("ship_delay_percentiles", "integer percentiles: (month x delay) domain grid + per-month cumulative windows, zero floats"),
     ("trimmed_mean_order_value", "L-statistics: value-histogram collapse, bucket-overlap interior mass, no per-row sort"),
+    ("lineitem_correlation_matrix", "fixed6 scaled-long moments (codegen, no per-row BigDecimal); all 6 pairs F.stack'd from ONE moment row (r9 — was a 12-scan unionAll)"),
+    ("welch_price_ttest", "Welch t: fixed6 grouped moments, 2-row frame pivots via conditional MAX (no branch re-scan), one broadcast segment join"),
 ]
 
 
