@@ -2088,6 +2088,133 @@ def l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TCLOSE_T = 0.25  # total-variation threshold
+
+
+@register(
+    "t_closeness_profile",
+    oracle=f"""
+WITH cells AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / {_KANON_BIN}) AS BIGINT) AS bal_bin,
+         c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS ns
+  FROM customer GROUP BY 1, 2, 3
+),
+gl AS (SELECT seg, CAST(SUM(ns) AS BIGINT) AS gs FROM cells GROUP BY seg),
+tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM cells),
+cls AS (
+  SELECT c_nationkey, bal_bin,
+         CAST(SUM(ns) AS BIGINT) AS gsize,
+         CAST(SUM(CAST(abs(ns * tot.nn - gl.gs * cw.gsize)
+                       AS DECIMAL(38,0))) AS DOUBLE) AS present_num,
+         CAST(SUM(CAST(gl.gs AS DECIMAL(38,0))) AS DOUBLE) AS present_gs,
+         MAX(tot.nn) AS nn, MAX(cw.gsize) AS gsize2
+  FROM cells
+  JOIN gl USING (seg)
+  CROSS JOIN tot
+  JOIN (
+    SELECT c_nationkey, bal_bin, CAST(SUM(ns) AS BIGINT) AS gsize
+    FROM cells GROUP BY 1, 2
+  ) cw USING (c_nationkey, bal_bin)
+  GROUP BY c_nationkey, bal_bin
+),
+t AS (
+  SELECT c_nationkey, gsize,
+         round((present_num
+                + CAST(gsize AS DOUBLE) * (CAST(nn AS DOUBLE) - present_gs))
+               / (2.0 * CAST(gsize AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+           AS tv
+  FROM cls
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       round(MAX(tv), 6) AS max_t,
+       CAST(SUM(CASE WHEN tv > {_TCLOSE_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(SUM(CASE WHEN tv > {_TCLOSE_T} THEN gsize ELSE 0 END) AS BIGINT)
+         AS n_exposed
+FROM t GROUP BY c_nationkey
+""",
+    doc="t-closeness risk report (Li et al. 2007), completing the "
+    "privacy trio: k_anonymity_profile bounds re-identification, "
+    "l_diversity_profile bounds outright homogeneity, and this bounds "
+    "DISTRIBUTIONAL disclosure — a class can be diverse yet still "
+    "leak if its sensitive-attribute mix differs sharply from the "
+    "global mix (the skewness attack l-diversity misses).  For a "
+    "nominal sensitive attribute the EMD reduces to total variation "
+    "distance; per quasi-identifier class t = sum_s |n_s*N - g_s*G| "
+    "/ (2*G*N) with the absent-segment mass folded in closed form as "
+    "G*(N - sum_present g_s) — every numerator an exact integer, the "
+    "one division per class in identical IEEE order on both engines.  "
+    f"Classes with t > {_TCLOSE_T} violate.  Scale shape: one "
+    "(QI x sensitive) cell aggregation (domain-bounded), a broadcast "
+    "global-mix join, per-nation readout — no row-count-sized state "
+    "anywhere.",
+    tags=("governance", "quality", "agg"),
+)
+def t_closeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal_bin = F.floor(F.col("c_acctbal") / _KANON_BIN).cast("long")
+    cells = (
+        c.groupBy(
+            "c_nationkey", bal_bin.alias("bal_bin"), F.col("c_mktsegment").alias("seg")
+        )
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .localCheckpoint(eager=True)
+    )
+    gl = cells.groupBy("seg").agg(F.sum("ns").alias("gs"))
+    tot = cells.agg(F.sum("ns").alias("nn"))
+    cw = cells.groupBy("c_nationkey", "bal_bin").agg(
+        F.sum("ns").alias("gsize")
+    )
+    cls = (
+        cells.join(F.broadcast(gl), "seg")
+        .crossJoin(F.broadcast(tot))
+        .join(cw, ["c_nationkey", "bal_bin"])
+        .groupBy("c_nationkey", "bal_bin")
+        .agg(
+            F.max("gsize").alias("gsize"),
+            F.max("nn").alias("nn"),
+            F.sum(
+                F.abs(
+                    F.col("ns") * F.col("nn")
+                    - F.col("gs") * F.col("gsize")
+                ).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("present_num"),
+            F.sum(F.col("gs").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("present_gs"),
+        )
+    )
+    tv = F.round(
+        (
+            F.col("present_num")
+            + F.col("gsize").cast("double")
+            * (F.col("nn").cast("double") - F.col("present_gs"))
+        )
+        / (
+            F.lit(2.0)
+            * F.col("gsize").cast("double")
+            * F.col("nn").cast("double")
+        ),
+        6,
+    )
+    t = cls.select("c_nationkey", "gsize", tv.alias("tv"))
+    return t.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(F.max("tv"), 6).alias("max_t"),
+        F.sum(F.when(F.col("tv") > _TCLOSE_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.sum(F.when(F.col("tv") > _TCLOSE_T, F.col("gsize")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed"),
+    )
+
+
 @register(
     "spend_frequency_rank_correlation",
     oracle="""

@@ -28,6 +28,10 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreducer_spark.functions.agg import (
+    fixed6_grouped_sums,
+    oracle_fixed6_sum,
+)
 from mapreducer_spark.functions.vectors import cosine, oracle_sign_bucket, sign_bucket
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import fan_out, load_table
@@ -3635,6 +3639,90 @@ def ann_index_ari_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kb").alias("n_fresh_clusters"),
         F.round((sij - expd) / ((sa + sb) / F.lit(2.0) - expd), 6).alias(
             "ari"
+        ),
+    )
+
+
+@register(
+    "embedding_isotropy_profile",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+  SELECT i.i AS dim, v[i.i] AS x
+  FROM e, generate_series(1, {_KM_D}) AS i(i)
+),
+d AS (
+  SELECT dim,
+         {oracle_fixed6_sum('x')} AS s,
+         {oracle_fixed6_sum('x * x')} AS q
+  FROM comp GROUP BY dim
+),
+m AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n,
+         CAST(SUM(CAST(round(s * s, 6) AS DECIMAL(28,6))) AS DOUBLE) AS ss,
+         CAST(SUM(CAST(round(q, 6) AS DECIMAL(28,6))) AS DOUBLE) AS tq
+  FROM d
+)
+SELECT n AS n_vectors,
+       round(tq / CAST(n AS DOUBLE), 6) AS mean_sq_norm,
+       round((ss - tq)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+         AS avg_pairwise_dot,
+       round(ss / (CAST(n AS DOUBLE) * tq), 6) AS anisotropy_ratio
+FROM m
+""",
+    doc="Embedding-space isotropy/centering gauge (the Ethayarajh-style "
+    "anisotropy diagnosis): the average pairwise dot product over ALL "
+    "n(n-1) vector pairs and the fraction of total energy lying along "
+    "the mean direction — computed WITHOUT any pair stage via the "
+    "Gram identity ||sum v||^2 = sum||v||^2 + sum_{{i<>j}} v_i.v_j, "
+    "so the O(n^2) quantity folds from per-dimension sums in ONE "
+    "corpus pass (embedding_pca_power_iteration finds the dominant "
+    "direction; this says how much of the space collapses onto the "
+    "MEAN — the anisotropic-cone pathology that makes raw cosines "
+    "uninformative and motivates mean-centering before similarity "
+    "search).  anisotropy_ratio = ||sum v||^2 / (n * sum||v||^2) in "
+    "[0, 1]: 0 = perfectly centered, 1 = all vectors identical.  "
+    "Determinism: per-dim sums via the fixed6 scaled-long fast path; "
+    "the 64-row dim folds are 6dp-rounded decimal sums; final ratios "
+    "in identical IEEE order.  Scale shape: one posexplode scan into "
+    "a 64-group map-side aggregation, folds on 64 rows — no shuffle "
+    "wider than (dim x partition) partials at any corpus size.",
+    tags=("llm", "similarity", "vector", "profiling"),
+)
+def embedding_isotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    comp = fan_out(em).select(
+        F.posexplode(F.col("embedding")).alias("pos0", "xf")
+    ).select(
+        (F.col("pos0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    d = fixed6_grouped_sums(
+        comp,
+        ["dim"],
+        {"s": F.col("x"), "q": F.col("x") * F.col("x")},
+        count_alias=None,
+    )
+    nrow = em.agg(F.count(F.lit(1)).alias("n"))
+    dsum6 = lambda c: F.sum(  # noqa: E731
+        F.round(c, 6).cast("decimal(28,6)")
+    ).cast("double")
+    m = d.agg(
+        dsum6(F.col("s") * F.col("s")).alias("ss"),
+        dsum6(F.col("q")).alias("tq"),
+    ).crossJoin(F.broadcast(nrow))
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(F.col("tq") / nd, 6).alias("mean_sq_norm"),
+        F.round(
+            (F.col("ss") - F.col("tq")) / (nd * (nd - F.lit(1.0))), 6
+        ).alias("avg_pairwise_dot"),
+        F.round(F.col("ss") / (nd * F.col("tq")), 6).alias(
+            "anisotropy_ratio"
         ),
     )
 

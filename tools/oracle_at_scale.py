@@ -284,6 +284,8 @@ DEFAULT_PICKS = [
     "word_count_topk",
     "zorder_codes",
     "welch_price_ttest",
+    "t_closeness_profile",
+    "embedding_isotropy_profile",
     "zorder_codes_3d",
 ]
 
