@@ -975,20 +975,33 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(6)
     for i, t in reversed(list(enumerate(_BOOT_THRESH))):
         w = F.when(F.col("u") < t, F.lit(i)).otherwise(w)
-    rep = (
-        fan.withColumn("w", w)
-        .groupBy("b")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("o_totalprice") * F.col("w")).cast(
-                        "decimal(18,2)"
-                    )
-                ).cast("double")
-                / F.sum("w"),
-                6,
-            ).alias("m")
-        )
+    # The B x n weighted sum is the query's hot loop (~45M terms at
+    # sf0.1): the former per-term DECIMAL(18,2) cast + DECIMAL(28,2)
+    # accumulator paid a JVM BigDecimal per term outside codegen (r9,
+    # the fixed6 lesson).  price*w is an EXACT 2dp value (integer
+    # weight x 2dp money) carried in a double within ~1e-10 of it, so
+    # floor(x*1e6+0.5) quantization provably equals the decimal cast —
+    # no tie can exist at the 3rd decimal — and the scaled-long
+    # partial-sum path is bit-identical to the old recipe AND to the
+    # unchanged DuckDB oracle.
+    from mapreducer_spark.functions.agg import (
+        fixed6_finalize,
+        fixed6_quantize,
+    )
+
+    scaled = fan.withColumn("w", w).select(
+        "b",
+        fixed6_quantize(F.col("o_totalprice") * F.col("w")).alias("q"),
+        F.col("w"),
+    )
+    part = scaled.groupBy("b", F.spark_partition_id().alias("__pid")).agg(
+        F.sum("q").alias("q"), F.sum("w").alias("sw")
+    )
+    rep = part.groupBy("b").agg(
+        F.round(
+            fixed6_finalize("q") / F.sum("sw"),
+            6,
+        ).alias("m")
     )
     rep = rep.localCheckpoint(eager=True)
     ranked = rep.select(
