@@ -347,6 +347,34 @@ def cmd_list_queries(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_retrain_index(args: argparse.Namespace) -> int:
+    """Close the ANN index lifecycle from the CLI: when the drift guard
+    refuses a stale frozen index (regenerated fixture), this retrains
+    coarse centroids IN-ENGINE with the oracle-checked spherical
+    k-means dataflow and re-freezes index + fingerprint — the
+    operational verb pairing tools/train_ivf_index.py's offline MLlib
+    path (reference has no index lifecycle at all; this is the 100 TB
+    serving posture: train once, serve many, retrain on drift)."""
+    from mapreducer_spark.operators.similarity import (
+        frozen_index_for,
+        retrain_frozen_index,
+    )
+
+    spark = _get_spark(args)
+    if not args.force and frozen_index_for(args.sf_dir) is not None:
+        print(
+            f"frozen index for {args.sf_dir} is fingerprint-fresh; "
+            "nothing to do (--force retrains anyway)"
+        )
+        return 0
+    trained = retrain_frozen_index(spark, args.sf_dir)
+    print(
+        f"retrained {len(trained)} centroids x {len(trained[0])} dims "
+        f"for {args.sf_dir}; index + fingerprint re-frozen"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mapreducer_spark")
     p.add_argument("--master", default="local[*]")
@@ -520,6 +548,19 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--out", help="write result parquet here instead of showing")
     sq.add_argument("--limit", type=int, default=20)
     sq.set_defaults(fn=cmd_sql)
+
+    ri = sub.add_parser(
+        "retrain-index",
+        help="retrain the frozen ANN coarse quantizer in-engine "
+        "(spherical k-means) and re-freeze index + fingerprint — run "
+        "after a fixture regeneration trips the drift guard",
+    )
+    ri.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ri.add_argument(
+        "--force", action="store_true",
+        help="retrain even when the current index is fingerprint-fresh",
+    )
+    ri.set_defaults(fn=cmd_retrain_index)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -538,3 +538,48 @@ def test_cli_export_wds(spark, tmp_path, capsys):
         for r in back.groupBy("ext").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"txt": n_docs, "json": n_docs}
+
+
+def test_cli_retrain_index(spark, tmp_path, capsys, monkeypatch):
+    """retrain-index CLI: fresh index -> no-op with a message; unknown/
+    stale fixture -> in-engine retrain writes the (isolated) artifact
+    and the guard then serves the new index."""
+    from mapreducer_spark.__main__ import main
+    from mapreducer_spark.operators import similarity as sim
+    from tests.conftest import SF_DIR
+
+    # Fresh fixture: guard is satisfied, verb is a no-op.
+    rc = main(["retrain-index", "--sf-dir", SF_DIR])
+    assert rc == 0
+    assert "fingerprint-fresh" in capsys.readouterr().out
+
+    # Unknown fixture (isolated artifact paths): retrains and freezes.
+    import shutil
+
+    monkeypatch.setattr(
+        sim, "_IVF_INDEX_PATH", str(tmp_path / "idx.json")
+    )
+    monkeypatch.setattr(
+        sim, "_IVF_FINGERPRINT_PATH", str(tmp_path / "fp.json")
+    )
+    for fn in (
+        sim._frozen_ivf_index,
+        sim._frozen_fingerprints,
+        sim._embeddings_md5,
+    ):
+        fn.cache_clear()
+    fx = tmp_path / "sfcli"
+    fx.mkdir()
+    shutil.copy(
+        f"{SF_DIR}/embeddings.parquet", fx / "embeddings.parquet"
+    )
+    rc = main(["retrain-index", "--sf-dir", str(fx)])
+    assert rc == 0
+    assert "re-frozen" in capsys.readouterr().out
+    assert sim.frozen_index_for(str(fx)) is not None
+    for fn in (
+        sim._frozen_ivf_index,
+        sim._frozen_fingerprints,
+        sim._embeddings_md5,
+    ):
+        fn.cache_clear()
