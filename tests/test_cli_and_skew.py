@@ -583,3 +583,43 @@ def test_cli_retrain_index(spark, tmp_path, capsys, monkeypatch):
         sim._embeddings_md5,
     ):
         fn.cache_clear()
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-1e7,
+            max_value=1e7,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_fixed6_quantize_matches_duckdb_hypothesis(xs):
+    """Property sweep of the r9 fixed6 quantization contract: for ANY
+    finite double in the operating range, Python's evaluation of
+    floor(x*1e6 + 0.5) (the exact spec both engines compile) equals
+    DuckDB's — the cross-engine bit-determinism the scaled-long fast
+    path rests on.  (Spark's side is pinned separately against DuckDB
+    on adversarial tie neighborhoods in test_stats_invariants; here
+    hypothesis sweeps the value space wide through the same reference
+    implementation.)"""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    got = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(floor(x * 1000000 + 0.5) AS BIGINT) "
+            "FROM (SELECT unnest(?) AS x)",
+            [xs],
+        ).fetchall()
+    ]
+    con.close()
+    want = [int(math.floor(x * 1000000.0 + 0.5)) for x in xs]
+    assert got == want
