@@ -1366,14 +1366,23 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    pr = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,4)"
-            )
-        ).alias("rev")
+    # fixed6 scaled-long per-part revenue (r9) — see abc_xyz_matrix;
+    # bit-identical to the former DECIMAL(18,4) cast+sum, in codegen.
+    from mapreducer_spark.functions.agg import fixed6_grouped_sums
+
+    pr = fixed6_grouped_sums(
+        li.select(
+            "l_partkey",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r"),
+        ),
+        ["l_partkey"],
+        {"rev": F.col("r")},
+        count_alias=None,
     )
-    tot = pr.agg(F.sum("rev").alias("total"))
+    rev_dec = F.col("rev").cast("decimal(28,6)")
+    tot = pr.agg(F.sum(rev_dec).alias("total"))
     wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -1381,7 +1390,7 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         "total",
         (
-            F.sum("rev").over(wcum).cast("double")
+            F.sum(rev_dec).over(wcum).cast("double")
             / F.col("total").cast("double")
         ).alias("cum_share"),
     )
@@ -1394,9 +1403,9 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy(cls.alias("abc_class"))
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.sum(rev_dec).cast("double"), 2).alias("revenue"),
             F.round(
-                F.sum("rev").cast("double")
+                F.sum(rev_dec).cast("double")
                 / F.max("total").cast("double"),
                 6,
             ).alias("revenue_share"),
@@ -1597,20 +1606,34 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    pr = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,4)"
-            )
-        ).alias("rev")
+    # Per-part revenue via the fixed6 scaled-long path: the 4dp-exact
+    # disc revenue quantizes tie-free at 6dp, so this is bit-identical
+    # to the former per-row DECIMAL(18,4) cast + sum while staying in
+    # codegen (r9).  rev comes back as an EXACT-6dp-valued double; the
+    # part-level folds below (total, cumulative share) re-cast it to
+    # decimal over the ~|parts| frame, which is where exactness must
+    # hold and where the row count is small.
+    from mapreducer_spark.functions.agg import fixed6_grouped_sums
+
+    pr = fixed6_grouped_sums(
+        li.select(
+            "l_partkey",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r"),
+        ),
+        ["l_partkey"],
+        {"rev": F.col("r")},
+        count_alias=None,
     )
     pr = pr.localCheckpoint(eager=True)
-    tot = pr.agg(F.sum("rev").alias("total"))
+    rev_dec = F.col("rev").cast("decimal(28,6)")
+    tot = pr.agg(F.sum(rev_dec).alias("total"))
     wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
         Window.unboundedPreceding, 0
     )
     share = (
-        F.sum("rev").over(wcum).cast("double")
+        F.sum(rev_dec).over(wcum).cast("double")
         / F.col("total").cast("double")
     )
     abc = pr.crossJoin(F.broadcast(tot)).select(
@@ -1656,9 +1679,9 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc_class", "xyz_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.sum(rev_dec).cast("double"), 2).alias("revenue"),
             F.round(
-                F.sum("rev").cast("double")
+                F.sum(rev_dec).cast("double")
                 / F.max("total").cast("double"),
                 6,
             ).alias("revenue_share"),
