@@ -592,29 +592,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs_with_near_dups(spark, sf_dir))
 
 
-def _lsh_md5_oracle_ctes() -> str:
-    """CTE chain of the DuckDB MinHash+LSH twin, ending in
-    ``cand(id_a, id_b)`` (the pre-verify candidate pairs) and
-    ``tsets(doc_id, tok_set)`` — shared by the verified-pairs twin and
-    the candidate-recall gauge."""
-    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+def _lsh_md5_sig_ctes() -> str:
+    """CTE chain of the DuckDB MinHash twin through ``sig(doc_id,
+    mh0..mh15)`` — shared by the full LSH twin below and the
+    candidate-cost curve (which re-bands the same signatures under
+    several (bands, rows) configs)."""
     mins = ",\n    ".join(
         f"list_min(list_transform(hv, h -> (h * {_MINHASH_A[i]} + {_MINHASH_B[i]})"
         f" % {_MINHASH_P})) AS mh{i}"
         for i in range(_MINHASH_K)
-    )
-    bands = "\n    UNION ALL ".join(
-        "SELECT doc_id, {j} AS band, {h} AS bucket FROM sig".format(
-            j=j,
-            h=oracle_md5_int64(
-                "concat_ws('|', "
-                + ", ".join(
-                    f"mh{j * rows_per_band + r}" for r in range(rows_per_band)
-                )
-                + ")"
-            ),
-        )
-        for j in range(_MINHASH_BANDS)
     )
     return f"""corpus AS ({_ORACLE_DOCS_WITH_NEAR_DUPS}),
 tok AS (
@@ -639,7 +625,29 @@ sig AS (
   SELECT doc_id,
     {mins}
   FROM hs
-),
+)"""
+
+
+def _lsh_md5_oracle_ctes() -> str:
+    """CTE chain of the DuckDB MinHash+LSH twin, ending in
+    ``cand(id_a, id_b)`` (the pre-verify candidate pairs) and
+    ``tsets(doc_id, tok_set)`` — shared by the verified-pairs twin and
+    the candidate-recall gauge."""
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    bands = "\n    UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {h} AS bucket FROM sig".format(
+            j=j,
+            h=oracle_md5_int64(
+                "concat_ws('|', "
+                + ", ".join(
+                    f"mh{j * rows_per_band + r}" for r in range(rows_per_band)
+                )
+                + ")"
+            ),
+        )
+        for j in range(_MINHASH_BANDS)
+    )
+    return f"""{_lsh_md5_sig_ctes()},
 b AS (
     {bands}
 ),
@@ -2200,4 +2208,126 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n,
             6,
         ).alias("mean_token_j"),
+    )
+
+
+# (bands, rows_per_band) operating points sharing the 16-perm signature
+# — the standard S-curve family: more bands = higher recall at lower
+# Jaccard, more candidate comparisons.
+_LSH_COST_CONFIGS = [(2, 8), (4, 4), (8, 2), (16, 1)]
+
+
+def _lsh_cost_oracle_sql() -> str:
+    legs = []
+    for bands, rpb in _LSH_COST_CONFIGS:
+        for j in range(bands):
+            h = oracle_md5_int64(
+                "concat_ws('|', "
+                + ", ".join(f"mh{j * rpb + r}" for r in range(rpb))
+                + ")"
+            )
+            legs.append(
+                f"SELECT {bands} AS bands, {rpb} AS rpb, doc_id, "
+                f"{j} AS band, {h} AS bucket FROM sig"
+            )
+    return f"""
+WITH {_lsh_md5_sig_ctes()},
+bb AS (
+    {" UNION ALL ".join(legs)}
+),
+m AS (
+  SELECT bands, rpb, band, bucket, CAST(COUNT(*) AS BIGINT) AS m
+  FROM bb GROUP BY 1, 2, 3, 4
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sig)
+SELECT bands,
+       rpb AS rows_per_band,
+       CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_buckets,
+       CAST(MAX(m) AS BIGINT) AS max_bucket,
+       CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS verify_comparisons,
+       round(CAST(SUM(m * (m - 1) // 2) AS DOUBLE) / MAX(nd.n_docs), 6)
+         AS comparisons_per_doc
+FROM m CROSS JOIN nd
+GROUP BY bands, rpb
+ORDER BY bands
+"""
+
+
+@register(
+    "lsh_candidate_cost_curve",
+    oracle=_lsh_cost_oracle_sql(),
+    doc="LSH operating-point cost planner: the same 16-perm MinHash "
+    "signatures re-banded under every (bands, rows-per-band) config "
+    "— (2,8) (4,4) (8,2) (16,1) — with each config's bucket-collision "
+    "statistics and TOTAL verify workload sum C(m,2), computed from "
+    "bucket sizes alone with NO pair expansion (the cost estimate "
+    "must be cheaper than the cost being estimated, especially at "
+    "100 TB where a 16-band config on boilerplate can propose "
+    "billions of comparisons).  Together with minhash_lsh_recall "
+    "(the quality side of the same dial) this is the table an ops "
+    "team reads before committing a corpus-wide dedup run: more "
+    "bands shifts the S-curve left (higher recall at lower Jaccard) "
+    "and this says exactly what that costs in candidate "
+    "verifications.  Determinism: the hash-checked md5 signature "
+    "pipeline; bucket stats are exact integers; C(m,2) via m(m-1) "
+    "DIV 2.  Scale shape: ONE map-side signature pass (checkpointed, "
+    "reused by all 30 config-bands), explode to 30 bucket keys per "
+    "doc, one (config, band, bucket) count aggregation — no pair "
+    "materialization anywhere.",
+    tags=("llm", "dedup", "neardup", "mining"),
+)
+def lsh_candidate_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(
+        docs_with_near_dups(spark, sf_dir), use_md5=True
+    ).localCheckpoint(eager=True)
+    band_structs = []
+    for bands, rpb in _LSH_COST_CONFIGS:
+        for j in range(bands):
+            band_structs.append(
+                F.struct(
+                    F.lit(bands).alias("bands"),
+                    F.lit(rpb).alias("rpb"),
+                    F.lit(j).alias("band"),
+                    md5_int64(
+                        F.concat_ws(
+                            "|",
+                            *[f"mh{j * rpb + r}" for r in range(rpb)],
+                        )
+                    ).alias("bucket"),
+                )
+            )
+    bb = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("c")
+    ).select("doc_id", "c.bands", "c.rpb", "c.band", "c.bucket")
+    m = bb.groupBy("bands", "rpb", "band", "bucket").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    nd = sigs.agg(F.count(F.lit(1)).alias("n_docs"))
+    comparisons = F.sum(
+        F.shiftright((F.col("m") * (F.col("m") - 1)).cast("long"), 1)
+    )
+    return (
+        m.groupBy("bands", "rpb")
+        .agg(
+            F.sum(F.when(F.col("m") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_buckets"),
+            F.max("m").cast("long").alias("max_bucket"),
+            comparisons.cast("long").alias("verify_comparisons"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "bands",
+            F.col("rpb").alias("rows_per_band"),
+            "n_multi_buckets",
+            "max_bucket",
+            "verify_comparisons",
+            F.round(
+                F.col("verify_comparisons").cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("comparisons_per_doc"),
+        )
+        .orderBy("bands")
     )

@@ -899,3 +899,112 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("med_rel_error"),
         )
     )
+
+
+# Dyadic-histogram quantile sketch: fixed $500 buckets over the order
+# value domain (~[850, 560k] -> ~1.1k live cells at any scale); the
+# quantile estimate's error is bounded by the bucket width.
+_HQ_WIDTH = 500
+_HQ_QUANTILES = (0.5, 0.9, 0.95, 0.99)
+
+
+@register(
+    "histogram_sketch_quantiles",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(floor(o_totalprice / {_HQ_WIDTH}) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT b, n,
+         SUM(n) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS cum_below,
+         SUM(n) OVER () AS nn
+  FROM h
+),
+qs AS (
+  SELECT CAST(unnest([{", ".join(repr(q) for q in _HQ_QUANTILES)}])
+              AS DOUBLE) AS q
+),
+hit AS (
+  SELECT qs.q, cum.b, cum.n, cum.cum_below, cum.nn,
+         ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY cum.b) AS rnk
+  FROM qs JOIN cum
+    ON qs.q * cum.nn > cum.cum_below
+   AND qs.q * cum.nn <= cum.cum_below + cum.n
+)
+SELECT q AS quantile,
+       round(b * {_HQ_WIDTH}
+             + {_HQ_WIDTH} * (q * nn - cum_below) / n, 6) AS est_value,
+       CAST(b AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS bucket_rows,
+       CAST({_HQ_WIDTH} AS DOUBLE) AS max_abs_error
+FROM hit WHERE rnk = 1
+ORDER BY q
+""",
+    doc="Mergeable histogram quantile sketch — the quantile member of "
+    "the sketch family (HLL distinct, KMV set ops, CMS heavy hitters, "
+    "Bloom membership, AGMS join size): order values fold into fixed "
+    f"$​{_HQ_WIDTH} buckets map-side (a bucket-count vector is the "
+    "canonical mergeable summary — shard histograms add cell-wise), "
+    "and each requested quantile reads off the cumulative curve with "
+    "linear interpolation inside the crossing bucket, error bounded "
+    "by the bucket width REGARDLESS of data size or distribution "
+    "drift.  Contrast approx_price_quantiles (exact two-phase "
+    "distributed selection — more accurate, but its second phase "
+    "depends on the first's output): the histogram is one-pass, "
+    "constant-size state, and streaming-foldable.  Determinism: "
+    "integer bucket counts; the crossing-bucket predicate q*N > "
+    "cum_below uses exact integer-x-literal comparisons evaluated "
+    "identically on both engines; interpolation is one rounded "
+    "division.  Scale shape: one map-side bucket aggregation "
+    "(domain-bounded cells), windows over ~1.1k cells, a 4-row "
+    "readout.",
+    tags=("agg", "sketch", "profiling"),
+)
+def histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = o.groupBy(
+        F.floor(F.col("o_totalprice") / _HQ_WIDTH).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = h.select(
+        "b",
+        "n",
+        (F.sum("n").over(wc) - F.col("n")).alias("cum_below"),
+        F.sum("n").over(wall).alias("nn"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in _HQ_QUANTILES])
+        ).alias("q")
+    )
+    hit = qs.join(
+        F.broadcast(cum),
+        (F.col("q") * F.col("nn") > F.col("cum_below"))
+        & (F.col("q") * F.col("nn") <= F.col("cum_below") + F.col("n")),
+    )
+    w = Window.partitionBy("q").orderBy("b")
+    return (
+        hit.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("q").alias("quantile"),
+            F.round(
+                F.col("b") * _HQ_WIDTH
+                + _HQ_WIDTH
+                * (F.col("q") * F.col("nn") - F.col("cum_below"))
+                / F.col("n"),
+                6,
+            ).alias("est_value"),
+            F.col("b").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("bucket_rows"),
+            F.lit(float(_HQ_WIDTH)).alias("max_abs_error"),
+        )
+        .orderBy("quantile")
+    )

@@ -286,6 +286,8 @@ DEFAULT_PICKS = [
     "welch_price_ttest",
     "t_closeness_profile",
     "embedding_isotropy_profile",
+    "lsh_candidate_cost_curve",
+    "histogram_sketch_quantiles",
     "zorder_codes_3d",
 ]
 
