@@ -965,12 +965,26 @@ ORDER BY q
     tags=("agg", "sketch", "profiling"),
 )
 def histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
     h = o.groupBy(
         F.floor(F.col("o_totalprice") / _HQ_WIDTH).cast("long").alias("b")
     ).agg(F.count(F.lit(1)).alias("n"))
+    return histogram_quantile_report(h, _HQ_WIDTH, _HQ_QUANTILES)
+
+
+def histogram_quantile_report(
+    h: DataFrame, width: float, quantiles=_HQ_QUANTILES
+) -> DataFrame:
+    """Quantile readout from a (b, n) bucket-count frame — the shared
+    algebra behind the batch query above and the streaming quantile
+    monitor (streaming/jobs.py::run_quantile_monitor): because a
+    histogram is the canonical mergeable summary (shard/batch counts
+    add cell-wise), any frame whose per-bucket totals equal the
+    batch's produces the IDENTICAL report — the monitor's batch-parity
+    contract."""
+    from pyspark.sql import Window
+
+    spark = h.sparkSession
     wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
     cum = h.select(
@@ -981,7 +995,7 @@ def histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = spark.range(1).select(
         F.explode(
-            F.array(*[F.lit(float(q)) for q in _HQ_QUANTILES])
+            F.array(*[F.lit(float(q)) for q in quantiles])
         ).alias("q")
     )
     hit = qs.join(
@@ -996,15 +1010,15 @@ def histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q").alias("quantile"),
             F.round(
-                F.col("b") * _HQ_WIDTH
-                + _HQ_WIDTH
+                F.col("b") * width
+                + width
                 * (F.col("q") * F.col("nn") - F.col("cum_below"))
                 / F.col("n"),
                 6,
             ).alias("est_value"),
             F.col("b").cast("long").alias("bucket"),
             F.col("n").cast("long").alias("bucket_rows"),
-            F.lit(float(_HQ_WIDTH)).alias("max_abs_error"),
+            F.lit(float(width)).alias("max_abs_error"),
         )
         .orderBy("quantile")
     )

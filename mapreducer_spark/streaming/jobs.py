@@ -1150,3 +1150,65 @@ def run_stickiness_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def run_quantile_monitor(
+    events_stream: DataFrame,
+    state_dir: str,
+    report_dir: str,
+    checkpoint: str,
+    width: float = 25.0,
+) -> None:
+    """Streaming quantile maintenance over event values via the
+    mergeable histogram sketch: each micro-batch folds its per-bucket
+    value counts into the state table, then re-derives the SAME
+    width-bounded quantile report the batch algebra
+    (operators/sketches.py::histogram_quantile_report) produces over
+    all data seen so far — a histogram is THE canonical mergeable
+    summary (batch counts add cell-wise), so batch/stream parity is
+    exact by construction (parity test).
+
+    Replay contract: counts are a non-idempotent SUM fold, so partials
+    are keyed by batch_id and a replayed batch REPLACES its own rows
+    (the changepoint monitor's contract verbatim).  State grain is
+    (batch, bucket) — domain-bounded, independent of stream length.
+    """
+    from mapreducer_spark.operators.sketches import (
+        histogram_quantile_report,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy(
+                F.floor(F.col("value") / width).cast("long").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(batch_id).alias("batch_id"), "b", "n")
+        )
+        prev = _monitor_prev_state(spark, state_dir)
+        state = (
+            partial
+            if prev is None
+            else prev.where(F.col("batch_id") != batch_id).unionByName(
+                partial
+            )
+        )
+        _monitor_swap_write(state, state_dir, batch_id)
+        h = (
+            spark.read.parquet(state_dir)
+            .groupBy("b")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        _monitor_swap_write(
+            histogram_quantile_report(h, width), report_dir, batch_id
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1008,3 +1008,69 @@ def test_stickiness_monitor_matches_batch_and_replays(spark, tmp_path):
     run_stickiness_monitor(stream(), state, report, str(tmp_path / "st_ck2"))
     got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
     assert got2 == want
+
+
+def test_quantile_monitor_matches_batch_and_replays(spark, tmp_path):
+    """Streaming histogram-quantile monitor parity: after draining the
+    fixture's event values in 3 micro-batches the report equals the
+    shared batch algebra applied to the whole fixture (histograms add
+    cell-wise, so the split is invisible), and a fresh-checkpoint
+    replay leaves it unchanged (batch-keyed partials replace)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.operators.sketches import (
+        histogram_quantile_report,
+    )
+    from mapreducer_spark.streaming.jobs import run_quantile_monitor
+    from tests.conftest import SF_DIR
+
+    width = 25.0
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "value"
+    )
+    in_dir = tmp_path / "hq_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"hq_stage_{k}"
+        ev.where(f"user_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    state = str(tmp_path / "hq_state")
+    report = str(tmp_path / "hq_report")
+    run_quantile_monitor(
+        stream(), state, report, str(tmp_path / "hq_ck1"), width=width
+    )
+
+    batch_h = ev.groupBy(
+        F.floor(F.col("value") / width).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    want = {
+        tuple(r) for r in histogram_quantile_report(batch_h, width).collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got == want and len(want) == 4
+
+    # Batch-keyed partials, domain-bounded grain.
+    st = spark.read.parquet(state)
+    assert st.select("batch_id").distinct().count() == 3
+    assert (
+        st.groupBy("batch_id", "b").count().where("count > 1").count() == 0
+    )
+
+    # Fresh-checkpoint replay: report unchanged.
+    run_quantile_monitor(
+        stream(), state, report, str(tmp_path / "hq_ck2"), width=width
+    )
+    got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got2 == want
