@@ -2078,16 +2078,20 @@ tsets AS (
          list_distinct({ORACLE_TOKEN_LIST_SNIPPET}) AS tok_set
   FROM corpus
 ),
-pairs AS (
+pairs0 AS (
+  -- jr computed ONCE per blocked pair; the former inline form repeated
+  -- the list_intersect/list_concat pair 3x (WHERE + rounded SELECT),
+  -- which dominated this oracle's 10x sweep wall (r9).  Filtering on
+  -- the UNROUNDED ratio is preserved exactly.
   SELECT pa.doc_id AS id_a, pb.doc_id AS id_b,
-         round(CAST(len(list_intersect(pa.tok_set, pb.tok_set)) AS DOUBLE)
-               / len(list_distinct(list_concat(pa.tok_set, pb.tok_set))),
-               6) AS jaccard
+         CAST(len(list_intersect(pa.tok_set, pb.tok_set)) AS DOUBLE)
+           / len(list_distinct(list_concat(pa.tok_set, pb.tok_set))) AS jr
   FROM tsets pa JOIN tsets pb
     ON pa.block = pb.block AND pa.doc_id < pb.doc_id
-  WHERE CAST(len(list_intersect(pa.tok_set, pb.tok_set)) AS DOUBLE)
-        / len(list_distinct(list_concat(pa.tok_set, pb.tok_set)))
-        >= {_JACCARD_THRESHOLD}
+),
+pairs AS (
+  SELECT id_a, id_b, round(jr, 6) AS jaccard
+  FROM pairs0 WHERE jr >= {_JACCARD_THRESHOLD}
 ),
 ssets AS (
   SELECT doc_id, list_distinct(shingles) AS sset FROM sh
