@@ -375,6 +375,73 @@ def cmd_retrain_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_verify(args: argparse.Namespace) -> int:
+    """User-facing correctness gate: run a query on Spark AND its
+    declared DuckDB oracle SQL on the same parquet tables, then compare
+    row counts, column names, and sorted stringified values — the same
+    contract the test-suite gate enforces, exposed so a reference user
+    can verify any query against THEIR fixture before trusting it.
+    ``--all`` sweeps every oracle-backed query (slow; prints one line
+    each)."""
+    import duckdb
+
+    from mapreducer_spark.registry import all_queries
+    from mapreducer_spark.sources import TABLES
+
+    qs = all_queries()
+    names = sorted(qs) if args.all else args.names
+    if not names:
+        print("pass query names or --all", file=sys.stderr)
+        return 2
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    spark = _get_spark(args)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{args.sf_dir}/{t}.parquet'"
+        )
+    n_bad = 0
+    for name in names:
+        q = qs[name]
+        if q.oracle is None:
+            print(json.dumps({"query": name, "status": "rows-only"}))
+            continue
+        sdf = q.fn(spark, args.sf_dir)
+        scols = sdf.columns
+        srows = [tuple(str(v) for v in r) for r in sdf.collect()]
+        rel = con.sql(q.oracle)
+        dcols = list(rel.columns)
+        drows = [tuple(str(v) for v in r) for r in rel.fetchall()]
+
+        def canon(cols, rows):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return sorted(tuple(r[i] for i in order) for r in rows)
+
+        ok = (
+            sorted(scols) == sorted(dcols)
+            and len(srows) == len(drows)
+            and canon(scols, srows) == canon(dcols, drows)
+        )
+        if not ok:
+            n_bad += 1
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "status": "MATCH" if ok else "MISMATCH",
+                    "spark_rows": len(srows),
+                    "oracle_rows": len(drows),
+                }
+            )
+        )
+    con.close()
+    return 1 if n_bad else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mapreducer_spark")
     p.add_argument("--master", default="local[*]")
@@ -561,6 +628,16 @@ def main(argv: list[str] | None = None) -> int:
         help="retrain even when the current index is fingerprint-fresh",
     )
     ri.set_defaults(fn=cmd_retrain_index)
+
+    vf = sub.add_parser(
+        "verify",
+        help="run a query AND its DuckDB oracle on the same parquet "
+        "tables and compare values — the correctness gate as a verb",
+    )
+    vf.add_argument("names", nargs="*", help="query names (see list-queries)")
+    vf.add_argument("--all", action="store_true", help="verify every oracle-backed query")
+    vf.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    vf.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -623,3 +623,32 @@ def test_fixed6_quantize_matches_duckdb_hypothesis(xs):
     con.close()
     want = [int(math.floor(x * 1000000.0 + 0.5)) for x in xs]
     assert got == want
+
+
+def test_cli_verify(spark, capsys):
+    """verify CLI: a green query MATCHes; a rows-only query is labeled;
+    unknown names are rejected with exit 2."""
+    import json as _json
+
+    from mapreducer_spark.__main__ import main
+
+    rc = main(
+        [
+            "verify",
+            "pricing_summary",
+            "dedup_minhash_lsh",
+            "--sf-dir",
+            "/root/testdata/sf0.01",
+        ]
+    )
+    assert rc == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    by_name = {r["query"]: r for r in lines}
+    assert by_name["pricing_summary"]["status"] == "MATCH"
+    assert by_name["dedup_minhash_lsh"]["status"] == "rows-only"
+
+    assert main(["verify", "no_such_query"]) == 2
