@@ -287,6 +287,29 @@ def _global_row_number_impl(
     return ranked, acc
 
 
+def global_running_sum_with_total(
+    df,
+    order_cols: list,
+    value_col: str,
+    n_partitions: int = 32,
+    out_name: str = "running_sum",
+    sum_cast: str = "long",
+):
+    """``global_running_sum`` plus the grand total, derived from the
+    same per-partition totals collect — callers that need SUM(value)
+    alongside the prefix sums (trim thresholds, Lorenz shares) save a
+    second pass and, crucially, a second scan of the input subtree.
+
+    ``sum_cast`` is the exact type the running sum (and its partition
+    offsets) are carried in — "long" for counts/fixed6 micros, a
+    DECIMAL(p,s) string for decimal-exact money sums.  The grand total
+    is returned as the collected Python value (int or Decimal)."""
+    summed, totals = _global_running_sums_impl(
+        df, order_cols, {out_name: value_col}, n_partitions, sum_cast
+    )
+    return summed, totals[out_name]
+
+
 def global_running_sum(
     df,
     order_cols: list,
@@ -307,6 +330,39 @@ def global_running_sum(
     Identical to ``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING)`` for any unique ordering, with no single-partition
     global window."""
+    summed, _totals = _global_running_sums_impl(
+        df, order_cols, {out_name: value_col}, n_partitions, "long"
+    )
+    return summed
+
+
+def global_running_sums_with_totals(
+    df,
+    order_cols: list,
+    values: dict,
+    n_partitions: int = 32,
+    sum_cast: str = "long",
+):
+    """Several prefix sums over ONE shared unique total order — e.g.
+    two-sample ECDFs (KS test) cumulate both sample counts over the same
+    value grid.  One range partitioning, one checkpoint, one
+    per-partition totals collect for all of them.
+
+    ``values`` maps output column name -> input value column.  Returns
+    (df, totals) where totals maps output name -> grand total (int or
+    Decimal, per ``sum_cast``)."""
+    return _global_running_sums_impl(
+        df, order_cols, values, n_partitions, sum_cast
+    )
+
+
+def _global_running_sums_impl(
+    df,
+    order_cols: list,
+    values: dict,
+    n_partitions: int,
+    sum_cast: str,
+):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -316,27 +372,36 @@ def global_running_sum(
     # Same pinning rationale as _global_row_number_impl: the totals job
     # and the final job must see the SAME sampled range bounds.
     ranged = ranged.localCheckpoint(eager=True)
-    totals = {
-        r["__pid"]: r["s"]
+    per_pid = {
+        r["__pid"]: r
         for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("s"))
+        .agg(*[F.sum(vc).alias(out) for out, vc in values.items()])
         .collect()
     }
-    offset_expr = F.lit(0).cast("long")
-    acc = 0
-    for pid in sorted(totals):
-        offset_expr = F.when(F.col("__pid") == pid, F.lit(acc)).otherwise(
-            offset_expr
-        )
-        acc += totals[pid] or 0
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ranged.withColumn(
-        out_name, (offset_expr + F.sum(value_col).over(w)).cast("long")
-    ).drop("__pid")
+    grand_totals = {}
+    summed = ranged
+    for out, vc in values.items():
+        offset_expr = F.lit("0").cast(sum_cast)
+        acc = 0
+        for pid in sorted(per_pid):
+            # String-literal + cast: exact for LONG and for any
+            # DECIMAL(p,s) (a raw Decimal literal would infer
+            # DecimalType(38,18) and shrink the integral headroom of
+            # the addition below).
+            offset_expr = F.when(
+                F.col("__pid") == pid, F.lit(str(acc)).cast(sum_cast)
+            ).otherwise(offset_expr)
+            acc += per_pid[pid][out] or 0
+        summed = summed.withColumn(
+            out, (offset_expr + F.sum(vc).over(w)).cast(sum_cast)
+        )
+        grand_totals[out] = acc
+    return summed.drop("__pid"), grand_totals
 
 
 def ntile_from_rn(rn_col, total: int, n_tiles: int):

@@ -1870,15 +1870,21 @@ def quality_score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").alias("pos"),
         )
     )
-    wcum = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    # The score-bucket frame is doc-dimension-sized (near-unique scores)
+    # — both depth-ordered cumulations ride ONE two-phase prefix-sum
+    # pass; the grand totals fall out of the same collect.
+    from mapreducer_spark.functions.agg import global_running_sums_with_totals
+
+    cum, tots = global_running_sums_with_totals(
+        buckets,
+        [F.col("score").desc()],
+        {"cum_n": "n", "cum_pos": "pos"},
     )
-    wall = Window.partitionBy()
-    cum = buckets.select(
-        F.sum("n").over(wcum).alias("cum_n"),
-        F.sum("pos").over(wcum).alias("cum_pos"),
-        F.sum("n").over(wall).alias("nn"),
-        F.sum("pos").over(wall).alias("pp"),
+    cum = cum.select(
+        "cum_n",
+        "cum_pos",
+        F.lit(int(tots["cum_n"])).cast("long").alias("nn"),
+        F.lit(int(tots["cum_pos"])).cast("long").alias("pp"),
     )
     d = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
     crossing = F.col("cum_n") * 10 >= F.col("decile") * F.col("nn")
@@ -2380,14 +2386,16 @@ def quality_score_quantile_map(
         F.sum("c").over(Window.partitionBy("source")).alias("tot"),
     )
     gh = ss.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
-    wg = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, 0
+    # The global score histogram is doc-dimension-sized (the classifier
+    # score is near-unique per document), so the global ECDF must be
+    # the two-phase prefix sum — only the per-SOURCE windows above are
+    # legitimately partitioned.
+    from mapreducer_spark.functions.agg import global_running_sum_with_total
+
+    gcum, g_tot = global_running_sum_with_total(
+        gh, ["score"], "c", out_name="cc"
     )
-    gcum = gh.select(
-        "score",
-        F.sum("c").over(wg).alias("cc"),
-        F.sum("c").over(Window.partitionBy()).alias("tot"),
-    )
+    gcum = gcum.withColumn("tot", F.lit(int(g_tot)).cast("long"))
     qs = spark.range(1, 5).select(F.col("id").cast("int").alias("q"))
     src_edges = (
         qs.crossJoin(scum)

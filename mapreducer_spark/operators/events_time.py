@@ -1742,8 +1742,6 @@ GROUP BY nv.n_viewers
     tags=("events", "window", "mining"),
 )
 def conversion_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     fv = (
         e.where(F.col("event_type") == "view")
@@ -1773,14 +1771,16 @@ def conversion_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = conv.groupBy("delay_min").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("delay_min").rowsBetween(
-        Window.unboundedPreceding, 0
+    # The delay-minute grid spans the dataset's whole time range in
+    # minutes (~500k minutes/year of traffic) — two-phase prefix sum,
+    # not a global-ORDER BY window; the converter total falls out of
+    # the same per-partition collect.
+    from mapreducer_spark.functions.agg import global_running_sum_with_total
+
+    cum, n_conv = global_running_sum_with_total(
+        h, ["delay_min"], "c", out_name="cc"
     )
-    cum = h.select(
-        "delay_min",
-        F.sum("c").over(wcum).alias("cc"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-    )
+    cum = cum.withColumn("n", F.lit(int(n_conv)).cast("long"))
     nv = fv.agg(F.count(F.lit(1)).alias("n_viewers"))
     pick = lambda num, den: F.min(  # noqa: E731
         F.when(

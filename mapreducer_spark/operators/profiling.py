@@ -1493,28 +1493,33 @@ def returns_price_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c2"),
     )
-    tot = b.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
+    # Both ECDFs cumulate over the whole-dollar price grid — ~100k
+    # distinct buckets by sf0.1 (saturating at the TPC-H price domain),
+    # far too many for a global-ORDER BY window through one task.  One
+    # two-phase range-partitioned pass carries BOTH prefix sums; the
+    # sample sizes fall out of the same totals collect, so lineitem is
+    # scanned once (the old broadcast tot re-executed the bucket agg).
+    from mapreducer_spark.functions.agg import global_running_sums_with_totals
+
+    cum, tots = global_running_sums_with_totals(
+        b, ["bucket"], {"cc1": "c1", "cc2": "c2"}
     )
-    wcum = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cdf = b.crossJoin(F.broadcast(tot)).select(
+    n1, n2 = int(tots["cc1"]), int(tots["cc2"])
+    cdf = cum.select(
         "bucket",
-        "n1",
-        "n2",
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
         F.round(
             F.abs(
-                F.sum("c1").over(wcum).cast("double")
-                / F.col("n1").cast("double")
-                - F.sum("c2").over(wcum).cast("double")
-                / F.col("n2").cast("double")
+                F.col("cc1").cast("double") / F.lit(float(n1))
+                - F.col("cc2").cast("double") / F.lit(float(n2))
             ),
             8,
         ).alias("diff"),
     )
-    mx = cdf.withColumn("ks", F.max("diff").over(Window.partitionBy()))
+    # Global sup over the (already checkpointed) grid: a 1-row broadcast
+    # instead of a whole-frame max window.
+    mx = cdf.crossJoin(F.broadcast(cdf.agg(F.max("diff").alias("ks"))))
     crit = F.lit(_KS_C95) * F.sqrt(
         (F.col("n1").cast("double") + F.col("n2"))
         / (F.col("n1").cast("double") * F.col("n2"))
@@ -2267,15 +2272,20 @@ def spend_frequency_rank_correlation(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
         F.count(F.lit(1)).alias("freq"),
     )
-    r_spend = F.row_number().over(
-        Window.orderBy(F.col("spend").desc(), "o_custkey")
+    # Two independent global ranks over the customer dimension (15M at
+    # sf100): each is a two-phase range rank, chained so the first rank
+    # rides through the second's repartition — NO single-partition
+    # window anywhere (the abc_inventory conversion, twice).
+    from mapreducer_spark.functions.agg import global_row_number
+
+    rs = global_row_number(
+        cust,
+        [F.col("spend").desc(), F.col("o_custkey")],
+        out_name="r_spend",
     )
-    r_freq = F.row_number().over(
-        Window.orderBy(F.col("freq").desc(), "o_custkey")
-    )
-    ranked = cust.select(
-        r_spend.alias("r_spend"), r_freq.alias("r_freq")
-    )
+    ranked = global_row_number(
+        rs, [F.col("freq").desc(), F.col("o_custkey")], out_name="r_freq"
+    ).select("r_spend", "r_freq")
     d2 = F.sum(
         (
             (F.col("r_spend") - F.col("r_freq"))

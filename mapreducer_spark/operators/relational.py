@@ -1230,15 +1230,27 @@ FROM ranked GROUP BY decile
     tags=("relational", "window", "profiling"),
 )
 def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from mapreducer_spark.functions.agg import dec_sum
+    from mapreducer_spark.functions.agg import (
+        dec_sum,
+        global_row_number_with_total,
+        ntile_from_rn,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(dec_sum("o_totalprice").alias("rev"))
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    ranked = per_cust.withColumn("decile", F.ntile(10).over(w))
-    total = per_cust.agg(
+    # The decile rank runs over the CUSTOMER dimension (15M at sf100) —
+    # a plain NTILE window with no partitionBy would pull every customer
+    # through one task.  Two-phase global row number + exact NTILE
+    # arithmetic instead; (rev DESC, custkey) is a unique total order.
+    ranked, n_cust = global_row_number_with_total(
+        per_cust, [F.col("rev").desc(), F.col("o_custkey")]
+    )
+    ranked = ranked.withColumn(
+        "decile", ntile_from_rn(F.col("rn"), n_cust, 10)
+    )
+    # Total revenue from the helper's checkpointed frame — same rows,
+    # and orders is scanned once instead of re-executing per_cust.
+    total = ranked.agg(
         F.sum(F.round("rev", 2).cast("decimal(18,2)"))
         .cast("double")
         .alias("__t")
@@ -1382,16 +1394,25 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_alias=None,
     )
     rev_dec = F.col("rev").cast("decimal(28,6)")
-    tot = pr.agg(F.sum(rev_dec).alias("total"))
-    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    # The Pareto cumsum runs over the PART dimension (20M parts at
+    # sf100) — two-phase range-partitioned prefix sum, decimal-exact,
+    # instead of a global-ORDER BY window through one task.  The
+    # helper's totals collect also yields total revenue, so lineitem is
+    # scanned once (the old broadcast tot re-executed the groupBy).
+    from mapreducer_spark.functions.agg import global_running_sum_with_total
+
+    cum, total = global_running_sum_with_total(
+        pr.select("l_partkey", "rev", rev_dec.alias("rev_d")),
+        [F.col("rev").desc(), F.col("l_partkey")],
+        "rev_d",
+        out_name="cumrev",
+        sum_cast="decimal(38,6)",
     )
-    ranked = pr.crossJoin(F.broadcast(tot)).select(
+    total_lit = F.lit(str(total)).cast("decimal(38,6)")
+    ranked = cum.select(
         "rev",
-        "total",
         (
-            F.sum(rev_dec).over(wcum).cast("double")
-            / F.col("total").cast("double")
+            F.col("cumrev").cast("double") / total_lit.cast("double")
         ).alias("cum_share"),
     )
     cls = (
@@ -1405,8 +1426,7 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             F.round(F.sum(rev_dec).cast("double"), 2).alias("revenue"),
             F.round(
-                F.sum(rev_dec).cast("double")
-                / F.max("total").cast("double"),
+                F.sum(rev_dec).cast("double") / total_lit.cast("double"),
                 6,
             ).alias("revenue_share"),
         )
@@ -1628,15 +1648,21 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pr.localCheckpoint(eager=True)
     rev_dec = F.col("rev").cast("decimal(28,6)")
-    tot = pr.agg(F.sum(rev_dec).alias("total"))
-    wcum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Pareto cumsum over the part dimension: two-phase range-partitioned
+    # prefix sum (decimal-exact), not a global-ORDER BY window — same
+    # conversion as abc_inventory_classes; parts grow with sf.
+    from mapreducer_spark.functions.agg import global_running_sum_with_total
+
+    cum, total = global_running_sum_with_total(
+        pr.select("l_partkey", "rev", rev_dec.alias("rev_d")),
+        [F.col("rev").desc(), F.col("l_partkey")],
+        "rev_d",
+        out_name="cumrev",
+        sum_cast="decimal(38,6)",
     )
-    share = (
-        F.sum(rev_dec).over(wcum).cast("double")
-        / F.col("total").cast("double")
-    )
-    abc = pr.crossJoin(F.broadcast(tot)).select(
+    total_lit = F.lit(str(total)).cast("decimal(38,6)")
+    share = F.col("cumrev").cast("double") / total_lit.cast("double")
+    abc = cum.select(
         "l_partkey",
         "rev",
         F.when(share <= 0.8, "A")
@@ -1675,14 +1701,12 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         abc.join(xyz, "l_partkey")
-        .crossJoin(F.broadcast(tot))
         .groupBy("abc_class", "xyz_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.round(F.sum(rev_dec).cast("double"), 2).alias("revenue"),
             F.round(
-                F.sum(rev_dec).cast("double")
-                / F.max("total").cast("double"),
+                F.sum(rev_dec).cast("double") / total_lit.cast("double"),
                 6,
             ).alias("revenue_share"),
         )
@@ -1992,19 +2016,18 @@ FROM k CROSS JOIN interior CROSS JOIN full_sum
     tags=("relational", "window", "quantile", "profiling"),
 )
 def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from mapreducer_spark.functions.agg import global_running_sum_with_total
 
     o = load_table(spark, sf_dir, "orders")
     h = o.groupBy(
         F.col("o_totalprice").cast("decimal(18,2)").alias("v")
     ).agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = h.select(
-        "v",
-        "c",
-        F.sum("c").over(wcum).alias("cc"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-    )
+    # The (value, count) histogram is order-dimension-sized (o_totalprice
+    # is nearly unique), so the cumulative count must be the two-phase
+    # range-partitioned prefix sum — a global-ORDER BY window here runs
+    # 150k rows/sf0.1 through ONE task and grows linearly with sf.
+    cum, n_total = global_running_sum_with_total(h, ["v"], "c", out_name="cc")
+    cum = cum.withColumn("n", F.lit(int(n_total)).cast("long"))
     cum = cum.withColumn(
         "k",
         (F.col("n") * _TRIM_PCT_NUM / _TRIM_PCT_DEN).cast("long"),
