@@ -372,21 +372,25 @@ def cmd_retrain_index(args: argparse.Namespace) -> int:
         f"retrained {len(trained)} centroids x {len(trained[0])} dims "
         f"for {args.sf_dir}; index + fingerprint re-frozen"
     )
+    print(
+        "NOTE: serving picks up the refreshed index immediately, but "
+        "oracle SQL strings for ann_*/semdedup queries were rendered "
+        "at import with the OLD centroid literals — restart (re-import) "
+        "before running an oracle-gated verification in this process."
+    )
     return 0
 
 
 def cmd_verify(args: argparse.Namespace) -> int:
     """User-facing correctness gate: run a query on Spark AND its
-    declared DuckDB oracle SQL on the same parquet tables, then compare
-    row counts, column names, and sorted stringified values — the same
-    contract the test-suite gate enforces, exposed so a reference user
-    can verify any query against THEIR fixture before trusting it.
-    ``--all`` sweeps every oracle-backed query (slow; prints one line
-    each)."""
-    import duckdb
-
+    declared DuckDB oracle SQL on the same parquet tables, comparing
+    through the package gate core (mapreducer_spark/oracle.py) — the
+    EXACT normalization the test-suite gate enforces (type-tagged
+    canonical cells, -0.0/NaN/engine-repr safe), plus its executed-plan
+    scan and window budgets.  ``--all`` sweeps every oracle-backed
+    query (slow; prints one line each)."""
+    from mapreducer_spark.oracle import assert_matches_oracle
     from mapreducer_spark.registry import all_queries
-    from mapreducer_spark.sources import TABLES
 
     qs = all_queries()
     names = sorted(qs) if args.all else args.names
@@ -398,47 +402,26 @@ def cmd_verify(args: argparse.Namespace) -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
     spark = _get_spark(args)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"'{args.sf_dir}/{t}.parquet'"
-        )
     n_bad = 0
     for name in names:
         q = qs[name]
         if q.oracle is None:
             print(json.dumps({"query": name, "status": "rows-only"}))
             continue
-        sdf = q.fn(spark, args.sf_dir)
-        scols = sdf.columns
-        srows = [tuple(str(v) for v in r) for r in sdf.collect()]
-        rel = con.sql(q.oracle)
-        dcols = list(rel.columns)
-        drows = [tuple(str(v) for v in r) for r in rel.fetchall()]
-
-        def canon(cols, rows):
-            order = sorted(range(len(cols)), key=lambda i: cols[i])
-            return sorted(tuple(r[i] for i in order) for r in rows)
-
-        ok = (
-            sorted(scols) == sorted(dcols)
-            and len(srows) == len(drows)
-            and canon(scols, srows) == canon(dcols, drows)
-        )
-        if not ok:
+        try:
+            assert_matches_oracle(spark, q, args.sf_dir)
+            print(json.dumps({"query": name, "status": "MATCH"}))
+        except AssertionError as e:
             n_bad += 1
-        print(
-            json.dumps(
-                {
-                    "query": name,
-                    "status": "MATCH" if ok else "MISMATCH",
-                    "spark_rows": len(srows),
-                    "oracle_rows": len(drows),
-                }
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "status": "MISMATCH",
+                        "detail": str(e)[:400],
+                    }
+                )
             )
-        )
-    con.close()
     return 1 if n_bad else 0
 
 

@@ -3355,10 +3355,7 @@ ORDER BY cluster
     tags=("llm", "similarity", "vector", "iterative"),
 )
 def embedding_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
-    )
-    _, assign = _spherical_lloyd(em, _KM_K, _KM_ROUNDS)
+    _, assign, _fp = _lloyd_artifacts(spark, sf_dir, _KM_K, _KM_ROUNDS)
     return (
         assign.groupBy(F.col("cent_id").alias("cluster"))
         .agg(
@@ -3393,15 +3390,28 @@ def _spherical_lloyd(em: DataFrame, k: int, rounds: int):
     assign = None
     for r in range(1, rounds + 1):
         sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("sim").desc(), F.col("cent_id")
+        # Argmax via max_by over (sim, -cent_id) — identical to the
+        # former rank-window pick (round-6 cosine, cent_id tie-break)
+        # but map-side combinable: the partial agg collapses the n x k
+        # candidate rows before the shuffle, and there is no per-round
+        # partition sort (r10; one shuffle+sort saved per Lloyd round).
+        # The ordering struct is tie-free (cent_id unique per vec), so
+        # max_by's tie nondeterminism can never bite.
+        best = F.max_by(
+            F.struct("cent_id", "v", "sim"),
+            F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc")),
         )
         assign = (
             em.crossJoin(F.broadcast(cents))
             .select("vec_id", "cent_id", "v", sim.alias("sim"))
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") == 1)
-            .drop("rnk")
+            .groupBy("vec_id")
+            .agg(best.alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cent_id").alias("cent_id"),
+                F.col("b.v").alias("v"),
+                F.col("b.sim").alias("sim"),
+            )
         )
         if r < rounds:
             flat = assign.select(
@@ -3433,6 +3443,49 @@ def _spherical_lloyd(em: DataFrame, k: int, rounds: int):
     return cents, assign
 
 
+def _lloyd_artifacts(
+    spark: SparkSession, sf_dir: str, k: int, rounds: int
+):
+    """Session-memoized spherical-k-means artifacts for a fixture —
+    (cents, assign, fingerprint).  ann_index_ari_staleness and
+    retrain_frozen_index both run the identical (k, rounds) training
+    loop; within one session (a gate sweep, a bench, a notebook) the
+    second consumer gets the checkpointed frames for free.
+
+    The memo key includes the embeddings.parquet md5 taken BEFORE
+    training, so a fixture regenerated mid-session can never be served
+    stale artifacts (the retrain TOCTOU hazard) — and retrain re-checks
+    this same fingerprint before freezing.  ``assign`` is memoized as
+    the THIN (vec_id, cent_id, sim) projection: the embedding vector
+    column stays out of the checkpoint (the memo contract's no-corpus-
+    payload rule), and no consumer of the shared artifact needs it.
+    """
+    from mapreducer_spark.functions.memo import session_memo
+
+    _embeddings_md5.cache_clear()
+    fp = _embeddings_md5(sf_dir)
+    holder: dict = {}
+
+    def build_assign():
+        em = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("v")
+        )
+        cents, assign = _spherical_lloyd(em, k, rounds)
+        holder["cents"] = cents
+        return assign.select("vec_id", "cent_id", "sim")
+
+    assign = session_memo(
+        spark, ("lloyd_assign", sf_dir, fp, k, rounds), build_assign
+    )
+    # Built (and therefore cached) together with assign above; the
+    # lambda only fires on the same first call that filled holder.
+    cents = session_memo(
+        spark, ("lloyd_cents", sf_dir, fp, k, rounds),
+        lambda: holder["cents"],
+    )
+    return cents, assign, fp
+
+
 def retrain_frozen_index(
     spark: SparkSession,
     sf_dir: str,
@@ -3460,12 +3513,19 @@ def retrain_frozen_index(
 
     idx_path = index_path or _IVF_INDEX_PATH
     fp_path = fingerprint_path or _IVF_FINGERPRINT_PATH
-    em = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
-    )
-    cents, _ = _spherical_lloyd(em, k, rounds)
+    cents, _, fp_trained = _lloyd_artifacts(spark, sf_dir, k, rounds)
     rows = cents.orderBy("cent_id").collect()
     trained = [[float(x) for x in r.cv] for r in rows]
+    # TOCTOU guard: the fingerprint was taken BEFORE training (it keys
+    # the memoized artifacts); re-hash now and refuse to freeze an
+    # index whose fixture changed underneath the training run.
+    _embeddings_md5.cache_clear()
+    if _embeddings_md5(sf_dir) != fp_trained:
+        raise RuntimeError(
+            f"retrain_frozen_index: {sf_dir}/embeddings.parquet changed "
+            "during training (fingerprint mismatch) — aborting the "
+            "freeze; re-run retrain against the settled fixture"
+        )
 
     index: dict = {}
     fingerprints: dict = {}
@@ -3478,8 +3538,7 @@ def retrain_frozen_index(
         pass
     key = os.path.basename(sf_dir.rstrip("/"))
     index[key] = trained
-    _embeddings_md5.cache_clear()
-    fingerprints[key] = _embeddings_md5(sf_dir)
+    fingerprints[key] = fp_trained
     os.makedirs(os.path.dirname(idx_path), exist_ok=True)
     with open(idx_path, "w") as f:
         _json.dump(index, f)
@@ -3541,6 +3600,10 @@ SELECT n AS n_vectors, ka AS n_frozen_clusters, kb AS n_fresh_clusters,
                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)),
              6) AS ari
 FROM m
+WHERE n >= 2
+  AND (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0) <> 0.0
 """
 
 
@@ -3578,17 +3641,25 @@ def ann_index_ari_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id int, cv array<double>",
     )
     sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cent_id")
-    )
+    # Same map-side-combinable argmax as _spherical_lloyd (r10): the
+    # tie-free (sim, -cent_id) ordering replaces a vec_id-partitioned
+    # rank window, collapsing the n x k candidates before the shuffle.
     fa = (
         em.crossJoin(F.broadcast(cents))
         .select("vec_id", "cent_id", sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select("vec_id", F.col("cent_id").alias("ca"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc")),
+            ).alias("ca")
+        )
     )
-    _, fresh_assign = _spherical_lloyd(em, _N_CENTROIDS, _KM_ROUNDS)
+    # Fresh 3-round retrain — session-memoized (shared verbatim with
+    # retrain_frozen_index; a gate sweep pays the Lloyd rounds once).
+    _, fresh_assign, _fp = _lloyd_artifacts(
+        spark, sf_dir, _N_CENTROIDS, _KM_ROUNDS
+    )
     fb = fresh_assign.select("vec_id", F.col("cent_id").alias("cb"))
     cont = (
         fa.join(fb, "vec_id")
@@ -3633,7 +3704,15 @@ def ann_index_ari_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sij").cast("double"),
     )
     expd = sa * sb / snn
-    return m.select(
+    # Degeneracy guard (mirrored in the oracle WHERE): n < 2 has no
+    # pairs (snn = 0) and a both-sides-trivial partition zeroes the
+    # chance-adjusted denominator — ARI is undefined; emit no row
+    # rather than a cross-engine NaN/Inf hash hazard.
+    guarded = m.where(
+        (F.col("n") >= 2)
+        & ((sa + sb) / F.lit(2.0) - expd != F.lit(0.0))
+    )
+    return guarded.select(
         F.col("n").alias("n_vectors"),
         F.col("ka").alias("n_frozen_clusters"),
         F.col("kb").alias("n_fresh_clusters"),
@@ -3672,6 +3751,7 @@ SELECT n AS n_vectors,
          AS avg_pairwise_dot,
        round(ss / (CAST(n AS DOUBLE) * tq), 6) AS anisotropy_ratio
 FROM m
+WHERE n >= 2 AND tq <> 0.0
 """,
     doc="Embedding-space isotropy/centering gauge (the Ethayarajh-style "
     "anisotropy diagnosis): the average pairwise dot product over ALL "
@@ -3715,7 +3795,11 @@ def embedding_isotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum6(F.col("q")).alias("tq"),
     ).crossJoin(F.broadcast(nrow))
     nd = F.col("n").cast("double")
-    return m.select(
+    # Degeneracy guard (mirrored in the oracle WHERE): a single vector
+    # has no pairs (n*(n-1) = 0) and an all-zero corpus zeroes tq —
+    # emit no row rather than a cross-engine NaN/Inf hash hazard.
+    guarded = m.where((F.col("n") >= 2) & (F.col("tq") != F.lit(0.0)))
+    return guarded.select(
         F.col("n").cast("long").alias("n_vectors"),
         F.round(F.col("tq") / nd, 6).alias("mean_sq_norm"),
         F.round(

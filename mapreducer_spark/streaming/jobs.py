@@ -871,6 +871,16 @@ def _monitor_swap_write(df: DataFrame, target: str, batch_id: int) -> None:
     import shutil
     import uuid as _uuid
 
+    # Sweep orphan .tmp-* siblings first: a crash during/after a prior
+    # write but before the renames leaves them behind, and nothing else
+    # ever touches them — repeated crash loops would leak state dirs
+    # unboundedly (the snapshot layer's orphan-sweep discipline).
+    parent, base = os.path.split(os.path.abspath(target.rstrip("/")))
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(base + ".tmp-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
     tmp = f"{target}.tmp-{batch_id}-{_uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{target}.old-{batch_id}"

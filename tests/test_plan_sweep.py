@@ -60,7 +60,9 @@ def test_rows_only_queries_respect_scan_budget(spark, sf_dir):
     and hold them to the same ceiling."""
     from mapreducer_spark.plans.inspect import (
         MAX_EXECUTED_SCANS_PER_TABLE,
+        UNPARTITIONED_WINDOW_MAX_ROWS,
         executed_filescan_counts,
+        unpartitioned_window_input_rows,
     )
 
     rows_only = [n for n, q in QUERIES.items() if q.oracle is None]
@@ -71,4 +73,10 @@ def test_rows_only_queries_respect_scan_budget(spark, sf_dir):
         for table, n_scans in executed_filescan_counts(df).items():
             assert n_scans <= MAX_EXECUTED_SCANS_PER_TABLE, (
                 f"{name}: executed plan reads {table!r} {n_scans} times"
+            )
+        # Same single-partition window budget the oracle gate asserts
+        # (tests/oracle.py) — rows-only queries get it here.
+        for n_rows in unpartitioned_window_input_rows(df):
+            assert 0 <= n_rows <= UNPARTITIONED_WINDOW_MAX_ROWS, (
+                f"{name}: unpartitioned Window over {n_rows} rows"
             )

@@ -313,3 +313,57 @@ def test_profile_bucket_bits_match_gate_resolution(spark, oracle_sf_dir):
     assert _profile_bucket_bits(10**9) <= 24
     for b in (4, 6, 9, 24):
         assert len(_profile_bucket_hours(b)) == b
+
+
+def test_unpartitioned_window_detector(spark):
+    """The single-partition window budget (r10) rests on this detector:
+    a Window node with an empty partition spec is found in the EXECUTED
+    plan and sized by the nearest row metric below it; partitioned
+    windows and the two-phase helper rewrites report nothing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.functions.agg import (
+        global_row_number_with_total,
+        global_running_sum_with_total,
+    )
+    from mapreducer_spark.plans.inspect import (
+        UNPARTITIONED_WINDOW_MAX_ROWS,
+        unpartitioned_window_input_rows,
+    )
+
+    base = spark.range(0, 9000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(7)).alias("g")
+    )
+
+    # The defect: 9000 data rows through one task — detected and sized.
+    bad = base.select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    bad.collect()
+    sizes = unpartitioned_window_input_rows(bad)
+    assert sizes == [9000]
+    assert sizes[0] > UNPARTITIONED_WINDOW_MAX_ROWS
+
+    # Partitioned window: invisible to the detector.
+    ok = base.select(
+        "id",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("id"))
+        .alias("rn"),
+    )
+    ok.collect()
+    assert unpartitioned_window_input_rows(ok) == []
+
+    # The prescribed fixes: identical answers, no unpartitioned window.
+    ranked, total = global_row_number_with_total(base, ["id"])
+    ranked.collect()
+    assert total == 9000
+    assert unpartitioned_window_input_rows(ranked) == []
+
+    summed, grand = global_running_sum_with_total(
+        base, ["id"], "g", out_name="cum_g"
+    )
+    summed.collect()
+    assert grand == sum(i % 7 for i in range(9000))
+    assert unpartitioned_window_input_rows(summed) == []

@@ -835,6 +835,14 @@ def test_monitor_swap_crash_recovery_and_error_propagation(spark, tmp_path):
         assert df is not None
         df.collect()
 
+    # 3. Orphan .tmp-* dirs (crash BEFORE the renames) must be swept by
+    #    the next swap write, not leak unboundedly across crash loops.
+    orphan = state + ".tmp-99-deadbeef"
+    _os.makedirs(orphan)
+    _monitor_swap_write(df1, state, batch_id=13)
+    assert not _os.path.exists(orphan), "orphan .tmp dir not swept"
+    assert spark.read.parquet(state).count() == 5
+
 
 def test_seasonal_anomaly_monitor_matches_batch(spark, tmp_path):
     """Streaming dow-anomaly monitor: after draining 3 micro-batches the
