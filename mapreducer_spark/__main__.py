@@ -229,6 +229,37 @@ def cmd_snapshot_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot_delete(args: argparse.Namespace) -> int:
+    """Merge-on-read targeted DELETE: commit an equality-delete file (no
+    data rewrite; readers reconcile, compact/VACUUM folds)."""
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_delete_where,
+    )
+
+    spark = _get_spark(args)
+    if (args.where is None) == (args.deletes is None):
+        print("pass exactly one of --where or --deletes", file=sys.stderr)
+        return 2
+    if args.where is not None:
+        v = snapshot_delete_where(
+            spark, args.table_dir, args.where, tag=args.tag
+        )
+        print(
+            f"committed delete-where {args.where!r} on {args.table_dir} "
+            f"as version {v} (merge-on-read; compact to fold)"
+        )
+    else:
+        deletes = spark.read.parquet(args.deletes)
+        v = snapshot_delete(deletes, args.table_dir, tag=args.tag)
+        print(
+            f"committed equality-delete file {args.deletes} on "
+            f"{args.table_dir} as version {v} (merge-on-read; "
+            "compact to fold)"
+        )
+    return 0
+
+
 def cmd_snapshot_history(args: argparse.Namespace) -> int:
     import json
 
@@ -550,6 +581,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     sm.add_argument("--tag", default=None)
     sm.set_defaults(fn=cmd_snapshot_merge)
+
+    sd = sub.add_parser(
+        "snapshot-delete",
+        help="targeted merge-on-read DELETE (equality-delete file; "
+        "history time-travels; compact folds)",
+    )
+    sd.add_argument("table_dir")
+    sd.add_argument(
+        "--where", default=None, help="SQL predicate selecting rows to delete"
+    )
+    sd.add_argument(
+        "--deletes",
+        default=None,
+        help="parquet dir whose rows/keys form the equality-delete file",
+    )
+    sd.add_argument("--tag", default=None)
+    sd.set_defaults(fn=cmd_snapshot_delete)
 
     se = sub.add_parser(
         "snapshot-expire",

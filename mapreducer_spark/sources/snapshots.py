@@ -23,6 +23,10 @@ METADATA COMMIT over immutable data generations:
   one — append is a metadata-only commit, and a conflict loser REBASES
   onto the winner's manifest before retrying, so concurrent appenders
   never lose each other's rows.
+- ``snapshot_delete`` / ``snapshot_delete_where`` commit MERGE-ON-READ
+  equality-delete files (``del-<uuid>/``): targeted GDPR-style deletes
+  with O(|delete set|) write cost, reconciled at read by scoped anti
+  joins and folded into clean generations by compact/merge.
 - ``snapshot_expire`` removes generations unreferenced by the kept
   manifests (VACUUM), plus age-graced ORPHAN generations that a dead
   writer materialized but never committed.
@@ -44,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _VERSIONS = "_versions"
 _GEN_PREFIX = "gen-"
+_DEL_PREFIX = "del-"
 _MAX_COMMIT_RETRIES = 20
 
 
@@ -78,6 +83,59 @@ def _manifest_dirs(manifest: dict) -> list[str]:
     if dirs is None:
         dirs = [manifest["data_dir"]]
     return list(dirs)
+
+
+def _manifest_delete_dirs(manifest: dict) -> list[str]:
+    """Delete-file generations applying to a version (merge-on-read)."""
+    return list(manifest.get("delete_dirs") or [])
+
+
+def _reconciled_frame(
+    spark: SparkSession, table_dir: str, manifest: dict
+) -> DataFrame:
+    """A version's rows with its delete files applied (merge-on-read).
+
+    Each delete generation is an EQUALITY-DELETE file: a parquet dir of
+    rows whose columns form the equality key (full rows for
+    delete-these-rows, a key subset for delete-by-key).  Scoping follows
+    Iceberg's sequence-number rule: a delete applies only to the data
+    generations that existed when it was committed
+    (``delete_applies_to``), so a LATER append re-inserting an equal row
+    is NOT suppressed.  Reconciliation: group data dirs by their
+    applicable delete set, LEFT ANTI JOIN each group on the delete
+    file's columns (null-safe), union the groups.  Delete sets are
+    typically key lists — Spark's size stats broadcast them
+    automatically, so at 100 TB this reads as scan + broadcast-anti.
+    """
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    data_dirs = _manifest_dirs(manifest)
+    del_dirs = _manifest_delete_dirs(manifest)
+    applies = manifest.get("delete_applies_to", {})
+    groups: dict[tuple, list[str]] = {}
+    for d in data_dirs:
+        key = tuple(
+            dd for dd in del_dirs if d in applies.get(dd, data_dirs)
+        )
+        groups.setdefault(key, []).append(d)
+    parts = []
+    for key, dirs in groups.items():
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, d) for d in dirs]
+        )
+        for dd in key:
+            deld = spark.read.parquet(os.path.join(table_dir, dd))
+            cond = _reduce(
+                lambda a, b: a & b,
+                [df[c].eqNullSafe(deld[c]) for c in deld.columns],
+            )
+            df = df.join(deld, cond, "left_anti")
+        parts.append(df)
+    return _reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
 
 
 def snapshot_write(
@@ -125,6 +183,8 @@ def snapshot_write(
         versions = _list_versions(table_dir)
         version = (versions[-1] + 1) if versions else 0
         data_dirs, rows = [gen], n_rows
+        delete_dirs: list[str] = []
+        delete_applies: dict = {}
         if op == "append" and versions:
             try:
                 head = _read_manifest(table_dir, versions[-1])
@@ -132,6 +192,11 @@ def snapshot_write(
                 continue  # head manifest mid-write/expired; re-resolve
             data_dirs = _manifest_dirs(head) + [gen]
             rows = head.get("rows", 0) + n_rows
+            # Merge-on-read deletes ride along: they scope to the data
+            # dirs present when they were committed (delete_applies_to),
+            # so the appended generation is untouched by them.
+            delete_dirs = _manifest_delete_dirs(head)
+            delete_applies = head.get("delete_applies_to", {})
         manifest = {
             "version": version,
             "data_dirs": data_dirs,
@@ -139,6 +204,9 @@ def snapshot_write(
             "rows": rows,
             "committed_at": time.time(),
         }
+        if delete_dirs:
+            manifest["delete_dirs"] = delete_dirs
+            manifest["delete_applies_to"] = delete_applies
         if tag is not None:
             manifest["tag"] = tag
         try:
@@ -215,6 +283,9 @@ def snapshot_read(
             f"(available: {versions})"
         )
     manifest = _read_manifest(table_dir, version)
+    if _manifest_delete_dirs(manifest):
+        # Merge-on-read: apply the version's equality-delete files.
+        return _reconciled_frame(spark, table_dir, manifest)
     paths = [os.path.join(table_dir, d) for d in _manifest_dirs(manifest)]
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
@@ -243,10 +314,9 @@ def snapshot_merge(
 
     The merged result is materialized as one new full generation
     (op="merge" manifest) — the Delta/Iceberg copy-on-write MERGE
-    strategy; a merge-on-read variant (delete files + log) trades our
-    simple reader for cheaper writes and needs nothing from callers to
-    adopt later, since the manifest already names arbitrary generation
-    lists.
+    strategy.  The merge-on-read sibling exists for DELETES
+    (snapshot_delete): reading through snapshot_read means a merge also
+    FOLDS any outstanding delete files into its clean generation.
 
     Tie semantics: an update row with order_cols EQUAL to the existing
     row's wins (__src=1 beats 0 in the ordering), so re-merging the
@@ -332,6 +402,122 @@ def snapshot_merge(
         f"could not merge into {table_dir!r} after "
         f"{_MAX_COMPACT_RETRIES} head changes ({last_err})"
     )
+
+
+def snapshot_delete(
+    deletes: DataFrame,
+    table_dir: str,
+    tag: str | None = None,
+    _test_pre_commit_hook=None,
+) -> int:
+    """MERGE-ON-READ targeted delete (GDPR-style): commit ``deletes`` as
+    an EQUALITY-DELETE generation — no data generation is rewritten; the
+    head's rows stay on disk and readers reconcile (anti join on the
+    delete file's columns) at read time.  Returns the committed version.
+
+    ``deletes``' columns are the equality key: pass full rows to delete
+    exactly those rows, or a key-column subset (e.g. just ``user_id``)
+    to delete every row matching the keys.  The columns must be a subset
+    of the table's columns.
+
+    Scoping (Iceberg's sequence-number rule, recorded as
+    ``delete_applies_to``): the delete applies only to the data
+    generations present in the head it was committed against — a later
+    append that re-inserts an equal row is NOT suppressed.  History is
+    preserved: time-travel to a pre-delete version still reads the
+    deleted rows; ``snapshot_compact`` / ``snapshot_merge`` fold deletes
+    into a clean full generation, and ``snapshot_expire`` reclaims
+    delete files no kept manifest references.
+
+    Commit is the same CAS loop as merge: the manifest (and the
+    reconciled row count) are functions of the head, so on losing the
+    race the new head is re-read and re-counted; the delete generation
+    itself is head-independent and is reused across retries.
+
+    Write cost is O(|delete set|) — the copy-on-write alternative
+    (snapshot_merge of survivors) rewrites the whole table to drop a
+    handful of rows; read cost is one broadcast-sized anti join per
+    outstanding delete file, bounded by compaction cadence.
+    """
+    spark = deletes.sparkSession
+    os.makedirs(_versions_dir(table_dir), exist_ok=True)
+    gen = f"{_DEL_PREFIX}{uuid.uuid4().hex[:12]}"
+    gen_dir = os.path.join(table_dir, gen)
+    deletes.write.mode("error").parquet(gen_dir)
+    del_cols = set(spark.read.parquet(gen_dir).columns)
+
+    last_err: str | None = None
+    for _ in range(_MAX_COMPACT_RETRIES):
+        versions = _list_versions(table_dir)
+        if not versions:
+            raise FileNotFoundError(
+                f"no snapshot versions under {table_dir!r}"
+            )
+        head_v = versions[-1]
+        head = _read_manifest(table_dir, head_v)
+        head_df = snapshot_read(spark, table_dir, version=head_v)
+        missing = del_cols - set(head_df.columns)
+        if missing:
+            raise ValueError(
+                f"delete columns {sorted(missing)} not in table columns "
+                f"{sorted(head_df.columns)}"
+            )
+        applies = dict(head.get("delete_applies_to", {}))
+        applies[gen] = _manifest_dirs(head)
+        manifest = {
+            "version": head_v + 1,
+            "data_dirs": _manifest_dirs(head),
+            "delete_dirs": _manifest_delete_dirs(head) + [gen],
+            "delete_applies_to": applies,
+            "op": "delete",
+            "committed_at": time.time(),
+        }
+        # Reconciled count THROUGH the new manifest (exact, one job) so
+        # downstream rows accounting (append chains) stays truthful.
+        manifest["rows"] = _reconciled_frame(
+            spark, table_dir, manifest
+        ).count()
+        if tag is not None:
+            manifest["tag"] = tag
+        if _test_pre_commit_hook is not None:
+            _test_pre_commit_hook()
+        try:
+            os.utime(gen_dir)
+        except OSError:
+            pass
+        try:
+            with open(
+                _manifest_path(table_dir, head_v + 1), "x", encoding="utf-8"
+            ) as f:
+                json.dump(manifest, f)
+            return head_v + 1
+        except FileExistsError:
+            # Concurrent commit took our version: the delete generation
+            # is head-independent, but its scope and the row count are
+            # not — re-resolve the new head and retry.
+            last_err = f"lost CAS race at version {head_v + 1}"
+            continue
+    raise RuntimeError(
+        f"could not commit delete to {table_dir!r} after "
+        f"{_MAX_COMPACT_RETRIES} head changes ({last_err})"
+    )
+
+
+def snapshot_delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    tag: str | None = None,
+) -> int:
+    """DELETE WHERE at the snapshot layer: materialize the head rows
+    matching the SQL ``predicate`` as an equality-delete file and commit
+    it merge-on-read (see snapshot_delete).  The delete file holds the
+    full matched rows — a GDPR audit can time-travel to the delete
+    version and read exactly what was removed.  Returns the committed
+    version number."""
+    head = snapshot_read(spark, table_dir)
+    matched = head.where(predicate)
+    return snapshot_delete(matched, table_dir, tag=tag)
 
 
 def snapshot_read_incremental(
@@ -565,20 +751,27 @@ def snapshot_expire(
     expire, keep = versions[:-keep_last], versions[-keep_last:]
     keep_gens: set[str] = set()
     for v in keep:
-        keep_gens.update(_manifest_dirs(_read_manifest(table_dir, v)))
+        m = _read_manifest(table_dir, v)
+        keep_gens.update(_manifest_dirs(m))
+        keep_gens.update(_manifest_delete_dirs(m))
     expire_gens: set[str] = set()
     for v in expire:
-        expire_gens.update(_manifest_dirs(_read_manifest(table_dir, v)))
+        m = _read_manifest(table_dir, v)
+        expire_gens.update(_manifest_dirs(m))
+        expire_gens.update(_manifest_delete_dirs(m))
     expire_gens -= keep_gens
     for v in expire:
         os.remove(_manifest_path(table_dir, v))
     for gen in expire_gens:
         shutil.rmtree(os.path.join(table_dir, gen), ignore_errors=True)
-    # Orphan sweep: on-disk generations no surviving manifest references,
-    # older than the grace window.
+    # Orphan sweep: on-disk (data or delete) generations no surviving
+    # manifest references, older than the grace window.
     now = time.time()
     for name in os.listdir(table_dir):
-        if not name.startswith(_GEN_PREFIX) or name in keep_gens:
+        if (
+            not name.startswith((_GEN_PREFIX, _DEL_PREFIX))
+            or name in keep_gens
+        ):
             continue
         path = os.path.join(table_dir, name)
         try:

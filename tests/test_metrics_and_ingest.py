@@ -939,3 +939,110 @@ def test_snapshot_read_incremental_appends(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-append"):
         snapshot_read_incremental(spark, tdir, 0)
+
+
+def test_snapshot_merge_on_read_delete_lifecycle(spark, tmp_path):
+    """Targeted merge-on-read delete (VERDICT r9 #6): commit an
+    equality-delete file, reconcile at read, keep history time-travel
+    readable on BOTH sides of the delete, scope deletes so later appends
+    are not suppressed, fold via compact, reclaim via VACUUM."""
+    import os as _os
+
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_where,
+        snapshot_expire,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "mor")
+    base = spark.createDataFrame(
+        [(i, f"user{i % 4}", 10 * i) for i in range(12)],
+        "id long, user string, amount long",
+    )
+    v0 = snapshot_write(base, tdir, op="overwrite")
+
+    # GDPR-style: delete every row of one user by KEY SUBSET.
+    v1 = snapshot_delete_where(spark, tdir, "user = 'user1'")
+    assert v1 == v0 + 1
+    head = snapshot_read(spark, tdir)
+    assert head.where("user = 'user1'").count() == 0
+    assert head.count() == 9
+    # History: the pre-delete version still reads the deleted rows, and
+    # the delete version itself records what was removed.
+    assert snapshot_read(spark, tdir, version=v0).count() == 12
+    hist = snapshot_history(tdir)
+    assert hist[-1]["op"] == "delete"
+    assert hist[-1]["rows"] == 9
+
+    # Scoping: an append AFTER the delete re-inserting an equal row is
+    # NOT suppressed (Iceberg sequence-number semantics).
+    reinsert = spark.createDataFrame(
+        [(1, "user1", 10)], "id long, user string, amount long"
+    )
+    v2 = snapshot_write(reinsert, tdir, op="append")
+    assert snapshot_read(spark, tdir).where("user = 'user1'").count() == 1
+    assert snapshot_read(spark, tdir).count() == 10
+
+    # Second delete: key-column file via snapshot_delete directly.
+    ids = spark.createDataFrame([(0,), (4,)], "id long")
+    v3 = snapshot_delete(ids, tdir)
+    assert snapshot_read(spark, tdir).count() == 8
+    # Both delete generations outstanding on disk.
+    assert sum(1 for n in _os.listdir(tdir) if n.startswith("del-")) == 2
+
+    # Compact FOLDS the deletes: one clean generation, same rows.
+    v4 = snapshot_compact(spark, tdir, target_rows_per_file=1_000_000)
+    folded = snapshot_history(tdir)[-1]
+    assert folded["op"] == "compact"
+    assert not folded.get("delete_dirs")
+    assert snapshot_read(spark, tdir).count() == 8
+    # Time travel through every state still works post-compact.
+    assert snapshot_read(spark, tdir, version=v1).count() == 9
+    assert snapshot_read(spark, tdir, version=v2).count() == 10
+    assert snapshot_read(spark, tdir, version=v3).count() == 8
+
+    # VACUUM to the compacted head reclaims the delete files.
+    expired = snapshot_expire(tdir, keep_last=1)
+    assert set(expired) == {v0, v1, v2, v3}
+    assert sum(1 for n in _os.listdir(tdir) if n.startswith("del-")) == 0
+    assert snapshot_read(spark, tdir).count() == 8
+
+    # Unknown delete column refuses loudly.
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1,)], "nope long")
+    with _pytest.raises(ValueError, match="delete columns"):
+        snapshot_delete(bad, tdir)
+
+
+def test_cli_snapshot_delete(spark, tmp_path, capsys):
+    """The snapshot-delete CLI verb drives the same lifecycle."""
+    from mapreducer_spark.__main__ import main as cli_main
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "cli_mor")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "id long, flag long"
+    )
+    snapshot_write(df, tdir, op="overwrite")
+    rc = cli_main(
+        [
+            "--master",
+            "local[2]",
+            "snapshot-delete",
+            tdir,
+            "--where",
+            "flag = 1",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "merge-on-read" in out
+    assert snapshot_read(spark, tdir).count() == 5
