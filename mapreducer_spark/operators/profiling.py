@@ -1517,16 +1517,18 @@ def returns_price_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("diff"),
     )
-    # Global sup over the (already checkpointed) grid: a 1-row broadcast
-    # instead of a whole-frame max window.
-    mx = cdf.crossJoin(F.broadcast(cdf.agg(F.max("diff").alias("ks"))))
+    # Sup + argmax in ONE map-side-combinable fold: max_by over
+    # (diff, -bucket) is the min-bucket tie-break on the max diff —
+    # no second pass over the grid, no broadcast, no global window.
     crit = F.lit(_KS_C95) * F.sqrt(
         (F.col("n1").cast("double") + F.col("n2"))
         / (F.col("n1").cast("double") * F.col("n2"))
     )
-    return mx.groupBy("n1", "n2", "ks").agg(
-        F.min(
-            F.when(F.col("diff") == F.col("ks"), F.col("bucket"))
+    return cdf.groupBy("n1", "n2").agg(
+        F.max("diff").alias("ks"),
+        F.max_by(
+            F.col("bucket"),
+            F.struct(F.col("diff"), (-F.col("bucket")).alias("nb")),
         ).alias("ks_at_price"),
     ).select(
         "n1",

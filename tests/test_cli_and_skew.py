@@ -148,6 +148,68 @@ def test_global_row_number_matches_single_partition_window(spark, sf_dir):
     assert got == want
 
 
+def test_global_running_sums_match_single_partition_windows(spark, sf_dir):
+    """The r10 multi-value two-phase prefix sums == the single-partition
+    windows they replace, for LONG and for decimal-exact sum_cast, plus
+    the grand totals from the same per-partition collect."""
+    import decimal
+
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.agg import (
+        global_running_sum_with_total,
+        global_running_sums_with_totals,
+    )
+    from mapreducer_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod(F.col("o_orderkey"), F.lit(97)).cast("long").alias("a"),
+        F.col("o_custkey").cast("long").alias("b"),
+    )
+    wcum = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.o_orderkey: (r.ca, r.cb)
+        for r in o.select(
+            "o_orderkey",
+            F.sum("a").over(wcum).alias("ca"),
+            F.sum("b").over(wcum).alias("cb"),
+        ).collect()
+    }
+    summed, totals = global_running_sums_with_totals(
+        o, ["o_orderkey"], {"ca": "a", "cb": "b"}, n_partitions=7
+    )
+    got = {r.o_orderkey: (r.ca, r.cb) for r in summed.collect()}
+    assert got == want
+    last = want[max(want)]
+    assert (totals["ca"], totals["cb"]) == last
+
+    # Decimal sum_cast: exact money prefix sums, Decimal grand total.
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    want_d = {
+        r.o_orderkey: r.cv
+        for r in od.select(
+            "o_orderkey", F.sum("v").over(wcum).alias("cv")
+        ).collect()
+    }
+    summed_d, total_d = global_running_sum_with_total(
+        od,
+        ["o_orderkey"],
+        "v",
+        n_partitions=7,
+        out_name="cv",
+        sum_cast="decimal(38,2)",
+    )
+    got_d = {r.o_orderkey: r.cv for r in summed_d.collect()}
+    assert got_d == want_d
+    assert isinstance(total_d, decimal.Decimal)
+    assert total_d == want_d[max(want_d)]
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(

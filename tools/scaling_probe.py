@@ -58,7 +58,13 @@ DEFAULT_PICKS = [
 
 
 def main() -> None:
-    picks = sys.argv[1:] or DEFAULT_PICKS
+    # --cold: clear the session memo before every timed run, so
+    # memoized artifact builders (the Lloyd family) report the BUILD
+    # cost, not the serve-from-checkpoint cost (min-of-2 otherwise
+    # measures a memo hit).
+    args = sys.argv[1:]
+    cold = "--cold" in args
+    picks = [a for a in args if a != "--cold"] or DEFAULT_PICKS
     spark = get_spark(
         app_name="scaling-probe",
         master="local[32]",
@@ -92,6 +98,10 @@ def main() -> None:
         for d in SF_DIRS:
             best = None
             for _ in range(2):
+                if cold:
+                    from mapreducer_spark.functions import memo as _memo
+
+                    _memo._CACHE.clear()
                 t0 = time.perf_counter()
                 q.fn(spark, d).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
