@@ -3377,7 +3377,8 @@ def _spherical_lloyd(em: DataFrame, k: int, rounds: int):
     fixed Lloyd iterations over (vec_id, v), centroids seeded from the
     first k vectors.  Returns (cents, final_assign) where cents is
     (cent_id, cv array<double>) and final_assign carries the last
-    round's (vec_id, cent_id, v, sim).  Per round: ONE broadcast of the
+    round's (vec_id, cent_id, sim) — the vector column is dropped from
+    the final round (no consumer needs it; see the carry_v note).  Per round: ONE broadcast of the
     k tiny centroid rows x one scan (map-side assignment), one
     (cluster x dim) aggregation with map-side partials; centroid frames
     localCheckpoint so the plan stays flat in rounds (the PageRank
@@ -3396,9 +3397,12 @@ def _spherical_lloyd(em: DataFrame, k: int, rounds: int):
         # candidate rows before the shuffle, and there is no per-round
         # partition sort (r10; one shuffle+sort saved per Lloyd round).
         # The ordering struct is tie-free (cent_id unique per vec), so
-        # max_by's tie nondeterminism can never bite.
+        # max_by's tie nondeterminism can never bite.  The vector only
+        # rides through INTERMEDIATE rounds (the dim-mean update needs
+        # it); the final round's agg buffers stay 3 scalars wide.
+        carry_v = ("v",) if r < rounds else ()
         best = F.max_by(
-            F.struct("cent_id", "v", "sim"),
+            F.struct("cent_id", *carry_v, "sim"),
             F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc")),
         )
         assign = (
@@ -3409,7 +3413,7 @@ def _spherical_lloyd(em: DataFrame, k: int, rounds: int):
             .select(
                 "vec_id",
                 F.col("b.cent_id").alias("cent_id"),
-                F.col("b.v").alias("v"),
+                *([F.col("b.v").alias("v")] if carry_v else []),
                 F.col("b.sim").alias("sim"),
             )
         )
