@@ -1046,3 +1046,82 @@ def test_cli_snapshot_delete(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "merge-on-read" in out
     assert snapshot_read(spark, tdir).count() == 5
+
+
+def test_snapshot_delete_model_based_random_histories(spark, tmp_path):
+    """Model-based check of the merge-on-read layer: random
+    append / delete-by-key / delete-where / compact histories, replayed
+    against a plain Python model; EVERY committed version must read back
+    exactly the model's state at that point (time travel included), and
+    incremental reads must refuse ranges crossing a delete."""
+    import random
+
+    import pytest as _pytest
+
+    from mapreducer_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_read_incremental,
+        snapshot_write,
+    )
+
+    rng = random.Random(20260815)
+    schema = "id long, grp long, val long"
+
+    for trial in range(3):
+        tdir = str(tmp_path / f"model_{trial}")
+        next_id = 0
+
+        def fresh_rows(n):
+            nonlocal next_id
+            out = [(next_id + i, (next_id + i) % 3, 7 * (next_id + i)) for i in range(n)]
+            next_id += n
+            return out
+
+        model: dict[int, tuple] = {}
+        states: dict[int, set] = {}
+
+        rows = fresh_rows(6)
+        v = snapshot_write(spark.createDataFrame(rows, schema), tdir, op="overwrite")
+        model = {r[0]: r for r in rows}
+        states[v] = set(model.values())
+        delete_versions = []
+
+        for _ in range(8):
+            op = rng.choice(["append", "delete_key", "delete_where", "compact"])
+            if op == "append":
+                rows = fresh_rows(rng.randint(1, 4))
+                v = snapshot_write(
+                    spark.createDataFrame(rows, schema), tdir, op="append"
+                )
+                model.update({r[0]: r for r in rows})
+            elif op == "delete_key" and model:
+                victims = rng.sample(sorted(model), k=min(2, len(model)))
+                v = snapshot_delete(
+                    spark.createDataFrame([(i,) for i in victims], "id long"),
+                    tdir,
+                )
+                for i in victims:
+                    model.pop(i)
+                delete_versions.append(v)
+            elif op == "delete_where" and model:
+                g = rng.randint(0, 2)
+                v = snapshot_delete_where(spark, tdir, f"grp = {g}")
+                model = {i: r for i, r in model.items() if r[1] != g}
+                delete_versions.append(v)
+            else:
+                v = snapshot_compact(spark, tdir, target_rows_per_file=1_000_000)
+            states[v] = set(model.values())
+
+        # Every version reads back its model state — including history.
+        for ver, want in states.items():
+            got = {tuple(r) for r in snapshot_read(spark, tdir, version=ver).collect()}
+            assert got == want, f"trial {trial} version {ver}"
+
+        # Incremental reads refuse to cross any delete commit.
+        if delete_versions:
+            dv = delete_versions[0]
+            with _pytest.raises(ValueError, match="non-append"):
+                snapshot_read_incremental(spark, tdir, dv - 1, max(states))
