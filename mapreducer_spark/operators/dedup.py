@@ -2037,8 +2037,8 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = d.select(
         F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
     )
-    attributed = pairs.join(F.broadcast(da), "id_a").join(
-        F.broadcast(db), "id_b"
+    attributed = pairs.join(da, "id_a").join(
+        db, "id_b"
     )
     return (
         attributed.select(

@@ -622,8 +622,8 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("src").alias("u"), F.col("deg").alias("a"))
     db = deg.select(F.col("src").alias("v"), F.col("deg").alias("b"))
     ed = (
-        sym.join(F.broadcast(da), sym.src == da.u)
-        .join(F.broadcast(db), sym.dst == db.v)
+        sym.join(da, sym.src == da.u)
+        .join(db, sym.dst == db.v)
         .select("a", "b")
     )
     n = F.count(F.lit(1))
@@ -710,15 +710,15 @@ def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
     m = sym.agg(F.count(F.lit(1)).alias("m_dir"))
     dsum = (
-        deg.join(F.broadcast(lab), deg.src == lab.v)
+        deg.join(lab, deg.src == lab.v)
         .groupBy("c")
         .agg(F.sum("deg").alias("d_c"))
     )
     la = lab.select(F.col("v").alias("src"), F.col("c").alias("ca"))
     lb = lab.select(F.col("v").alias("dst"), F.col("c").alias("cb"))
     intra = (
-        sym.join(F.broadcast(la), "src")
-        .join(F.broadcast(lb), "dst")
+        sym.join(la, "src")
+        .join(lb, "dst")
         .where(F.col("ca") == F.col("cb"))
         .groupBy(F.col("ca").alias("c"))
         .agg(F.count(F.lit(1)).alias("l_c"))
@@ -806,9 +806,9 @@ def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = club.select("k", F.col("src").alias("ea"))
     cb = club.select(F.col("k").alias("kb"), F.col("src").alias("eb"))
     intra = (
-        sym.join(F.broadcast(ca), sym.src == ca.ea)
+        sym.join(ca, sym.src == ca.ea)
         .join(
-            F.broadcast(cb),
+            cb,
             (F.col("kb") == F.col("k")) & (sym.dst == cb.eb),
         )
         .groupBy("k")
@@ -984,7 +984,7 @@ def basket_rule_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_ab") >= _MBR_MIN_AB)
     )
     ca = pa.select(F.col("part").alias("part_a"), "n_a")
-    scored = pc.join(F.broadcast(ca), "part_a").select(
+    scored = pc.join(ca, "part_a").select(
         "part_a",
         "part_b",
         "n_ab",

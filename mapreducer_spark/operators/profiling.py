@@ -231,15 +231,15 @@ def referential_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         violation_count(
             "lineitem_orphan_partkey",
-            li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti"),
+            li.join(p, li.l_partkey == p.p_partkey, "left_anti"),
         ),
         violation_count(
             "lineitem_orphan_suppkey",
-            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_anti"),
+            li.join(s, li.l_suppkey == s.s_suppkey, "left_anti"),
         ),
         violation_count(
             "orders_orphan_custkey",
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"),
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
         ),
     ]
     dup_orders = o.agg(
@@ -2487,7 +2487,7 @@ def welch_price_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").isin(*_WELCH_SEGS)
     )
     seg = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o.o_custkey == c.c_custkey,
     ).select(
         F.col("c_mktsegment").alias("grp"),

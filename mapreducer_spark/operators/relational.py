@@ -244,7 +244,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
@@ -283,7 +283,7 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -555,7 +555,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
     )
 
@@ -720,8 +720,8 @@ def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("p_brand")
         .agg(
             dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
@@ -1099,7 +1099,7 @@ def segment_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     cnt = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1781,7 +1781,7 @@ def revenue_growth_decomposition(
         F.year("l_shipdate").isin(_GROWTH_Y1, _GROWTH_Y2)
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     in_y = lambda y: F.year("l_shipdate") == y  # noqa: E731
     yr = j.groupBy(F.col("p_brand").alias("brand")).agg(
         F.sum(

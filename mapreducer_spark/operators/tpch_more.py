@@ -73,9 +73,9 @@ def volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_cust), c.c_nationkey == F.col("cnk"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("snk"))
         .where(F.col("cnk") != F.col("snk"))
         .groupBy(
@@ -132,13 +132,13 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_cust), c.c_nationkey == F.col("cnk"))
         .join(
             F.broadcast(r.where(F.col("r_name") == "ASIA")),
             F.col("crk") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_supp), s.s_nationkey == F.col("snk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -181,10 +181,10 @@ def supplier_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(p.where(F.col("p_type").startswith("S"))),
+            p.where(F.col("p_type").startswith("S")),
             li.l_partkey == p.p_partkey,
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("supp_nation"),
@@ -232,7 +232,7 @@ def returned_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dec_sum(_revenue_col(), 4).alias("revenue"))
@@ -416,7 +416,7 @@ def shipping_priority_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == o.o_orderkey,
         )
         .join(
-            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            c.where(F.col("c_mktsegment") == "BUILDING"),
             o.o_custkey == c.c_custkey,
         )
         .groupBy(
@@ -462,9 +462,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (s.s_nationkey == c.c_nationkey),
         )

@@ -185,6 +185,49 @@ def unpartitioned_window_input_rows(df: DataFrame) -> list[int]:
     return out
 
 
+def broadcast_exchange_rows(df: DataFrame) -> list[int]:
+    """Row count of every BroadcastExchange in the EXECUTED plan.  The
+    df must already have been executed; this only inspects.
+
+    At 100 TB a broadcast frame must be DOMAIN-bounded (dimension
+    tables, one-row totals, frozen indexes, sketch tables): an explicit
+    ``F.broadcast()`` hint on a frame that grows with the data
+    eventually ships the whole dimension to every executor and OOMs
+    the driver building it.  Auto-broadcasts (stats-driven) degrade
+    gracefully — Spark stops choosing them when the side grows — so a
+    grower here is only a defect when the code HINTS it; the survey
+    (tools/broadcast_survey.py) cross-references the two.
+    """
+    plan = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+
+    def _children(node):
+        out = []
+        ch = node.children()
+        for i in range(ch.size()):
+            out.append(ch.apply(i))
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            out.append(node.executedPlan())
+        elif cls.endswith("QueryStageExec"):
+            out.append(node.plan())
+        return out
+
+    out: list[int] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "BroadcastExchangeExec":
+            rows = -1
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    rows = int(kv._2().value())
+            out.append(rows)
+        stack.extend(_children(node))
+    return out
+
+
 def executed_plan(df: DataFrame) -> str:
     """Final (post-AQE) physical plan — runs the query.  Under AQE the
     pre-execution plan is just 'AdaptiveSparkPlan isFinalPlan=false';
