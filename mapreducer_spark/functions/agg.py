@@ -272,17 +272,22 @@ def _global_row_number_impl(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    offset_expr = F.lit(0)
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(
-            offset_expr
-        )
+    # Broadcast offsets table, not a chained CASE WHEN — the nesting
+    # depth of when/otherwise equals n_partitions, which overflows
+    # Catalyst's expression tree at cluster-scale partition counts
+    # (see _global_running_sums_impl).  n_partitions rows: config-sized.
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in sorted(offsets.items())],
+        "__pid int, __off long",
+    )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     ranked = (
-        ranged.withColumn(
-            out_name, (offset_expr + F.row_number().over(w)).cast("int")
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_name,
+            (F.col("__off") + F.row_number().over(w)).cast("int"),
         )
-        .drop("__pid")
+        .drop("__pid", "__off")
     )
     return ranked, acc
 
@@ -383,25 +388,42 @@ def _global_running_sums_impl(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Offsets ride in as a BROADCAST-joined n_partitions-row table, not
+    # a chained CASE WHEN: the when/otherwise nesting is n_partitions
+    # deep, which overflows Catalyst's expression tree at the
+    # thousands of partitions a 1000-executor cluster wants (fine at 32,
+    # a stack bomb at 4096).  String values + cast keep LONG and any
+    # DECIMAL(p,s) exact (a raw Decimal literal would infer
+    # DecimalType(38,18) and shrink the integral headroom).  The hint is
+    # legitimate: the frame is n_partitions rows — cluster-config-sized,
+    # not data-sized.
     grand_totals = {}
-    summed = ranged
-    for out, vc in values.items():
-        offset_expr = F.lit("0").cast(sum_cast)
+    accs: dict[int, dict] = {pid: {} for pid in per_pid}
+    for out in values:
         acc = 0
         for pid in sorted(per_pid):
-            # String-literal + cast: exact for LONG and for any
-            # DECIMAL(p,s) (a raw Decimal literal would infer
-            # DecimalType(38,18) and shrink the integral headroom of
-            # the addition below).
-            offset_expr = F.when(
-                F.col("__pid") == pid, F.lit(str(acc)).cast(sum_cast)
-            ).otherwise(offset_expr)
+            accs[pid][out] = str(acc)
             acc += per_pid[pid][out] or 0
-        summed = summed.withColumn(
-            out, (offset_expr + F.sum(vc).over(w)).cast(sum_cast)
-        )
         grand_totals[out] = acc
-    return summed.drop("__pid"), grand_totals
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, *[accs[pid][out] for out in values]) for pid in sorted(per_pid)],
+        ", ".join(["__pid int"] + [f"__off_{out} string" for out in values]),
+    ).select(
+        "__pid",
+        *[
+            F.col(f"__off_{out}").cast(sum_cast).alias(f"__off_{out}")
+            for out in values
+        ],
+    )
+    summed = ranged.join(F.broadcast(off_df), "__pid")
+    for out, vc in values.items():
+        summed = summed.withColumn(
+            out,
+            (F.col(f"__off_{out}") + F.sum(vc).over(w)).cast(sum_cast),
+        )
+    summed = summed.drop("__pid", *[f"__off_{out}" for out in values])
+    return summed, grand_totals
 
 
 def ntile_from_rn(rn_col, total: int, n_tiles: int):
