@@ -272,22 +272,26 @@ def _global_row_number_impl(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    # Broadcast offsets table, not a chained CASE WHEN — the nesting
-    # depth of when/otherwise equals n_partitions, which overflows
-    # Catalyst's expression tree at cluster-scale partition counts
-    # (see _global_running_sums_impl).  n_partitions rows: config-sized.
-    off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in sorted(offsets.items())],
-        "__pid int, __off long",
+    # Flat literal-map offset lookup, not a chained CASE WHEN (depth =
+    # n_partitions, a Catalyst stack bomb at cluster-scale partition
+    # counts) and not a broadcast join (whose product-of-sizes estimate
+    # wrecks downstream auto-broadcast decisions) — see
+    # _global_running_sums_impl for the full rationale.
+    entries = []
+    for pid, off in sorted(offsets.items()):
+        entries.append(F.lit(pid))
+        entries.append(F.lit(off))
+    offset_expr = (
+        F.element_at(F.create_map(*entries), F.col("__pid"))
+        if entries
+        else F.lit(0)
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     ranked = (
-        ranged.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            out_name,
-            (F.col("__off") + F.row_number().over(w)).cast("int"),
+        ranged.withColumn(
+            out_name, (offset_expr + F.row_number().over(w)).cast("int")
         )
-        .drop("__pid", "__off")
+        .drop("__pid")
     )
     return ranked, acc
 
@@ -388,42 +392,38 @@ def _global_running_sums_impl(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # Offsets ride in as a BROADCAST-joined n_partitions-row table, not
-    # a chained CASE WHEN: the when/otherwise nesting is n_partitions
-    # deep, which overflows Catalyst's expression tree at the
-    # thousands of partitions a 1000-executor cluster wants (fine at 32,
-    # a stack bomb at 4096).  String values + cast keep LONG and any
-    # DECIMAL(p,s) exact (a raw Decimal literal would infer
-    # DecimalType(38,18) and shrink the integral headroom).  The hint is
-    # legitimate: the frame is n_partitions rows — cluster-config-sized,
-    # not data-sized.
+    # Offsets ride in as a FLAT literal-map lookup
+    # (element_at(create_map(...), __pid)), not a chained CASE WHEN:
+    # the when/otherwise nesting is n_partitions DEEP, which overflows
+    # Catalyst's expression tree at the thousands of partitions a
+    # 1000-executor cluster wants (fine at 32, a stack bomb at 4096) —
+    # create_map is one node with 2*n flat children.  Not a broadcast
+    # offsets JOIN either: Spark's size-only join estimate is the
+    # PRODUCT of the child sizes, which inflated the helper's output
+    # stats past the auto-broadcast threshold and flipped downstream
+    # cross joins to CartesianProduct (caught by the r10 plan sweep).
+    # String values + cast keep LONG and any DECIMAL(p,s) exact (a raw
+    # Decimal literal would infer DecimalType(38,18) and shrink the
+    # integral headroom).
     grand_totals = {}
-    accs: dict[int, dict] = {pid: {} for pid in per_pid}
-    for out in values:
+    summed = ranged
+    for out, vc in values.items():
+        entries = []
         acc = 0
         for pid in sorted(per_pid):
-            accs[pid][out] = str(acc)
+            entries.append(F.lit(pid))
+            entries.append(F.lit(str(acc)).cast(sum_cast))
             acc += per_pid[pid][out] or 0
         grand_totals[out] = acc
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, *[accs[pid][out] for out in values]) for pid in sorted(per_pid)],
-        ", ".join(["__pid int"] + [f"__off_{out} string" for out in values]),
-    ).select(
-        "__pid",
-        *[
-            F.col(f"__off_{out}").cast(sum_cast).alias(f"__off_{out}")
-            for out in values
-        ],
-    )
-    summed = ranged.join(F.broadcast(off_df), "__pid")
-    for out, vc in values.items():
-        summed = summed.withColumn(
-            out,
-            (F.col(f"__off_{out}") + F.sum(vc).over(w)).cast(sum_cast),
+        offset_expr = (
+            F.element_at(F.create_map(*entries), F.col("__pid"))
+            if entries
+            else F.lit("0").cast(sum_cast)
         )
-    summed = summed.drop("__pid", *[f"__off_{out}" for out in values])
-    return summed, grand_totals
+        summed = summed.withColumn(
+            out, (offset_expr + F.sum(vc).over(w)).cast(sum_cast)
+        )
+    return summed.drop("__pid"), grand_totals
 
 
 def ntile_from_rn(rn_col, total: int, n_tiles: int):
