@@ -367,3 +367,33 @@ def test_unpartitioned_window_detector(spark):
     summed.collect()
     assert grand == sum(i % 7 for i in range(9000))
     assert unpartitioned_window_input_rows(summed) == []
+
+
+def test_two_phase_helper_output_stats_keep_broadcast_alive(spark):
+    """Regression guard for the r10 near-miss: routing the helpers'
+    partition offsets through a broadcast JOIN made Spark's size-only
+    join estimate (PRODUCT of child sizes) blow past the auto-broadcast
+    threshold, flipping downstream cross joins to CartesianProduct
+    (caught live by the plan sweep on vocab_growth_curve).  The helpers
+    must stay expression-only so a tiny dim crossJoined against their
+    output still plans as a broadcast join."""
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.functions.agg import (
+        global_row_number_with_total,
+        global_running_sum_with_total,
+    )
+    from mapreducer_spark.plans.inspect import formatted_plan
+
+    base = spark.range(0, 5000).select(
+        "id", F.pmod(F.col("id"), F.lit(9)).alias("v")
+    )
+    dim = spark.range(1, 11).select(F.col("id").alias("decile"))
+
+    ranked, _n = global_row_number_with_total(base, ["id"])
+    plan = formatted_plan(dim.crossJoin(ranked))
+    assert "CartesianProduct" not in plan, plan
+
+    summed, _t = global_running_sum_with_total(base, ["id"], "v")
+    plan = formatted_plan(dim.crossJoin(summed))
+    assert "CartesianProduct" not in plan, plan
