@@ -6,12 +6,67 @@ INVOCATION (measured on the IVF index frame, SURVEY round-4 log).  For
 the metadata-sized constant relations queries need (tier bounds, decile
 maps, index literals), build them as a ``range(1)`` projection of
 literal structs instead: pure JVM, constant-folded, zero Python workers.
+
+Two construction paths with identical results:
+- SQL fast path (scalar int/float/str/bool cells): render ONE
+  ``inline(array(struct(...)))`` expression string and parse it in a
+  single py4j call.  The Column-object path costs ~3 py4j round trips
+  PER CELL (~10 s for a 1000-row threshold table, measured on the DP
+  discrete-Laplace CDF in round 10); the string path is ~50 ms for the
+  same table.
+- Column fallback (None, arrays, decimals, non-finite floats): the
+  original per-cell ``F.lit`` struct build.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _render_sql_cells(rows: list[tuple], names: list[str]) -> str | None:
+    """Render rows as ``struct(...)`` SQL literals, or None if any cell
+    needs the Column fallback.  Per-column typing mirrors what the
+    ``array()`` element coercion of the fallback produces: any float in
+    a column makes the column DOUBLE, any out-of-int32 integer makes it
+    BIGINT, bools and strings must be column-pure."""
+    cols = list(zip(*rows))
+    rendered: list[list[str]] = []
+    for vals in cols:
+        if all(isinstance(v, bool) for v in vals):
+            rendered.append(["true" if v else "false" for v in vals])
+        elif any(isinstance(v, bool) for v in vals):
+            return None
+        elif all(isinstance(v, str) for v in vals):
+            rendered.append(
+                [
+                    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                    for v in vals
+                ]
+            )
+        elif any(isinstance(v, str) for v in vals):
+            return None
+        elif any(isinstance(v, float) for v in vals):
+            if not all(
+                isinstance(v, (int, float)) and math.isfinite(v) for v in vals
+            ):
+                return None
+            # the D suffix makes a (non-nullable) DOUBLE literal, same
+            # type AND nullability as F.lit(float)
+            rendered.append([f"{float(v)!r}D" for v in vals])
+        elif all(isinstance(v, int) for v in vals):
+            suffix = "L" if any(abs(v) > 2**31 - 1 for v in vals) else ""
+            rendered.append([f"{v}{suffix}" for v in vals])
+        else:
+            return None
+    return ", ".join(
+        "struct("
+        + ", ".join(f"{cell} AS `{n}`" for cell, n in zip(row, names))
+        + ")"
+        for row in zip(*rendered)
+    )
 
 
 def inline_rows(
@@ -28,6 +83,9 @@ def inline_rows(
         # empty constant relation has no inferable schema, so callers
         # must branch (see quantity_decile_stats).
         raise ValueError("inline_rows requires at least one row")
+    structs_sql = _render_sql_cells(rows, names)
+    if structs_sql is not None:
+        return spark.range(1).selectExpr(f"inline(array({structs_sql}))")
     structs = [
         F.struct(*[F.lit(v).alias(n) for v, n in zip(row, names)])
         for row in rows

@@ -16,6 +16,7 @@ from mapreducer_spark.functions.agg import (
     fixed6_sums,
     oracle_fixed6_sum,
 )
+from mapreducer_spark.functions.hashes import md5_int64, oracle_md5_int64
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import load_table
 
@@ -3166,3 +3167,530 @@ def join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rows").cast("double") / F.col("nk"), 4
         ).alias("mean_fanout"),
     ).orderBy("fanout")
+
+
+# ---------------------------------------------------------------------------
+# Round 10: differentially-private release mechanisms — the ACTIVE half of
+# the privacy shelf.  k_anonymity_profile / l_diversity_profile /
+# t_closeness_profile MEASURE disclosure risk in a table as it stands;
+# these two queries implement the mechanisms that BOUND it by adding
+# calibrated noise: central-DP discrete-Laplace counts (Ghosh, Roughgarden
+# & Sundararajan 2009 — the geometric mechanism, universally optimal for
+# counting queries) and local-DP randomized response (Warner 1965), the
+# two deployment shapes (trusted aggregator vs on-device) every real
+# telemetry / release pipeline picks between.
+#
+# Determinism contract: DP needs randomness; the oracle gate needs exact
+# replay.  Noise is therefore drawn by INVERSE-CDF over the cross-engine
+# md5 hash uniform (the weighted_sample_orders recipe), with the CDF
+# materialized as INTEGER thresholds on a 2^52 lattice computed ONCE in
+# Python and embedded as literals in BOTH engines — the noise draw is
+# integer comparisons end to end, no float can drift.  A production run
+# would swap the hash salt for a secret per-release seed; the MECHANISM —
+# sensitivity accounting, truncated-geometric inverse CDF, post-processing
+# clamp, debiasing — is exactly what ships.
+# ---------------------------------------------------------------------------
+
+_DP_LATTICE = 1 << 52  # uniform lattice; 2^60-bit hash mod 2^52 is unbiased
+
+
+def _dlap_threshold_rows(
+    eps: float, delta: int = 1, tail: float = 1e-9
+) -> list[tuple[int, int, int]]:
+    """Inverse-CDF thresholds for the TRUNCATED discrete Laplace
+    (two-sided geometric) distribution with parameter alpha =
+    exp(-eps/delta), renormalized over the support [-B, B] where B is
+    the smallest bound leaving < ``tail`` untruncated mass.  Returns
+    (noise, lo, hi) rows on the 2^52 integer lattice: a uniform u in
+    [0, 2^52) maps to the unique row with lo <= u < hi.  Pure literals:
+    both engines consume the SAME precomputed integers, so the draw is
+    exact by construction (the truncation is part of the released
+    mechanism, not an approximation of it)."""
+    import math
+
+    a = math.exp(-eps / delta)
+    b_bound = max(1, math.ceil(math.log(tail * (1.0 - a) / 2.0) / math.log(a)))
+    ks = list(range(-b_bound, b_bound + 1))
+    weights = [a ** abs(k) for k in ks]
+    tot = math.fsum(weights)
+    rows: list[tuple[int, int, int]] = []
+    lo = 0
+    acc = 0.0
+    for k, w in zip(ks, weights):
+        acc += w
+        hi = _DP_LATTICE if k == b_bound else int(round(acc / tot * _DP_LATTICE))
+        if hi > lo:
+            rows.append((k, lo, hi))
+            lo = hi
+    return rows
+
+
+_DP_COUNT_EPS = 1.0
+_DP_COUNT_SALT = "dp-count-v1|"
+_DP_COUNT_ROWS = _dlap_threshold_rows(_DP_COUNT_EPS)
+
+
+def _dp_noise_values_sql(rows: list[tuple[int, int, int]]) -> str:
+    return ",\n  ".join(f"({k}, {lo}, {hi})" for k, lo, hi in rows)
+
+
+@register(
+    "dp_nation_order_counts",
+    oracle=f"""
+WITH nt(dp_noise, lo, hi) AS (VALUES
+  {_dp_noise_values_sql(_DP_COUNT_ROWS)}
+),
+cells AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS true_orders
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1
+),
+keyed AS (
+  SELECT n_name, true_orders,
+         {oracle_md5_int64(f"'{_DP_COUNT_SALT}' || n_name")} % {_DP_LATTICE}
+           AS u
+  FROM cells
+)
+SELECT n_name, true_orders,
+       CAST(nt.dp_noise AS BIGINT) AS dp_noise,
+       CAST(greatest(true_orders + nt.dp_noise, 0) AS BIGINT) AS dp_orders,
+       CAST(abs(greatest(true_orders + nt.dp_noise, 0) - true_orders)
+            AS BIGINT) AS abs_err,
+       CAST({_DP_COUNT_EPS} AS DOUBLE) AS epsilon
+FROM keyed JOIN nt ON keyed.u >= nt.lo AND keyed.u < nt.hi
+""",
+    doc="Central-DP order counts per nation under the discrete-Laplace "
+    f"(geometric) mechanism at epsilon = {_DP_COUNT_EPS} (Ghosh et al. "
+    "2009 — universally optimal for counting queries): each cell's "
+    "true count gets integer noise ~ dLap(exp(-eps)) drawn by inverse "
+    "CDF over the cross-engine hash uniform, then the standard "
+    "post-processing clamp at 0.  Sensitivity accounting: one order "
+    "contributes to exactly ONE (disjoint) nation cell, so per-cell "
+    "sensitivity is 1 and parallel composition makes the WHOLE release "
+    f"epsilon = {_DP_COUNT_EPS}.  The true count and absolute error "
+    "ride along because this query is the mechanism's CALIBRATION "
+    "readout (the form an auditor or utility dashboard consumes); the "
+    "releasable projection is (n_name, dp_orders, epsilon).  "
+    "Determinism: the truncated-geometric CDF is precomputed integer "
+    "thresholds on a 2^52 lattice (truncation at the <1e-9 tail is "
+    "part of the mechanism); the draw is integer compares only.  "
+    "Scale shape: one map-side-combined count to the 25-cell nation "
+    "grain (customer joins in before the agg; nation is an "
+    "sf-invariant 25-row broadcast), then the noise table — 45 literal "
+    "rows, broadcast — range-joins onto the cells; noise cost is "
+    "O(cells), never O(rows).",
+    tags=("governance", "privacy", "agg"),
+)
+def dp_nation_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.inline import inline_rows
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_orders"))
+    )
+    nt = inline_rows(
+        spark,
+        [(int(k), int(lo), int(hi)) for k, lo, hi in _DP_COUNT_ROWS],
+        ["dp_noise", "lo", "hi"],
+    )
+    u = md5_int64(F.concat(F.lit(_DP_COUNT_SALT), F.col("n_name"))) % F.lit(
+        _DP_LATTICE
+    )
+    keyed = cells.withColumn("u", u)
+    dp = F.greatest(
+        F.col("true_orders") + F.col("dp_noise"), F.lit(0)
+    ).cast("long")
+    return (
+        keyed.join(
+            F.broadcast(nt),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select(
+            "n_name",
+            F.col("true_orders").cast("long").alias("true_orders"),
+            F.col("dp_noise").cast("long").alias("dp_noise"),
+            dp.alias("dp_orders"),
+            F.abs(dp - F.col("true_orders")).cast("long").alias("abs_err"),
+            F.lit(float(_DP_COUNT_EPS)).alias("epsilon"),
+        )
+    )
+
+
+_RR_FLIP_NUM = 1  # flip probability f = _RR_FLIP_NUM / _RR_FLIP_DEN
+_RR_FLIP_DEN = 4
+_RR_SALT = "rr-v1|"
+# local epsilon of binary randomized response: ln((1-f)/f) = ln(3)
+_RR_EPSILON = 1.0986122886681098
+
+
+@register(
+    "local_dp_urgent_share",
+    oracle=f"""
+WITH base AS (
+  SELECT n_name,
+         o_orderpriority = '1-URGENT' AS is_urgent,
+         ({oracle_md5_int64(f"'{_RR_SALT}' || CAST(o_orderkey AS VARCHAR)")}
+          % {_RR_FLIP_DEN}) < {_RR_FLIP_NUM} AS flip
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+),
+g AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN is_urgent THEN 1 ELSE 0 END) AS BIGINT)
+           AS true_urgent,
+         CAST(SUM(CASE WHEN is_urgent <> flip THEN 1 ELSE 0 END) AS BIGINT)
+           AS reported_urgent
+  FROM base GROUP BY 1
+)
+SELECT n_name, n_orders, true_urgent, reported_urgent,
+       round(CAST(true_urgent AS DOUBLE) / n_orders, 6) AS true_share,
+       round(CAST(reported_urgent AS DOUBLE) / n_orders, 6)
+         AS reported_share,
+       round((CAST(reported_urgent AS DOUBLE) / n_orders - 0.25) / 0.5, 6)
+         AS debiased_share,
+       round(abs((CAST(reported_urgent AS DOUBLE) / n_orders - 0.25) / 0.5
+                 - CAST(true_urgent AS DOUBLE) / n_orders), 6) AS abs_err,
+       CAST({_RR_EPSILON!r} AS DOUBLE) AS epsilon_local
+FROM g
+""",
+    doc="Local-DP share of URGENT orders per nation via binary "
+    "randomized response (Warner 1965), the on-device deployment shape "
+    "where no trusted aggregator ever sees a true bit: each order "
+    f"reports its URGENT indicator flipped with probability f = "
+    f"{_RR_FLIP_NUM}/{_RR_FLIP_DEN} (local epsilon = ln((1-f)/f) = "
+    "ln 3), and the aggregator debiases the observed share with the "
+    "standard estimator (p_obs - f) / (1 - 2f).  The central-DP "
+    "companion (dp_nation_order_counts) trusts the aggregator and "
+    "pays O(1/n) error; this trusts NOBODY and pays O(1/sqrt(n)) — "
+    "the true-vs-debiased columns make that tradeoff measurable per "
+    "cell.  Determinism: flips are exact integer tests on the "
+    "cross-engine hash (f is a dyadic rational, so the mod-4 test is "
+    "exactly f — no float in the mechanism); debiasing is IEEE "
+    "double arithmetic identical on both engines, rounded 6dp.  "
+    "Scale shape: the flip is a per-row map fused into the scan; one "
+    "map-side-combined count to the 25-cell nation grain; nothing "
+    "downstream ever touches row-level bits again.",
+    tags=("governance", "privacy", "agg"),
+)
+def local_dp_urgent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    is_urgent = F.col("o_orderpriority") == "1-URGENT"
+    flip = (
+        md5_int64(
+            F.concat(F.lit(_RR_SALT), F.col("o_orderkey").cast("string"))
+        )
+        % _RR_FLIP_DEN
+    ) < _RR_FLIP_NUM
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", is_urgent.alias("iu"), flip.alias("fl"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("iu"), 1).otherwise(0)).alias("true_urgent"),
+            F.sum(
+                F.when(F.col("iu") != F.col("fl"), 1).otherwise(0)
+            ).alias("reported_urgent"),
+        )
+    )
+    t_share = F.col("true_urgent").cast("double") / F.col("n_orders")
+    r_share = F.col("reported_urgent").cast("double") / F.col("n_orders")
+    debiased = (r_share - 0.25) / 0.5
+    return g.select(
+        "n_name",
+        "n_orders",
+        "true_urgent",
+        "reported_urgent",
+        F.round(t_share, 6).alias("true_share"),
+        F.round(r_share, 6).alias("reported_share"),
+        F.round(debiased, 6).alias("debiased_share"),
+        F.round(F.abs(debiased - t_share), 6).alias("abs_err"),
+        F.lit(_RR_EPSILON).alias("epsilon_local"),
+    )
+
+
+_DP_SWEEP_SALT = "dp-sweep-v1|"
+_DP_SWEEP_EPS = (("e025", 0.25), ("e050", 0.5), ("e100", 1.0), ("e200", 2.0))
+_DP_SWEEP_ROWS = [
+    (eid, eps, k, lo, hi)
+    for eid, eps in _DP_SWEEP_EPS
+    for k, lo, hi in _dlap_threshold_rows(eps)
+]
+
+
+@register(
+    "dp_epsilon_error_sweep",
+    oracle=f"""
+WITH nt(eps_id, eps, dp_noise, lo, hi) AS (VALUES
+  {",".join(f"('{eid}', {eps}, {k}, {lo}, {hi})" for eid, eps, k, lo, hi in _DP_SWEEP_ROWS)}
+),
+cells AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS true_orders
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1
+),
+keyed AS (
+  SELECT e.eps_id, e.eps, cells.n_name, cells.true_orders,
+         {oracle_md5_int64(f"'{_DP_SWEEP_SALT}' || e.eps_id || '|' || cells.n_name")}
+           % {_DP_LATTICE} AS u
+  FROM cells CROSS JOIN (SELECT DISTINCT eps_id, eps FROM nt) e
+),
+noisy AS (
+  SELECT keyed.eps_id, keyed.eps,
+         abs(greatest(true_orders + nt.dp_noise, 0) - true_orders)
+           AS abs_err
+  FROM keyed JOIN nt
+    ON nt.eps_id = keyed.eps_id AND keyed.u >= nt.lo AND keyed.u < nt.hi
+),
+expe AS (
+  SELECT eps_id,
+         round(CAST(SUM(abs(dp_noise) * (hi - lo)) AS DOUBLE)
+               / {float(_DP_LATTICE)!r}, 6) AS expected_abs_noise
+  FROM nt GROUP BY 1
+)
+SELECT noisy.eps_id,
+       CAST(MAX(noisy.eps) AS DOUBLE) AS epsilon,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(abs_err) AS BIGINT) AS l1_err,
+       CAST(MAX(abs_err) AS BIGINT) AS max_abs_err,
+       round(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+       MAX(expe.expected_abs_noise) AS expected_abs_noise
+FROM noisy JOIN expe ON expe.eps_id = noisy.eps_id
+GROUP BY noisy.eps_id
+""",
+    doc="Privacy-utility operating curve for the discrete-Laplace count "
+    "release: the SAME per-nation order counts released at epsilon in "
+    "{0.25, 0.5, 1, 2} (independent hash salts per epsilon), with "
+    "realized L1 / max / mean absolute error per operating point "
+    "beside the mechanism's THEORETICAL expected |noise| — derived "
+    "in-engine from the same threshold table by exact integer "
+    "arithmetic (sum |k| * lattice-width / 2^52), so the 'am I "
+    "within spec' comparison needs no simulation.  This is the "
+    "epsilon-selection readout a release pipeline runs before "
+    "committing a budget — the DP sibling of lsh_candidate_cost_curve "
+    "(same shape: sweep the knob, price each setting, pick).  "
+    "Determinism: per-epsilon truncated-geometric CDFs precomputed as "
+    "integer thresholds (truncation bound B grows as ~1/eps: tighter "
+    "budgets genuinely carry wider noise support); draws are integer "
+    "compares on independent salted hash uniforms.  Scale shape: ONE "
+    "scan builds the 25-cell count grain; the sweep fans out 25 x 4 "
+    "metadata rows against a ~340-literal-row broadcast threshold "
+    "table — adding an epsilon costs nothing measurable at any data "
+    "scale.",
+    tags=("governance", "privacy", "agg"),
+)
+def dp_epsilon_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.inline import inline_rows
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_orders"))
+    )
+    nt = inline_rows(
+        spark,
+        [
+            (eid, float(eps), int(k), int(lo), int(hi))
+            for eid, eps, k, lo, hi in _DP_SWEEP_ROWS
+        ],
+        ["eps_id", "eps", "dp_noise", "lo", "hi"],
+    )
+    eps_frame = inline_rows(
+        spark,
+        [(eid, float(eps)) for eid, eps in _DP_SWEEP_EPS],
+        ["eps_id", "eps"],
+    )
+    u = md5_int64(
+        F.concat(
+            F.lit(_DP_SWEEP_SALT), F.col("eps_id"), F.lit("|"), F.col("n_name")
+        )
+    ) % F.lit(_DP_LATTICE)
+    keyed = cells.crossJoin(F.broadcast(eps_frame)).withColumn("u", u)
+    noisy = keyed.join(
+        F.broadcast(nt.withColumnRenamed("eps", "nt_eps")),
+        (keyed.eps_id == nt.eps_id)
+        & (F.col("u") >= F.col("lo"))
+        & (F.col("u") < F.col("hi")),
+    ).select(
+        keyed.eps_id.alias("eps_id"),
+        "eps",
+        F.abs(
+            F.greatest(F.col("true_orders") + F.col("dp_noise"), F.lit(0))
+            - F.col("true_orders")
+        ).alias("abs_err"),
+    )
+    expe = nt.groupBy("eps_id").agg(
+        F.round(
+            F.sum(F.abs(F.col("dp_noise")) * (F.col("hi") - F.col("lo")))
+            .cast("double")
+            / F.lit(float(_DP_LATTICE)),
+            6,
+        ).alias("expected_abs_noise")
+    )
+    return (
+        noisy.groupBy("eps_id")
+        .agg(
+            F.max("eps").alias("epsilon"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("abs_err").cast("long").alias("l1_err"),
+            F.max("abs_err").cast("long").alias("max_abs_err"),
+            F.round(
+                F.sum("abs_err").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_abs_err"),
+        )
+        .join(F.broadcast(expe), "eps_id")
+        .select(
+            "eps_id",
+            "epsilon",
+            "n_cells",
+            "l1_err",
+            "max_abs_err",
+            "mean_abs_err",
+            "expected_abs_noise",
+        )
+    )
+
+
+_DP_SUM_EPS = 1.0
+_DP_SUM_CLAMP = 150000  # per-order contribution bound C (currency units)
+_DP_SUM_UNIT = 7500  # release quantum q; sensitivity = C/q = 20 units
+_DP_SUM_DELTA = _DP_SUM_CLAMP // _DP_SUM_UNIT
+_DP_SUM_SALT = "dp-sum-v1|"
+_DP_SUM_ROWS = _dlap_threshold_rows(_DP_SUM_EPS, delta=_DP_SUM_DELTA)
+
+
+@register(
+    "dp_clamped_revenue_by_nation",
+    oracle=f"""
+WITH nt(dp_noise, lo, hi) AS (VALUES
+  {_dp_noise_values_sql(_DP_SUM_ROWS)}
+),
+cells AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN o_totalprice > {_DP_SUM_CLAMP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clamped,
+         CAST(SUM(CAST(floor(least(CAST(o_totalprice AS DOUBLE),
+                                   {_DP_SUM_CLAMP}) / {_DP_SUM_UNIT})
+                       AS BIGINT)) AS BIGINT) AS true_units
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1
+),
+keyed AS (
+  SELECT cells.*,
+         {oracle_md5_int64(f"'{_DP_SUM_SALT}' || n_name")} % {_DP_LATTICE}
+           AS u
+  FROM cells
+)
+SELECT n_name, n_orders, n_clamped, true_units,
+       CAST(nt.dp_noise AS BIGINT) AS dp_noise,
+       CAST(greatest(true_units + nt.dp_noise, 0) AS BIGINT) AS dp_units,
+       CAST(greatest(true_units + nt.dp_noise, 0) * {_DP_SUM_UNIT}
+            AS BIGINT) AS dp_revenue,
+       CAST(abs(greatest(true_units + nt.dp_noise, 0) - true_units)
+            AS BIGINT) AS abs_err_units,
+       CAST({_DP_SUM_CLAMP} AS BIGINT) AS clamp_bound,
+       CAST({_DP_SUM_UNIT} AS BIGINT) AS unit_size,
+       CAST({_DP_SUM_EPS} AS DOUBLE) AS epsilon
+FROM keyed JOIN nt ON keyed.u >= nt.lo AND keyed.u < nt.hi
+""",
+    doc="Central-DP revenue release per nation — the SUM member of the "
+    "mechanism set (dp_nation_order_counts releases counts; sums need "
+    "the two extra moves every real DP pipeline makes): (1) "
+    f"CONTRIBUTION CLAMPING — each order's value is capped at C = "
+    f"{_DP_SUM_CLAMP} so one record can move a cell by at most C "
+    "(unbounded values have unbounded sensitivity; the n_clamped "
+    "column prices the bias this buys), and (2) QUANTIZATION — "
+    f"clamped values floor-divide into q = {_DP_SUM_UNIT} units so "
+    f"sensitivity is the INTEGER C/q = {_DP_SUM_DELTA} and the "
+    "discrete-Laplace inverse-CDF stays on the exact integer lattice "
+    "(noise support +-489 units; no float touches the mechanism "
+    "anywhere).  Released value = clamped unit count + dLap(exp(-eps/"
+    f"{_DP_SUM_DELTA})) noise, clamped at 0 and scaled back by q.  "
+    "True units and error ride along as the calibration readout; the "
+    "releasable projection is (n_name, dp_revenue, epsilon, "
+    "clamp_bound, unit_size).  Scale shape: identical to the count "
+    "release — one map-side-combined agg to the 25-cell grain, one "
+    "~1000-literal-row broadcast threshold table, noise cost O(cells).",
+    tags=("governance", "privacy", "agg"),
+)
+def dp_clamped_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.functions.inline import inline_rows
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    units = F.floor(
+        F.least(
+            F.col("o_totalprice").cast("double"), F.lit(float(_DP_SUM_CLAMP))
+        )
+        / _DP_SUM_UNIT
+    ).cast("long")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            units.alias("un"),
+            (F.col("o_totalprice") > _DP_SUM_CLAMP).alias("cl"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("cl"), 1).otherwise(0)).alias("n_clamped"),
+            F.sum("un").alias("true_units"),
+        )
+    )
+    nt = inline_rows(
+        spark,
+        [(int(k), int(lo), int(hi)) for k, lo, hi in _DP_SUM_ROWS],
+        ["dp_noise", "lo", "hi"],
+    )
+    u = md5_int64(F.concat(F.lit(_DP_SUM_SALT), F.col("n_name"))) % F.lit(
+        _DP_LATTICE
+    )
+    dp_units = F.greatest(
+        F.col("true_units") + F.col("dp_noise"), F.lit(0)
+    ).cast("long")
+    return (
+        cells.withColumn("u", u)
+        .join(
+            F.broadcast(nt),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select(
+            "n_name",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_clamped").cast("long").alias("n_clamped"),
+            F.col("true_units").cast("long").alias("true_units"),
+            F.col("dp_noise").cast("long").alias("dp_noise"),
+            dp_units.alias("dp_units"),
+            (dp_units * _DP_SUM_UNIT).cast("long").alias("dp_revenue"),
+            F.abs(dp_units - F.col("true_units"))
+            .cast("long")
+            .alias("abs_err_units"),
+            F.lit(_DP_SUM_CLAMP).cast("long").alias("clamp_bound"),
+            F.lit(_DP_SUM_UNIT).cast("long").alias("unit_size"),
+            F.lit(float(_DP_SUM_EPS)).alias("epsilon"),
+        )
+    )

@@ -3370,6 +3370,124 @@ def embedding_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Prototype-based density pruning (Sorscher et al. 2022 shape)
+# --------------------------------------------------------------------------
+
+# Fraction of each cluster to prune, most-prototypical first.  Sorscher
+# et al. ("Beyond neural scaling laws", 2022): with abundant data, the
+# EASY examples — those closest to their cluster prototype — carry the
+# least marginal signal, so pruning them first beats random pruning.
+_DENSITY_PRUNE_FRAC = 0.30
+
+
+def _density_prune_oracle_sql() -> str:
+    return f"""
+WITH {_oracle_spherical_ctes(_KM_K, _KM_ROUNDS)},
+g AS (
+  SELECT cent_id, sim, COUNT(*) AS c FROM a{_KM_ROUNDS} GROUP BY 1, 2
+),
+t AS (SELECT cent_id, CAST(SUM(c) AS BIGINT) AS n_members FROM g GROUP BY 1),
+r AS (
+  SELECT g.cent_id, g.sim, g.c,
+         SUM(g.c) OVER (PARTITION BY g.cent_id ORDER BY g.sim DESC) AS run,
+         CAST(floor(t.n_members * {_DENSITY_PRUNE_FRAC}) AS BIGINT) AS target,
+         t.n_members
+  FROM g JOIN t ON t.cent_id = g.cent_id
+)
+SELECT cent_id AS cluster,
+       CAST(MAX(n_members) AS BIGINT) AS n_members,
+       CAST(COALESCE(SUM(c) FILTER (WHERE run <= target), 0) AS BIGINT)
+         AS n_pruned,
+       CAST(MAX(n_members)
+            - COALESCE(SUM(c) FILTER (WHERE run <= target), 0) AS BIGINT)
+         AS n_kept,
+       MIN(sim) FILTER (WHERE run <= target) AS prune_threshold_sim,
+       round(CAST(SUM(CAST(sim AS DECIMAL(18,6)) * c)
+                    FILTER (WHERE run <= target) AS DOUBLE)
+             / NULLIF(SUM(c) FILTER (WHERE run <= target), 0), 6)
+         AS avg_sim_pruned,
+       round(CAST(SUM(CAST(sim AS DECIMAL(18,6)) * c)
+                    FILTER (WHERE run > target) AS DOUBLE)
+             / NULLIF(SUM(c) FILTER (WHERE run > target), 0), 6)
+         AS avg_sim_kept
+FROM r GROUP BY cent_id ORDER BY cluster
+"""
+
+
+@register(
+    "density_prune_plan",
+    oracle=_density_prune_oracle_sql(),
+    doc="Prototype-based density pruning plan (Sorscher et al. 2022, "
+    "'Beyond neural scaling laws'): within each spherical-k-means "
+    "cluster, rank members by cosine to their centroid and mark the "
+    f"top {_DENSITY_PRUNE_FRAC:.0%} MOST prototypical for pruning — "
+    "the data-abundant regime's winning strategy (easy examples near "
+    "the prototype are redundant; keep the hard tail).  Completes the "
+    "data-selection shelf next to semdedup_clusters (which drops "
+    "near-DUPLICATES; this thins DENSITY) and dsir_importance (which "
+    "reweights by target domain).  Emits the per-cluster operating "
+    "report: members, pruned/kept counts, the cosine threshold at the "
+    "cut, and mean cosine on each side.  Determinism: consumes the "
+    "session-memoized fixed-round Lloyd assignment (6dp sims, the "
+    "embedding_kmeans_spherical artifact — training cost is shared, "
+    "not repaid); the cut is GROUP-granular over the collapsed "
+    "(cluster, sim) frame — a sim-tie group is pruned only if it fits "
+    "entirely under floor(frac * n) — so no row-level tie-break can "
+    "diverge across engines.  Scale shape: one (cluster x sim) "
+    "aggregation with map-side partials collapses the corpus to a "
+    "value-domain-bounded frame (6dp cosines in [-1, 1] cap distinct "
+    "sims at ~2e6 per cluster regardless of corpus size — the score-"
+    "bucket idiom); the running sum windows over THAT collapsed frame "
+    "partitioned by cluster, never over corpus rows; final readout is "
+    "k rows.",
+    tags=("llm", "similarity", "curation", "vector"),
+)
+def density_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, assign, _fp = _lloyd_artifacts(spark, sf_dir, _KM_K, _KM_ROUNDS)
+    g = assign.groupBy("cent_id", "sim").agg(F.count(F.lit(1)).alias("c"))
+    tot = assign.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    w = Window.partitionBy("cent_id").orderBy(F.col("sim").desc())
+    r = (
+        g.withColumn("run", F.sum("c").over(w))
+        .join(tot, "cent_id")
+        .withColumn(
+            "target",
+            F.floor(F.col("n_members") * F.lit(_DENSITY_PRUNE_FRAC)),
+        )
+        .withColumn("pruned", F.col("run") <= F.col("target"))
+    )
+    sim_dec = F.col("sim").cast("decimal(18,6)") * F.col("c")
+    pruned_c = F.sum(F.when(F.col("pruned"), F.col("c")))
+    kept_c = F.sum(F.when(~F.col("pruned"), F.col("c")))
+    return (
+        r.groupBy(F.col("cent_id").alias("cluster"))
+        .agg(
+            F.max("n_members").cast("long").alias("n_members"),
+            F.coalesce(pruned_c, F.lit(0)).cast("long").alias("n_pruned"),
+            (
+                F.max("n_members") - F.coalesce(pruned_c, F.lit(0))
+            ).cast("long").alias("n_kept"),
+            F.min(F.when(F.col("pruned"), F.col("sim"))).alias(
+                "prune_threshold_sim"
+            ),
+            F.round(
+                F.sum(F.when(F.col("pruned"), sim_dec)).cast("double")
+                / pruned_c,
+                6,
+            ).alias("avg_sim_pruned"),
+            F.round(
+                F.sum(F.when(~F.col("pruned"), sim_dec)).cast("double")
+                / kept_c,
+                6,
+            ).alias("avg_sim_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def _spherical_lloyd(em: DataFrame, k: int, rounds: int):
     """The in-engine spherical k-means training loop shared by the
     hash-checked embedding_kmeans_spherical query and the frozen-index

@@ -397,3 +397,55 @@ def test_two_phase_helper_output_stats_keep_broadcast_alive(spark):
     summed, _t = global_running_sum_with_total(base, ["id"], "v")
     plan = formatted_plan(dim.crossJoin(summed))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_inline_rows_sql_fast_path_matches_column_path(spark):
+    """The selectExpr fast path must produce the SAME schema and rows
+    as the F.lit struct fallback for every scalar-cell shape (the
+    fallback stays authoritative for Decimal/None/array cells)."""
+    from mapreducer_spark.functions import inline as il
+
+    cases = [
+        # (rows, names) — int promotion, floats, strings w/ escapes, bools
+        ([(1, 2), (3, 4)], ["a", "b"]),
+        ([(-5, 2**52), (7, 0)], ["k", "big"]),  # bigint promotion
+        ([(0.25, 1), (1e-9, 2)], ["f", "i"]),  # mixed float+int column
+        ([("x'y", 1.5), ("a\\b", -2.0)], ["s", "v"]),
+        ([(True, "t"), (False, "u")], ["flag", "tag"]),
+    ]
+    for rows, names in cases:
+        sql_sql = il._render_sql_cells(rows, names)
+        assert sql_sql is not None, rows
+        fast = spark.range(1).selectExpr(f"inline(array({sql_sql}))")
+        import pyspark.sql.functions as F
+
+        slow = (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                *[
+                                    F.lit(v).alias(n)
+                                    for v, n in zip(row, names)
+                                ]
+                            )
+                            for row in rows
+                        ]
+                    )
+                ).alias("__s")
+            )
+            .select(*[F.col(f"__s.{n}").alias(n) for n in names])
+        )
+        assert fast.schema == slow.schema, (rows, fast.schema, slow.schema)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+    # cells the fast path must refuse (fallback handles them)
+    from decimal import Decimal
+
+    assert il._render_sql_cells([(Decimal("1.5"), 1)], ["d", "i"]) is None
+    assert il._render_sql_cells([(None, 1)], ["n", "i"]) is None
+    assert il._render_sql_cells([(float("nan"), 1)], ["f", "i"]) is None
+    assert il._render_sql_cells([(1,), ("x",)], ["m"]) is None

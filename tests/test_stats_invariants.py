@@ -297,3 +297,100 @@ def test_fixed6_quantize_cross_engine_and_sum_exactness(spark):
         ).collect()
     }
     assert g_one == g_many
+
+
+def test_dlap_thresholds_partition_the_lattice():
+    """The inverse-CDF threshold table must tile [0, 2^52) exactly —
+    contiguous, gap-free, full coverage — for EVERY epsilon in use, and
+    the implied pmf must be symmetric and unimodal (discrete Laplace).
+    A mis-tiled table silently biases every DP release."""
+    from mapreducer_spark.operators.profiling import (
+        _DP_LATTICE,
+        _DP_SWEEP_EPS,
+        _dlap_threshold_rows,
+    )
+
+    for _, eps in _DP_SWEEP_EPS:
+        rows = _dlap_threshold_rows(eps)
+        assert rows[0][1] == 0 and rows[-1][2] == _DP_LATTICE
+        for (_, _, hi_prev), (_, lo, _) in zip(rows, rows[1:]):
+            assert lo == hi_prev  # contiguous, no gap, no overlap
+        ks = [k for k, _, _ in rows]
+        assert ks == sorted(ks) and ks == [-k for k in reversed(ks)]
+        widths = {k: hi - lo for k, lo, hi in rows}
+        # symmetric up to the cumulative-float-rounding drift of the
+        # running CDF (a handful of lattice units out of 2^52 — the
+        # bound is RELATIVE, the tiling above is what must be exact);
+        # peak at 0
+        for k in ks:
+            if k > 0:
+                assert abs(widths[k] - widths[-k]) <= 4 + widths[k] * 1e-4
+                assert widths[k] <= widths[0]
+        # tighter budgets carry wider noise support
+    bounds = [max(k for k, _, _ in _dlap_threshold_rows(e)) for _, e in _DP_SWEEP_EPS]
+    assert bounds == sorted(bounds, reverse=True)
+
+
+def test_dp_count_release_error_within_support(spark, sf_dir):
+    """Every realized DP error is bounded by the truncation bound B of
+    its mechanism, and the clamp keeps releases nonnegative."""
+    from mapreducer_spark.operators.profiling import _DP_COUNT_ROWS
+
+    b_bound = max(k for k, _, _ in _DP_COUNT_ROWS)
+    for r in _rows(spark, sf_dir, "dp_nation_order_counts"):
+        assert r.dp_orders >= 0
+        assert abs(r.dp_noise) <= b_bound
+        assert r.abs_err <= max(b_bound, r.true_orders)
+
+    for r in _rows(spark, sf_dir, "dp_epsilon_error_sweep"):
+        assert r.n_cells == 25
+        assert 0 <= r.mean_abs_err
+        assert r.max_abs_err <= r.l1_err
+        assert r.expected_abs_noise > 0
+
+
+def test_local_dp_debiasing_identity(spark, sf_dir):
+    """The randomized-response estimator must invert the mechanism
+    algebraically: debiased == (reported_share - f) / (1 - 2f) and the
+    shares must reconcile with the integer counts."""
+    for r in _rows(spark, sf_dir, "local_dp_urgent_share"):
+        assert 0 <= r.true_urgent <= r.n_orders
+        assert 0 <= r.reported_urgent <= r.n_orders
+        est = (r.reported_urgent / r.n_orders - 0.25) / 0.5
+        assert abs(r.debiased_share - est) < 1e-6
+
+
+def test_density_prune_accounting(spark, sf_dir):
+    """Pruned + kept == members; the cut never exceeds the target
+    fraction (group-granular cut can only UNDERSHOOT); pruned side is
+    the more-prototypical side (higher mean cosine than kept)."""
+    from mapreducer_spark.operators.similarity import _DENSITY_PRUNE_FRAC
+
+    rows = _rows(spark, sf_dir, "density_prune_plan")
+    assert rows  # every gate fixture has nonempty clusters
+    for r in rows:
+        assert r.n_pruned + r.n_kept == r.n_members
+        assert r.n_pruned <= int(r.n_members * _DENSITY_PRUNE_FRAC)
+        if r.n_pruned and r.n_kept:
+            assert r.avg_sim_pruned >= r.avg_sim_kept
+            assert r.avg_sim_pruned >= r.prune_threshold_sim
+
+
+def test_dp_clamped_sum_release_reconciles(spark, sf_dir):
+    """Clamped-sum DP release: dp_revenue is exactly dp_units * q,
+    noise stays within the mechanism's truncation support, releases
+    are nonnegative, and clamping is visible (n_clamped <= n_orders,
+    true_units <= n_orders * C/q)."""
+    from mapreducer_spark.operators.profiling import (
+        _DP_SUM_DELTA,
+        _DP_SUM_ROWS,
+        _DP_SUM_UNIT,
+    )
+
+    b_bound = max(k for k, _, _ in _DP_SUM_ROWS)
+    for r in _rows(spark, sf_dir, "dp_clamped_revenue_by_nation"):
+        assert r.dp_revenue == r.dp_units * _DP_SUM_UNIT
+        assert r.dp_units >= 0
+        assert abs(r.dp_noise) <= b_bound
+        assert 0 <= r.n_clamped <= r.n_orders
+        assert r.true_units <= r.n_orders * _DP_SUM_DELTA
