@@ -192,6 +192,32 @@ def cmd_monitor_seasonal(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_monitor_dp_counts(args: argparse.Namespace) -> int:
+    """Run the streaming DP count monitor (availableNow) and print the
+    current release — the operational twin of the dp_nation_order_counts
+    mechanism over streaming event-type counts: every drain folds new
+    events into the batch-keyed state, draws FRESH hash noise for the
+    new release index through the shared dp_count_release algebra, and
+    reports the sequential-composition budget spent so far."""
+    from mapreducer_spark.streaming.jobs import (
+        read_events_stream,
+        run_dp_count_monitor,
+    )
+
+    spark = _get_spark(args)
+    run_dp_count_monitor(
+        read_events_stream(spark, args.sf_dir),
+        args.state_dir,
+        args.report_dir,
+        args.checkpoint,
+        eps_per_release=args.eps_per_release,
+    )
+    report = spark.read.parquet(args.report_dir)
+    for row in sorted(report.collect(), key=lambda r: r.event_type):
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    return 0
+
+
 def cmd_snapshot_diff(args: argparse.Namespace) -> int:
     from mapreducer_spark.sources.snapshots import snapshot_diff
 
@@ -521,6 +547,19 @@ def main(argv: list[str] | None = None) -> int:
     mc.add_argument("report_dir", help="current change-point report")
     mc.add_argument("--checkpoint", required=True)
     mc.set_defaults(fn=cmd_monitor_changepoints)
+
+    dpm = sub.add_parser(
+        "monitor-dp-counts",
+        help="streaming DP count release: fold new events into the "
+        "batch-keyed state, release per-event-type counts with fresh "
+        "discrete-Laplace noise, and account the epsilon budget spent",
+    )
+    dpm.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    dpm.add_argument("state_dir", help="batch-keyed count partials table")
+    dpm.add_argument("report_dir", help="current DP release + budget")
+    dpm.add_argument("--checkpoint", required=True)
+    dpm.add_argument("--eps-per-release", type=float, default=1.0)
+    dpm.set_defaults(fn=cmd_monitor_dp_counts)
 
     sh = sub.add_parser(
         "snapshot-history", help="list a snapshot table's versions"

@@ -3694,3 +3694,44 @@ def dp_clamped_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(_DP_SUM_EPS)).alias("epsilon"),
         )
     )
+
+
+def dp_count_release(
+    counts: DataFrame, key_col: str, salt: str
+) -> DataFrame:
+    """The discrete-Laplace count-release algebra as a reusable step —
+    the mechanism of dp_nation_order_counts factored over any
+    (key, true_count) frame: eps=1 integer noise by inverse CDF over
+    the salted cross-engine hash uniform, post-processing clamp at 0.
+    The streaming DP monitor (streaming/jobs.py::run_dp_count_monitor)
+    re-derives its per-batch releases through THIS function, so batch
+    and stream releases are one code path.  The salt is the release's
+    identity: a continual-observation pipeline salts each release
+    distinctly and pays for it under sequential composition."""
+    from mapreducer_spark.functions.inline import inline_rows
+
+    spark = counts.sparkSession
+    nt = inline_rows(
+        spark,
+        [(int(k), int(lo), int(hi)) for k, lo, hi in _DP_COUNT_ROWS],
+        ["dp_noise", "lo", "hi"],
+    )
+    u = md5_int64(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ) % F.lit(_DP_LATTICE)
+    dp = F.greatest(
+        F.col("true_count") + F.col("dp_noise"), F.lit(0)
+    ).cast("long")
+    return (
+        counts.withColumn("u", u)
+        .join(
+            F.broadcast(nt),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select(
+            key_col,
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("dp_noise").cast("long").alias("dp_noise"),
+            dp.alias("dp_count"),
+        )
+    )

@@ -1222,3 +1222,77 @@ def run_quantile_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def run_dp_count_monitor(
+    events_stream: DataFrame,
+    state_dir: str,
+    report_dir: str,
+    checkpoint: str,
+    eps_per_release: float = 1.0,
+) -> None:
+    """Streaming DP telemetry: per-event-type counts maintained as
+    batch-keyed partials and RELEASED each micro-batch through the
+    discrete-Laplace count-release algebra (the exact code path of the
+    batch mechanism — operators/profiling.py::dp_count_release), with
+    sequential-composition budget accounting: release R salts its noise
+    by R, so every release draws FRESH noise over the cumulative counts
+    and the report carries eps_spent_total = R * eps_per_release — the
+    monitor prices its own continual-observation cost instead of
+    pretending re-releases are free.
+
+    Replay contract: counts are a non-idempotent SUM fold, so partials
+    are keyed by batch_id and a replayed batch REPLACES its own rows
+    (the quantile monitor's contract).  The release index is the
+    distinct-batch count of the state — a replayed batch reproduces the
+    same index, the same salt, and therefore the byte-identical report
+    (noise is a hash, not an RNG: crash-replay can never double-spend
+    the budget or re-roll the noise).  State grain is (batch,
+    event_type) — domain-bounded; the report is one row per event type.
+    """
+    from mapreducer_spark.operators.profiling import dp_count_release
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(batch_id).alias("batch_id"), "event_type", "n")
+        )
+        prev = _monitor_prev_state(spark, state_dir)
+        state = (
+            partial
+            if prev is None
+            else prev.where(F.col("batch_id") != batch_id).unionByName(
+                partial
+            )
+        )
+        _monitor_swap_write(state, state_dir, batch_id)
+        st = spark.read.parquet(state_dir)
+        n_releases = st.select("batch_id").distinct().count()
+        totals = st.groupBy("event_type").agg(
+            F.sum("n").cast("long").alias("true_count")
+        )
+        report = dp_count_release(
+            totals, "event_type", f"dp-monitor-v1|{n_releases}|"
+        ).select(
+            "event_type",
+            "true_count",
+            "dp_noise",
+            "dp_count",
+            F.lit(n_releases).cast("long").alias("releases_so_far"),
+            F.lit(float(eps_per_release)).alias("eps_per_release"),
+            F.lit(float(n_releases * eps_per_release)).alias(
+                "eps_spent_total"
+            ),
+        )
+        _monitor_swap_write(report, report_dir, batch_id)
+
+    q = (
+        events_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
