@@ -46,6 +46,8 @@ PICKS = [
     ("bloom_decontamination", "bloom bitmap: bit_or build, broadcast probe, map-side membership"),
     ("cdc_chunk_dedup", "CDC: map-side boundary flags, narrow explode, prefix-sum + chunk-hash shuffles"),
     ("incremental_neardup_pairs", "delta dedup: new-side postings x full index, no old-old branch"),
+    ("dp_nation_order_counts", "DP release: 25-cell agg + broadcast threshold BNLJ, noise O(cells)"),
+    ("density_prune_plan", "density prune: collapsed (cluster, sim) frame, value-domain-bounded window"),
     ("substring_dedup_spans", "ExactSubstr spans: one hash-window shuffle + doc-keyed islands, agg reuses window partitioning"),
     ("incremental_substring_spans", "delta substring dedup: delta shingles probe frozen old index"),
     ("doc_trigram_perplexity", "3-level Stupid Backoff: all model tables broadcast, corpus never shuffles"),
