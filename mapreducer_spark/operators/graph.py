@@ -797,9 +797,9 @@ ORDER BY nodes.k
 def copurchase_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = copurchase_sym_edges(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ks = spark.createDataFrame(
-        [(k,) for k in _RICH_CLUB_KS], "k int"
-    )
+    from mapreducer_spark.functions.inline import inline_rows
+
+    ks = inline_rows(spark, [(int(k),) for k in _RICH_CLUB_KS], ["k"])
     club = ks.join(deg, deg.deg > ks.k).select("k", "src")
     club = club.localCheckpoint(eager=True)
     nodes = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_club"))

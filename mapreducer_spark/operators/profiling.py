@@ -1168,7 +1168,9 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_all).alias("n"),
         F.sum(xc).over(w_all).alias("s"),
     )
-    d = spark.createDataFrame([(i,) for i in range(1, 11)], "decile int")
+    from mapreducer_spark.functions.inline import inline_rows
+
+    d = inline_rows(spark, [(i,) for i in range(1, 11)], ["decile"])
     kd = F.floor((F.col("decile") * F.col("n") + 9) / 10.0).cast("long")
     return (
         r.join(

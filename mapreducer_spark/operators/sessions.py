@@ -551,17 +551,22 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = gaps.groupBy("g").agg(
         F.sum("ev").cast("long").alias("d"), F.count(F.lit(1)).alias("c")
     )
-    tot = ev.agg(F.sum("c").alias("total"))
-    # Day-domain-bounded frame (~2400 rows): the single-partition
-    # cumulative window is over the collapsed gap values, not the rows.
-    wrk = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
-    rk = ev.crossJoin(F.broadcast(tot)).select(
+    # Risk sets via the two-phase distributed prefix sum: the gap-value
+    # grid is day-domain-bounded but DATA-dimension (it widens with the
+    # fixture's date span — 3012 distinct gaps at 10x, past the
+    # single-partition window budget), so a global Window.orderBy would
+    # collapse it into one task.  The helper range-partitions on g and
+    # returns the inclusive running count plus the grand total in one
+    # pass; n_risk = total - (everything strictly before g).
+    from mapreducer_spark.functions.agg import global_running_sum_with_total
+
+    summed, total = global_running_sum_with_total(
+        ev, ["g"], "c", out_name="cum_c", sum_cast="long"
+    )
+    rk = summed.select(
         "g",
         "d",
-        (
-            F.col("total")
-            - F.coalesce(F.sum("c").over(wrk), F.lit(0))
-        ).alias("n_risk"),
+        (F.lit(int(total)) - (F.col("cum_c") - F.col("c"))).alias("n_risk"),
     )
     terms = rk.where(F.col("d") > 0).select(
         "g",
@@ -579,9 +584,9 @@ def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
         F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0).alias("dead"),
     )
-    h = spark.createDataFrame(
-        [(k,) for k in _KM_HORIZONS], "horizon int"
-    )
+    from mapreducer_spark.functions.inline import inline_rows
+
+    h = inline_rows(spark, [(int(k),) for k in _KM_HORIZONS], ["horizon"])
     return (
         h.join(terms, terms.g <= h.horizon, "left")
         .groupBy("horizon")

@@ -2279,7 +2279,9 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_all).alias("n"),
         F.count(F.lit(1)).over(w_all).alias("v"),
     )
-    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
+    from mapreducer_spark.functions.inline import inline_rows
+
+    ks = inline_rows(spark, [(int(k),) for k in _COVERAGE_KS], ["k"])
     return (
         r.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
         .groupBy("k")
