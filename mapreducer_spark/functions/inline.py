@@ -59,6 +59,24 @@ def _render_sql_cells(rows: list[tuple], names: list[str]) -> str | None:
         elif all(isinstance(v, int) for v in vals):
             suffix = "L" if any(abs(v) > 2**31 - 1 for v in vals) else ""
             rendered.append([f"{v}{suffix}" for v in vals])
+        elif all(
+            isinstance(v, (list, tuple))
+            and all(
+                isinstance(x, (int, float))
+                and not isinstance(x, bool)
+                and math.isfinite(x)
+                for x in v
+            )
+            for v in vals
+        ):
+            # array<double> cells (centroid/codebook literals): every
+            # element renders as a D-suffixed double literal.
+            rendered.append(
+                [
+                    "array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")"
+                    for v in vals
+                ]
+            )
         else:
             return None
     return ", ".join(

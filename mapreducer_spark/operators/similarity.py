@@ -632,7 +632,9 @@ def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> Da
     model = km.fit(vecs)
     centers = model.clusterCenters()
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
-    return em.sparkSession.createDataFrame(rows, "cent_id int, cent_v array<double>")
+    from mapreducer_spark.functions.inline import inline_rows
+
+    return inline_rows(em.sparkSession, rows, ["cent_id", "cent_v"])
 
 
 @register(
@@ -3758,9 +3760,12 @@ def ann_index_ari_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     em_raw = load_table(spark, sf_dir, "embeddings")
     em = em_raw.select("vec_id", F.col("embedding").alias("v"))
     cl = _centroid_list(em_raw, sf_dir)  # frozen when fresh, else live
-    cents = spark.createDataFrame(
+    from mapreducer_spark.functions.inline import inline_rows
+
+    cents = inline_rows(
+        spark,
         [(int(i), [float(x) for x in v]) for i, v in cl],
-        "cent_id int, cv array<double>",
+        ["cent_id", "cv"],
     )
     sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
     # Same map-side-combinable argmax as _spherical_lloyd (r10): the

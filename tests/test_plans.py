@@ -412,6 +412,7 @@ def test_inline_rows_sql_fast_path_matches_column_path(spark):
         ([(0.25, 1), (1e-9, 2)], ["f", "i"]),  # mixed float+int column
         ([("x'y", 1.5), ("a\\b", -2.0)], ["s", "v"]),
         ([(True, "t"), (False, "u")], ["flag", "tag"]),
+        ([([0.5, -1.0], 1), ([2.0, 3.5], 2)], ["arr", "i"]),  # array<double>
     ]
     for rows, names in cases:
         sql_sql = il._render_sql_cells(rows, names)
@@ -449,3 +450,30 @@ def test_inline_rows_sql_fast_path_matches_column_path(spark):
     assert il._render_sql_cells([(None, 1)], ["n", "i"]) is None
     assert il._render_sql_cells([(float("nan"), 1)], ["f", "i"]) is None
     assert il._render_sql_cells([(1,), ("x",)], ["m"]) is None
+
+
+def test_no_python_worker_literal_frames_in_operators():
+    """Structural kill for the per-query Python-worker literal-frame
+    class: `spark.createDataFrame(rows)` inside an operator pays ~1 s
+    of pyspark interpreter spin-up PER QUERY INVOCATION (measured on
+    the IVF index frame, SURVEY r4; re-measured on the coverage-ks
+    frame, r10).  Literal tables must go through
+    functions/inline.py::inline_rows (JVM-only, one parse) — the only
+    allowed createDataFrame is the EMPTY-frame idiom (no rows, no
+    worker task), used by streaming first-batch states."""
+    import pathlib
+
+    ops_dir = (
+        pathlib.Path(__file__).resolve().parents[1] / "mapreducer_spark"
+    )
+    offenders = []
+    for path in sorted(ops_dir.rglob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if "createDataFrame" not in line or line.strip().startswith("#"):
+                continue
+            if "createDataFrame([]" in line:  # empty-frame idiom
+                continue
+            if path.name == "inline.py" and "``" in line:  # its own docstring
+                continue
+            offenders.append(f"{path.relative_to(ops_dir)}:{i}: {line.strip()}")
+    assert not offenders, offenders
