@@ -3737,3 +3737,47 @@ def dp_count_release(
             dp.alias("dp_count"),
         )
     )
+
+
+_DP_MONITOR_SALT_1 = "dp-monitor-v1|1|"  # the monitor's first release
+
+
+@register(
+    "dp_event_type_counts",
+    oracle=f"""
+WITH nt(dp_noise, lo, hi) AS (VALUES
+  {_dp_noise_values_sql(_DP_COUNT_ROWS)}
+),
+cells AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY 1
+),
+keyed AS (
+  SELECT event_type, true_count,
+         {oracle_md5_int64(f"'{_DP_MONITOR_SALT_1}' || event_type")}
+           % {_DP_LATTICE} AS u
+  FROM cells
+)
+SELECT event_type, true_count,
+       CAST(nt.dp_noise AS BIGINT) AS dp_noise,
+       CAST(greatest(true_count + nt.dp_noise, 0) AS BIGINT) AS dp_count
+FROM keyed JOIN nt ON keyed.u >= nt.lo AND keyed.u < nt.hi
+""",
+    doc="Hash-gate twin of the streaming DP monitor's FIRST release: "
+    "dp_count_release applied to the full events table per event type "
+    "under the monitor's release-1 salt — byte-identical to what "
+    "run_dp_count_monitor reports after one micro-batch that drained "
+    "everything.  This closes the monitor's correctness loop: the "
+    "parity test pins stream-vs-batch equality of the shared algebra, "
+    "and THIS query pins that algebra itself to the DuckDB oracle "
+    "hash, so the monitor's output is oracle-checked by composition.  "
+    "Scale shape: one map-side-combined count to the event-type grain "
+    "+ the 45-literal-row broadcast threshold table.",
+    tags=("governance", "privacy", "streaming", "agg"),
+)
+def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return dp_count_release(cells, "event_type", _DP_MONITOR_SALT_1)
