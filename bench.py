@@ -80,7 +80,25 @@ def main() -> None:
 
     import gc
 
-    for i, (name, q) in enumerate(sorted(queries.items())):
+    from mapreducer_spark.functions.memo import clear_session_caches
+
+    # Per-query numbers are COLD: session memos (shared pair graphs, BPE
+    # segmentation, Lloyd artifacts, ...) are cleared before every timed
+    # query, so each value is that query's own cost, reproducible under
+    # any execution order (VERDICT r10 #2 — a memo warmed by an earlier
+    # query made neardup_clusters read 0.143 s, an ordering artifact the
+    # 2x gate then consumed).  SPARK_GRAFT_BENCH_ORDER=shuffled:<seed>
+    # runs the same set in a seeded shuffle for the order-independence A/B.
+    ordered = sorted(queries.items())
+    order_env = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "")
+    if order_env.startswith("shuffled"):
+        import random
+
+        seed = int(order_env.split(":")[1]) if ":" in order_env else 0
+        random.Random(seed).shuffle(ordered)
+
+    for i, (name, q) in enumerate(ordered):
+        clear_session_caches()
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

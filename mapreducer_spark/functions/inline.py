@@ -40,12 +40,14 @@ def _render_sql_cells(rows: list[tuple], names: list[str]) -> str | None:
         elif any(isinstance(v, bool) for v in vals):
             return None
         elif all(isinstance(v, str) for v in vals):
-            rendered.append(
-                [
-                    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-                    for v in vals
-                ]
-            )
+            # Doubled '' is a valid quote escape under BOTH values of
+            # spark.sql.parser.escapedStringLiterals; backslash handling
+            # is mode-dependent (escape char by default, literal when the
+            # conf is set), so any backslash-bearing string takes the
+            # Column fallback rather than risking a silent value change.
+            if any("\\" in v for v in vals):
+                return None
+            rendered.append(["'" + v.replace("'", "''") + "'" for v in vals])
         elif any(isinstance(v, str) for v in vals):
             return None
         elif any(isinstance(v, float) for v in vals):
@@ -61,6 +63,13 @@ def _render_sql_cells(rows: list[tuple], names: list[str]) -> str | None:
             rendered.append([f"{v}{suffix}" for v in vals])
         elif all(
             isinstance(v, (list, tuple))
+            # Non-empty with >=1 float per cell: an int-only cell would
+            # render array<double> here while the F.lit fallback types it
+            # as an integer array, and an empty cell renders `array()`
+            # (array<string>) — both schema drifts from the documented
+            # identical-results contract, so they take the fallback.
+            and len(v) > 0
+            and any(isinstance(x, float) for x in v)
             and all(
                 isinstance(x, (int, float))
                 and not isinstance(x, bool)

@@ -43,3 +43,24 @@ def session_memo(
     df = build().localCheckpoint(eager=True)
     _CACHE[full_key] = df
     return df
+
+
+def clear_session_caches() -> None:
+    """Drop EVERY session-scoped derived-frame cache in the package —
+    this module's memo plus the two module-local dicts with the same
+    app-keyed contract (graph._SYM_EDGE_CACHE, textstats._BPE_CACHE).
+
+    For bench harnesses: a per-query timing taken after another query
+    warmed a shared memo is an ordering artifact, not a cost statement
+    (VERDICT r10 #2 — neardup_clusters read 0.143 s only because
+    corpus_after_neardup_dedup ran first).  bench.py clears before
+    every timed query so each number is the query's own COLD cost and
+    the set is reproducible under a shuffled execution order.
+    Production sessions never call this; the memo exists precisely so
+    the second consumer in a real session gets the frame for free.
+    """
+    from mapreducer_spark.operators import graph, textstats
+
+    _CACHE.clear()
+    graph._SYM_EDGE_CACHE.clear()
+    textstats._BPE_CACHE.clear()

@@ -141,8 +141,13 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "gram")
         .distinct()
     )
+    # bench is UNHINTED (r11 hinted-broadcast budget): its size is the
+    # BENCHMARK's, fixed by contract in production but fixture-grown
+    # here (1.4k grams at sf0.01, ~10x per scale step) — the planner
+    # auto-broadcasts it while small, so the map-side-join shape in the
+    # doc above still holds wherever the eval set actually is small.
     return (
-        train.join(F.broadcast(bench), "gram")
+        train.join(bench, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )

@@ -361,8 +361,13 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = Window.partitionBy("user_a").orderBy(F.col("sim").desc(), F.col("user_b"))
+    # b is UNHINTED (r11 hinted-broadcast budget): the profile frame is
+    # per-user (a grower); under the _MAX_EXACT_PROFILE_USERS guard it
+    # stays small in bytes, so the planner picks the broadcast
+    # nested-loop on its own — the guard, not a forced hint, is what
+    # bounds this deliberately-O(U^2) reference twin.
     return (
-        a.crossJoin(F.broadcast(b))
+        a.crossJoin(b)
         .where(F.col("user_a") != F.col("user_b"))
         .select("user_a", "user_b", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))

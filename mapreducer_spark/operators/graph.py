@@ -262,14 +262,19 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = F.round(F.col("rank") / F.col("deg"), _PR_ROUND).cast(
             "decimal(28,14)"
         )
-        # Broadcast path: no per-round checkpoint — the 5 rounds chain as
-        # nested broadcast builds inside ONE action, each executing
-        # exactly once (11.3s -> 4.2s at sf0.1).  A long-horizon loop
-        # (CC-style until-fixpoint) would checkpoint every few rounds to
-        # bound lineage instead — see connected_components.
-        rank_side = F.broadcast(ranks) if use_broadcast else ranks
+        # Broadcast-regime path: no per-round checkpoint — the 5 rounds
+        # chain as nested builds inside ONE action, each executing
+        # exactly once (11.3s -> 4.2s at sf0.1).  The rank vector is
+        # UNHINTED (r11 hinted-broadcast budget): it is a per-vertex
+        # grower, and ranks comes off a shuffle stage whose exact size
+        # AQE knows, so the planner broadcasts it while it fits the
+        # bytes threshold and degrades to a shuffle join on its own —
+        # the guard below only chooses the CHECKPOINT strategy (a
+        # shuffle-join regime needs per-round lineage bounding).  A
+        # long-horizon loop (CC-style until-fixpoint) would checkpoint
+        # every few rounds instead — see connected_components.
         ranks = (
-            edges.join(rank_side, edges.src == ranks.v)
+            edges.join(ranks, edges.src == ranks.v)
             .groupBy(F.col("dst").alias("v"))
             .agg(
                 (

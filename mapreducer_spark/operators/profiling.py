@@ -3699,23 +3699,32 @@ def dp_clamped_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dp_count_release(
-    counts: DataFrame, key_col: str, salt: str
+    counts: DataFrame, key_col: str, salt: str, eps: float = _DP_COUNT_EPS
 ) -> DataFrame:
     """The discrete-Laplace count-release algebra as a reusable step —
     the mechanism of dp_nation_order_counts factored over any
-    (key, true_count) frame: eps=1 integer noise by inverse CDF over
-    the salted cross-engine hash uniform, post-processing clamp at 0.
-    The streaming DP monitor (streaming/jobs.py::run_dp_count_monitor)
-    re-derives its per-batch releases through THIS function, so batch
-    and stream releases are one code path.  The salt is the release's
-    identity: a continual-observation pipeline salts each release
-    distinctly and pays for it under sequential composition."""
+    (key, true_count) frame: integer noise at ``eps`` (default 1) by
+    inverse CDF over the salted cross-engine hash uniform,
+    post-processing clamp at 0.  The threshold table is derived FROM
+    ``eps`` (ADVICE r10: a caller-reported epsilon that the mechanism
+    ignored would be a false privacy guarantee), so the reported budget
+    and the noise distribution cannot diverge.  The streaming DP monitor
+    (streaming/jobs.py::run_dp_count_monitor) re-derives its per-batch
+    releases through THIS function, so batch and stream releases are one
+    code path.  The salt is the release's identity: a
+    continual-observation pipeline salts each release distinctly and
+    pays for it under sequential composition."""
     from mapreducer_spark.functions.inline import inline_rows
 
     spark = counts.sparkSession
+    rows = (
+        _DP_COUNT_ROWS
+        if eps == _DP_COUNT_EPS
+        else _dlap_threshold_rows(eps)
+    )
     nt = inline_rows(
         spark,
-        [(int(k), int(lo), int(hi)) for k, lo, hi in _DP_COUNT_ROWS],
+        [(int(k), int(lo), int(hi)) for k, lo, hi in rows],
         ["dp_noise", "lo", "hi"],
     )
     u = md5_int64(
@@ -3781,3 +3790,242 @@ def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("true_count")
     )
     return dp_count_release(cells, "event_type", _DP_MONITOR_SALT_1)
+
+
+# --- DP histogram / quantile release (VERDICT r10 #5) ----------------------
+# The natural composition of the r9 mergeable histogram sketch
+# (operators/sketches.py::histogram_quantile_report) with the r10
+# integer-lattice noise machinery above: per-bucket discrete-Laplace
+# noise over a FIXED bucket grid, parallel composition across disjoint
+# buckets, post-processed monotone CDF, quantiles read off the released
+# histogram as pure post-processing (no extra budget).  Real pretraining
+# pipelines release length/score distributions exactly this way.
+
+_DPH_EPS = 1.0
+_DPH_WIDTH = 32  # chars per bucket
+_DPH_BUCKETS = 32  # fixed grid 0..31; clamp keeps every doc in-domain
+_DPH_CLAMP = _DPH_WIDTH * _DPH_BUCKETS - 1  # least(n_chars, 1023)
+_DPH_SALT = "dp-hist-v1|"
+_DPH_ROWS = _dlap_threshold_rows(_DPH_EPS)
+_DPH_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def _dp_hist_released(
+    spark: SparkSession, sf_dir: str, salt: str = _DPH_SALT
+) -> DataFrame:
+    """The released noisy histogram: (bucket, true_n, dp_noise, dp_n)
+    over the FULL fixed grid — empty cells get noise too (releasing
+    only occupied cells would leak the support), which is also what
+    bounds the cost at O(grid), never O(rows).  One document lands in
+    exactly one (clamped) bucket, so per-cell sensitivity is 1 and
+    parallel composition prices the whole release at _DPH_EPS."""
+    from mapreducer_spark.functions.inline import inline_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    true_h = d.groupBy(
+        F.floor(
+            F.least(F.col("n_chars"), F.lit(_DPH_CLAMP)) / _DPH_WIDTH
+        )
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tn"))
+    grid = spark.range(_DPH_BUCKETS).select(F.col("id").alias("bucket"))
+    cells = grid.join(true_h, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("tn"), F.lit(0)).cast("long").alias("true_n")
+    )
+    nt = inline_rows(
+        spark,
+        [(int(k), int(lo), int(hi)) for k, lo, hi in _DPH_ROWS],
+        ["dp_noise", "lo", "hi"],
+    )
+    u = md5_int64(
+        F.concat(F.lit(salt), F.col("bucket").cast("string"))
+    ) % F.lit(_DP_LATTICE)
+    return (
+        cells.withColumn("u", u)
+        .join(
+            F.broadcast(nt),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .select(
+            "bucket",
+            "true_n",
+            F.col("dp_noise").cast("long").alias("dp_noise"),
+            F.greatest(F.col("true_n") + F.col("dp_noise"), F.lit(0))
+            .cast("long")
+            .alias("dp_n"),
+        )
+    )
+
+
+_DPH_ORACLE_REL = f"""
+nt(dp_noise, lo, hi) AS (VALUES
+  {_dp_noise_values_sql(_DPH_ROWS)}
+),
+grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({_DPH_BUCKETS})),
+h AS (
+  SELECT CAST(floor(least(n_chars, {_DPH_CLAMP}) / {_DPH_WIDTH}) AS BIGINT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS tn
+  FROM documents GROUP BY 1
+),
+cells AS (
+  SELECT g.bucket, CAST(COALESCE(h.tn, 0) AS BIGINT) AS true_n
+  FROM grid g LEFT JOIN h USING (bucket)
+),
+keyed AS (
+  SELECT bucket, true_n,
+         {oracle_md5_int64(f"'{_DPH_SALT}' || CAST(bucket AS VARCHAR)")}
+           % {_DP_LATTICE} AS u
+  FROM cells
+),
+rel AS (
+  SELECT bucket, true_n,
+         CAST(nt.dp_noise AS BIGINT) AS dp_noise,
+         CAST(greatest(true_n + nt.dp_noise, 0) AS BIGINT) AS dp_n
+  FROM keyed JOIN nt ON keyed.u >= nt.lo AND keyed.u < nt.hi
+)"""
+
+
+@register(
+    "dp_doc_length_histogram",
+    oracle=f"""
+WITH {_DPH_ORACLE_REL}
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * {_DPH_WIDTH} AS BIGINT) AS lo_chars,
+       CAST(true_n AS BIGINT) AS true_n,
+       CAST(dp_noise AS BIGINT) AS dp_noise,
+       CAST(dp_n AS BIGINT) AS dp_n,
+       CAST(SUM(dp_n) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS dp_cdf_n,
+       CAST({_DPH_EPS} AS DOUBLE) AS epsilon,
+       CAST({_DPH_EPS} AS DOUBLE) AS eps_total
+FROM rel
+""",
+    doc="Central-DP document-length histogram release: char lengths "
+    f"clamp to [0, {_DPH_CLAMP}] and fold into a FIXED "
+    f"{_DPH_BUCKETS}-bucket grid (every cell released, empty or not — "
+    "releasing only occupied cells would leak the support); each cell "
+    "gets integer discrete-Laplace noise at epsilon = "
+    f"{_DPH_EPS} drawn by inverse CDF over the salted cross-engine "
+    "hash uniform, clamped at 0.  Sensitivity accounting: the clamp "
+    "puts every document in exactly ONE cell, so per-cell sensitivity "
+    "is 1 and PARALLEL composition across disjoint cells prices the "
+    f"whole {_DPH_BUCKETS}-cell release at eps_total = {_DPH_EPS} — "
+    "NOT cells x eps (the accounting test pins this).  dp_cdf_n is the "
+    "post-processed CDF: the 0-clamp makes released counts "
+    "non-negative, so the running sum is monotone by construction — "
+    "post-processing costs no budget.  True counts ride along as the "
+    "calibration readout; the releasable projection is (bucket, dp_n, "
+    "dp_cdf_n, epsilon).  Scale shape: one map-side-combined count to "
+    f"the {_DPH_BUCKETS}-cell grain, the noise table broadcast, one "
+    f"window over {_DPH_BUCKETS} rows — O(grid) always, never O(rows).",
+    tags=("governance", "privacy", "sketch", "agg"),
+)
+def dp_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rel = _dp_hist_released(spark, sf_dir)
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return rel.select(
+        "bucket",
+        (F.col("bucket") * _DPH_WIDTH).cast("long").alias("lo_chars"),
+        "true_n",
+        "dp_noise",
+        "dp_n",
+        F.sum("dp_n").over(wc).cast("long").alias("dp_cdf_n"),
+        F.lit(float(_DPH_EPS)).alias("epsilon"),
+        F.lit(float(_DPH_EPS)).alias("eps_total"),
+    )
+
+
+@register(
+    "dp_doc_length_quantiles",
+    oracle=f"""
+WITH {_DPH_ORACLE_REL},
+cum AS (
+  SELECT bucket, dp_n,
+         SUM(dp_n) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - dp_n
+           AS cum_below,
+         SUM(dp_n) OVER () AS nn
+  FROM rel
+),
+qs AS (
+  SELECT CAST(unnest([{", ".join(repr(q) for q in _DPH_QUANTILES)}])
+              AS DOUBLE) AS q
+),
+hit AS (
+  SELECT qs.q, cum.bucket, cum.dp_n, cum.cum_below, cum.nn,
+         ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY cum.bucket) AS rnk
+  FROM qs JOIN cum
+    ON qs.q * cum.nn > cum.cum_below
+   AND qs.q * cum.nn <= cum.cum_below + cum.dp_n
+)
+SELECT q AS quantile,
+       round(bucket * {_DPH_WIDTH}
+             + {_DPH_WIDTH} * (q * nn - cum_below) / dp_n, 6)
+         AS dp_est_chars,
+       CAST({_DPH_EPS} AS DOUBLE) AS epsilon,
+       CAST({_DPH_EPS} AS DOUBLE) AS eps_total
+FROM hit WHERE rnk = 1
+ORDER BY q
+""",
+    doc="DP document-length quantiles as PURE POST-PROCESSING of the "
+    "dp_doc_length_histogram release: each requested quantile reads "
+    "off the released noisy cumulative curve with linear interpolation "
+    "inside the crossing bucket (the histogram_sketch_quantiles "
+    "readout algebra applied to dp_n instead of n).  Because the "
+    "readout touches only the released cells, it costs NO additional "
+    f"budget — eps_total stays {_DPH_EPS}, the histogram's parallel-"
+    "composition price; an analyst can derive any number of quantiles, "
+    "means, or tail masses from the same release for free (the "
+    "post-processing theorem).  Determinism: integer released counts; "
+    "the crossing predicate is exact integer-x-literal compares; "
+    "interpolation is one rounded division — the cross-engine recipe "
+    "histogram_sketch_quantiles already proves at 10x.  Scale shape: "
+    f"windows over the fixed {_DPH_BUCKETS}-cell release, a "
+    f"{len(_DPH_QUANTILES)}-row readout — O(grid), never O(rows).",
+    tags=("governance", "privacy", "sketch", "agg"),
+)
+def dp_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rel = _dp_hist_released(spark, sf_dir)
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = rel.select(
+        "bucket",
+        "dp_n",
+        (F.sum("dp_n").over(wc) - F.col("dp_n")).alias("cum_below"),
+        F.sum("dp_n").over(wall).alias("nn"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in _DPH_QUANTILES])
+        ).alias("q")
+    )
+    hit = qs.join(
+        F.broadcast(cum),
+        (F.col("q") * F.col("nn") > F.col("cum_below"))
+        & (F.col("q") * F.col("nn") <= F.col("cum_below") + F.col("dp_n")),
+    )
+    w = Window.partitionBy("q").orderBy("bucket")
+    return (
+        hit.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("q").alias("quantile"),
+            F.round(
+                F.col("bucket") * _DPH_WIDTH
+                + _DPH_WIDTH
+                * (F.col("q") * F.col("nn") - F.col("cum_below"))
+                / F.col("dp_n"),
+                6,
+            ).alias("dp_est_chars"),
+            F.lit(float(_DPH_EPS)).alias("epsilon"),
+            F.lit(float(_DPH_EPS)).alias("eps_total"),
+        )
+        .orderBy("quantile")
+    )

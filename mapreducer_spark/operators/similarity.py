@@ -252,6 +252,38 @@ _DATA_DIR = os.path.join(
 _IVF_INDEX_PATH = os.path.join(_DATA_DIR, "ivf_centroids.json")
 _IVF_FINGERPRINT_PATH = os.path.join(_DATA_DIR, "ivf_fingerprints.json")
 
+# Serving guard (VERDICT r10 #6), two conditions — an IVF probe scans
+# ~nprobe * (n/k) rows, so fat lists silently turn probes into near-full
+# scans (the failure the ivf_list_balance query measures):
+# 1. RELATIVE: the frozen k may lag the sqrt-n rule below by at most one
+#    power-of-two step (k * SLACK >= ivf_k_for(n_train)); more lag means
+#    the index was trained under a stale rule for its corpus — the 10x
+#    fixture at the old fixed k=16 is exactly this (rule says 128).
+# 2. ABSOLUTE: mean list size (n_train / k) must stay under the value
+#    the rule yields AT its k cap (4096 rows at n = 4096^2 ~ 16M
+#    vectors); past that no retrain can help within one index — the
+#    corpus must shard, and serving anyway would hide that decision.
+_IVF_MAX_MEAN_LIST_ROWS = 4096
+_IVF_RULE_SLACK = 2
+
+
+def ivf_k_for(n: int) -> int:
+    """Scale rule for the IVF list count: the power of two nearest to
+    sqrt(n), clamped to [16, 4096].  sqrt(n) balances the two scan
+    terms of a probe (k centroid distances + nprobe * n/k list rows —
+    minimized at k ~ sqrt(n * nprobe)); the power-of-two snap keeps
+    retrains stable under small corpus growth; 16 floors the test
+    fixtures (n=500 at the gate still trains k=16, so gate artifacts
+    and oracles are unchanged by the rule); 4096 caps centroid-table
+    broadcast size — past n ~ 16M vectors (cap^2) the mean-list guard
+    above forces a shard/retrain decision rather than silently serving
+    ever-fatter lists."""
+    import math
+
+    if n <= 1:
+        return _N_CENTROIDS
+    return max(16, min(4096, 2 ** round(math.log2(math.sqrt(n)))))
+
 # The scale the correctness gates run at: the driver compares at sf0.01;
 # the local gate honors SPARK_GRAFT_ORACLE_SF.  The frozen-index oracles
 # are rendered at import for THIS scale's centroids, so overriding the
@@ -310,6 +342,18 @@ def _embeddings_md5(sf_dir: str) -> str | None:
         return None
 
 
+def _fp_record(key: str) -> tuple[str | None, int | None]:
+    """(md5, n_train) from the fingerprint file.  Entries written since
+    r11 are dicts carrying the training-set size (the mean-list guard's
+    input); older entries are bare md5 strings — still valid for
+    freshness, with the guard skipped until the next retrain records
+    n_train."""
+    v = _frozen_fingerprints().get(key)
+    if isinstance(v, dict):
+        return v.get("md5"), v.get("n_train")
+    return v, None
+
+
 def frozen_index_for(sf_dir: str) -> list[list[float]] | None:
     """The frozen centroids for ``sf_dir`` — but ONLY if the fixture's
     embeddings.parquet still hashes to the fingerprint recorded when the
@@ -317,15 +361,36 @@ def frozen_index_for(sf_dir: str) -> list[list[float]] | None:
     fingerprint) returns None with a LOUD warning so callers fall back
     to live training instead of serving a stale quantizer; the paired
     freshness test (tests/test_index_guard.py) turns the same condition
-    into a hard failure telling you to re-run tools/train_ivf_index.py."""
+    into a hard failure telling you to re-run tools/train_ivf_index.py.
+
+    A FRESH index can still be refused: if its recorded training size
+    puts the mean list (n_train / k) over _IVF_MAX_MEAN_LIST_ROWS, the
+    index was trained under a stale scale rule and every probe has
+    degraded toward a full scan — raise loud (a silent fallback to live
+    training would launch a monster KMeans at 100 TB) and point at the
+    retrain tool, which applies ivf_k_for."""
     import warnings
 
     key = os.path.basename(sf_dir.rstrip("/"))
     idx = _frozen_ivf_index().get(key)
     if idx is None:
         return None  # unknown fixture — live training is the normal path
-    expected = _frozen_fingerprints().get(key)
+    expected, n_train = _fp_record(key)
     if expected is not None and _embeddings_md5(sf_dir) == expected:
+        k = len(idx)
+        if n_train is not None and (
+            n_train / k > _IVF_MAX_MEAN_LIST_ROWS
+            or k * _IVF_RULE_SLACK < ivf_k_for(n_train)
+        ):
+            raise RuntimeError(
+                f"frozen IVF index for {key!r} breaches the serving "
+                f"budget: mean list {n_train / k:.0f} rows "
+                f"(n_train={n_train}, k={k}; rule wants "
+                f"k={ivf_k_for(n_train)}, absolute ceiling "
+                f"{_IVF_MAX_MEAN_LIST_ROWS} rows/list) — probes have "
+                "degraded toward full scans; retrain under the sqrt-n "
+                "rule: python tools/train_ivf_index.py " + sf_dir
+            )
         return idx
     warnings.warn(
         f"frozen IVF index for {key!r} is STALE (embeddings.parquet no "
@@ -3615,7 +3680,7 @@ def retrain_frozen_index(
     sf_dir: str,
     index_path: str | None = None,
     fingerprint_path: str | None = None,
-    k: int = _N_CENTROIDS,
+    k: int | None = None,
     rounds: int = _KM_ROUNDS,
 ) -> list:
     """IN-ENGINE frozen-index retrain (VERDICT r8 #6) — closes the ANN
@@ -3637,6 +3702,12 @@ def retrain_frozen_index(
 
     idx_path = index_path or _IVF_INDEX_PATH
     fp_path = fingerprint_path or _IVF_FINGERPRINT_PATH
+    n_train = load_table(spark, sf_dir, "embeddings").count()
+    if k is None:
+        # The sqrt-n scale rule (VERDICT r10 #6) — same default the
+        # offline tool applies, so in-engine and offline retrains
+        # freeze interchangeable artifacts.
+        k = ivf_k_for(n_train)
     cents, _, fp_trained = _lloyd_artifacts(spark, sf_dir, k, rounds)
     rows = cents.orderBy("cent_id").collect()
     trained = [[float(x) for x in r.cv] for r in rows]
@@ -3662,7 +3733,9 @@ def retrain_frozen_index(
         pass
     key = os.path.basename(sf_dir.rstrip("/"))
     index[key] = trained
-    fingerprints[key] = fp_trained
+    # Dict form (r11): freshness md5 + training-set size, the
+    # mean-list serving guard's input (frozen_index_for).
+    fingerprints[key] = {"md5": fp_trained, "n_train": int(n_train)}
     os.makedirs(os.path.dirname(idx_path), exist_ok=True)
     with open(idx_path, "w") as f:
         _json.dump(index, f)

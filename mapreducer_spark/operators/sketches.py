@@ -337,10 +337,16 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "gram")
         .distinct()
     )
+    # bloom + bench are UNHINTED (r11 hinted-broadcast budget): both
+    # grow in ROWS with the benchmark key count even though the bitmap
+    # stays tiny in BYTES (10 bits/key) — which is exactly the metric
+    # Spark's own bytes threshold broadcasts by, so the auto planner
+    # keeps the map-side probe shape wherever the bitmap actually fits
+    # and degrades honestly if someone feeds a terabyte eval set.
     probe = (
         bloom_positions(train, params)
         .join(
-            F.broadcast(bloom),
+            bloom,
             (F.col("pos") / _BLOOM_WORD_BITS).cast("long") == F.col("word_idx"),
             "left",
         )
@@ -356,7 +362,7 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         probe.join(
-            F.broadcast(bench.withColumn("is_bench", F.lit(1))), "gram", "left"
+            bench.withColumn("is_bench", F.lit(1)), "gram", "left"
         )
         .groupBy("doc_id")
         .agg(

@@ -1462,8 +1462,13 @@ def doc_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl2 = F.when(
         F.col("tcnt").isNull() & F.col("bcnt").isNull(), 1
     ).otherwise(0)
+    # tri is UNHINTED (r11 hinted-broadcast budget): the trimmed trigram
+    # table grows toward vocab^3 (6.8k rows at sf0.01 already) — the
+    # planner auto-broadcasts it while it is small and degrades to a
+    # shuffle join when it is not.  The bigram/unigram tables saturate
+    # at vocab^2/vocab (<=961/31 here) and stay hinted.
     return (
-        tri_pos.join(F.broadcast(tri), ["u", "v", "w"], "left")
+        tri_pos.join(tri, ["u", "v", "w"], "left")
         .join(F.broadcast(ba), ["u", "v"])
         .join(F.broadcast(bm), ["v", "w"], "left")
         .join(F.broadcast(uv), "v")

@@ -322,8 +322,11 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = _revenue_col()
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    # part is UNHINTED (r11 hinted-broadcast budget): it grows with sf
+    # (billions of rows at 100 TB) — the planner broadcasts it on its
+    # own while small and degrades to a shuffle join when it is not.
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.year("l_shipdate").alias("ship_year"),
             F.month("l_shipdate").alias("ship_month"),

@@ -149,9 +149,12 @@ def run_duck(con, sql: str) -> tuple[list[str], list[tuple]]:
     return list(rel.columns), rel.fetchall()
 
 
-def assert_matches_oracle(spark, query, sf_dir: str, max_report: int = 5) -> None:
-    """query: a registry.Query with fn + oracle."""
-    assert query.oracle is not None, f"{query.name}: no oracle SQL declared"
+def run_spark_gated(spark, query, sf_dir: str) -> tuple[list[str], list[tuple]]:
+    """Run the query's Spark side and assert every EXECUTED-PLAN
+    structural budget (the 100 TB posture checks that ride along with
+    every correctness collect).  Shared by assert_matches_oracle, the
+    rows-only sweep leg, and the cached 10x sweep (tools/sweep_r11.py),
+    so no verification path can skip a budget."""
     sdf = query.fn(spark, sf_dir)
     assert_scalar_schema(query.name, sdf)
     scols, srows = run_spark(sdf)
@@ -161,9 +164,11 @@ def assert_matches_oracle(spark, query, sf_dir: str, max_report: int = 5) -> Non
     # for the r8 corr-matrix defect class (a unionAll fan-out silently
     # re-executing its input subtree per branch — 12 executed scans).
     from mapreducer_spark.plans.inspect import (
+        BROADCAST_HINTED_MAX_ROWS,
         MAX_EXECUTED_SCANS_PER_TABLE,
         UNPARTITIONED_WINDOW_MAX_ROWS,
         executed_filescan_counts,
+        hinted_broadcast_rows,
         unpartitioned_window_input_rows,
     )
 
@@ -187,6 +192,44 @@ def assert_matches_oracle(spark, query, sf_dir: str, max_report: int = 5) -> Non
             "window collapses its whole input into ONE task; use the "
             "two-phase helpers in functions/agg.py"
         )
+    # Hinted-broadcast budget (r11, whitelist-free — the structural kill
+    # for the unbounded-broadcast class the r10 audit cleared by hand):
+    # every HINT-FORCED BroadcastExchange must carry a domain-bounded
+    # frame.  Stats/AQE-chosen broadcasts are exempt by attribution —
+    # Spark stops choosing those when the side outgrows its bytes
+    # threshold, while a hint ships the frame to every executor no
+    # matter how large it grows.  Fix: drop the hint (the planner still
+    # broadcasts small frames on its own) or bound the frame.
+    for n_rows in hinted_broadcast_rows(sdf):
+        assert 0 <= n_rows <= BROADCAST_HINTED_MAX_ROWS, (
+            f"{query.name}: hint-forced BroadcastExchange over {n_rows} "
+            f"rows (budget {BROADCAST_HINTED_MAX_ROWS}) — an explicit "
+            "broadcast() on a frame that grows with the data OOMs at "
+            "100 TB; drop the hint or bound the frame"
+        )
+    return scols, srows
+
+
+def result_digest(cols: list[str], rows: list[tuple]) -> dict:
+    """Stable digest of a normalized result — what the cached 10x sweep
+    stores per (query, oracle-SQL hash, fixture fingerprint) so unchanged
+    oracles need not re-run DuckDB (VERDICT r10 #4).  The hash is over
+    the SAME canonicalization assert_matches_oracle compares with, so a
+    cache-hit comparison is exactly as strict as a live one."""
+    import hashlib
+
+    norm = _normalize(cols, rows)
+    return {
+        "cols": sorted(cols),
+        "n": len(rows),
+        "hash": hashlib.sha256(repr(norm).encode()).hexdigest(),
+    }
+
+
+def assert_matches_oracle(spark, query, sf_dir: str, max_report: int = 5) -> None:
+    """query: a registry.Query with fn + oracle."""
+    assert query.oracle is not None, f"{query.name}: no oracle SQL declared"
+    scols, srows = run_spark_gated(spark, query, sf_dir)
     con = duck_connection(sf_dir)
     try:
         dcols, drows = run_duck(con, query.oracle)

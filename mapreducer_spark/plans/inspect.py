@@ -228,6 +228,112 @@ def broadcast_exchange_rows(df: DataFrame) -> list[int]:
     return out
 
 
+# Ceiling for rows in a HINT-FORCED BroadcastExchange, asserted on every
+# oracle-gate collect (mapreducer_spark/oracle.py) and in the 10x sweep
+# (tools/oracle_at_scale.py).  An explicit broadcast()/hint("broadcast")
+# does not degrade when the frame grows — at 100 TB it ships the whole
+# frame to every executor and OOMs the driver building it — so a hint is
+# only sound on a frame whose cardinality is DOMAIN-bounded (nation/
+# region, one-row totals, calendars, tier/threshold tables, frozen index
+# literals, sketch tables).  The r10 two-scale survey
+# (tools/broadcast_survey_r10_hints_*.jsonl) put every such frame at
+# <= 2560 rows by sf0.1; 3000 matches UNPARTITIONED_WINDOW_MAX_ROWS and
+# sits below every data dimension by sf0.1.  Stats-driven auto
+# broadcasts are exempt BY ATTRIBUTION (not by whitelist): Spark's own
+# planner stops choosing them when the side outgrows the bytes
+# threshold, so a large auto exchange at test scale is self-correcting
+# at 100 TB, while a large hinted one is a defect today.
+BROADCAST_HINTED_MAX_ROWS = 3000
+
+
+def hinted_broadcast_rows(df: DataFrame) -> list[int]:
+    """Row count of every HINT-FORCED BroadcastExchange in the EXECUTED
+    plan.  The df must already have been executed; this only inspects.
+
+    Attribution is per-join via the physical node's ``logicalLink``: the
+    optimized logical Join carries the ``JoinHint`` that
+    EliminateResolvedHint folded out of ``F.broadcast()`` /
+    ``.hint("broadcast")`` wrappers, and the physical ``buildSide`` says
+    which side's exchange the hint forced.  A broadcast join whose
+    build-side hint is absent is stats/AQE-chosen (auto) and exempt —
+    see BROADCAST_HINTED_MAX_ROWS.  A broadcast join with NO logical
+    link (never observed in practice) is reported as hinted so a gap in
+    attribution fails loud instead of silently exempting a hint.
+    """
+    plan = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+
+    def _children(node):
+        out = []
+        ch = node.children()
+        for i in range(ch.size()):
+            out.append(ch.apply(i))
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            out.append(node.executedPlan())
+        elif cls.endswith("QueryStageExec"):
+            out.append(node.plan())
+        return out
+
+    def _exchange_rows(node) -> int:
+        # BFS the build-side subtree for its broadcast exchange (possibly
+        # behind a QueryStage or ReusedExchange wrapper) and read its
+        # numOutputRows; -1 if no metric found (fail loud upstream).
+        queue = [node]
+        while queue:
+            nxt = []
+            for n in queue:
+                cls = n.getClass().getSimpleName()
+                if cls == "ReusedExchangeExec":
+                    # A leaf wrapper with EMPTY metrics; the original
+                    # exchange (same broadcast payload) hangs off its
+                    # stored child and carries the real numOutputRows.
+                    nxt.append(n.child())
+                    continue
+                if cls == "BroadcastExchangeExec":
+                    it = n.metrics().iterator()
+                    while it.hasNext():
+                        kv = it.next()
+                        if kv._1() == "numOutputRows":
+                            return int(kv._2().value())
+                    return -1
+                nxt.extend(_children(n))
+            queue = nxt
+        return -1
+
+    out: list[int] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls in (
+            "BroadcastHashJoinExec",
+            "BroadcastNestedLoopJoinExec",
+        ):
+            build_right = "Right" in node.buildSide().toString()
+            ll = node.logicalLink()
+            hinted = True  # missing link -> fail loud as hinted
+            if ll.isDefined():
+                lp = ll.get()
+                hinted = False
+                if lp.getClass().getSimpleName() == "Join":
+                    side = (
+                        lp.hint().rightHint()
+                        if build_right
+                        else lp.hint().leftHint()
+                    )
+                    if side.isDefined():
+                        strat = side.get().strategy()
+                        hinted = strat.isDefined() and "broadcast" in str(
+                            strat.get().toString()
+                        ).lower()
+            if hinted:
+                kids = _children(node)
+                build = kids[1] if build_right else kids[0]
+                out.append(_exchange_rows(build))
+        stack.extend(_children(node))
+    return out
+
+
 def executed_plan(df: DataFrame) -> str:
     """Final (post-AQE) physical plan — runs the query.  Under AQE the
     pre-execution plan is just 'AdaptiveSparkPlan isFinalPlan=false';

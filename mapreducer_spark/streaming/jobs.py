@@ -1274,7 +1274,10 @@ def run_dp_count_monitor(
             F.sum("n").cast("long").alias("true_count")
         )
         report = dp_count_release(
-            totals, "event_type", f"dp-monitor-v1|{n_releases}|"
+            totals,
+            "event_type",
+            f"dp-monitor-v1|{n_releases}|",
+            eps=eps_per_release,
         ).select(
             "event_type",
             "true_count",

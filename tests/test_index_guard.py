@@ -61,12 +61,11 @@ def test_frozen_index_fingerprints_fresh():
     still hash to its training-time fingerprint."""
     index = sim._frozen_ivf_index()
     assert index, f"frozen IVF index missing/corrupt at {sim._IVF_INDEX_PATH}"
-    fps = sim._frozen_fingerprints()
     for key in index:
         sf_dir = _fixture_dir(key)
         if sf_dir is None:
             continue
-        assert fps.get(key) == sim._embeddings_md5(sf_dir), (
+        assert sim._fp_record(key)[0] == sim._embeddings_md5(sf_dir), (
             f"FIXTURE DRIFT: {key}/embeddings.parquet no longer matches the "
             "fingerprint recorded when the frozen IVF index was trained. "
             "The ANN queries have fallen back to live training and their "
@@ -288,3 +287,63 @@ def test_index_lifecycle_drift_retrain_serve(spark, tmp_path, monkeypatch, resto
         for r in sim._ivf_topk(em2, list(enumerate(t2))).collect()
     }
     assert served and served == explicit
+
+
+def test_ivf_k_scale_rule():
+    """The sqrt-n training rule (VERDICT r10 #6): power-of-two nearest
+    sqrt(n), floored at 16 (gate fixtures keep k=16, so the rule changes
+    no gate artifact) and capped at 4096 (broadcastable centroid table;
+    past n ~ cap^2 the mean-list guard forces the shard decision)."""
+    assert sim.ivf_k_for(500) == 16  # gate fixtures: unchanged
+    assert sim.ivf_k_for(2000) == 32
+    assert sim.ivf_k_for(20000) == 128  # the 10x fixture
+    assert sim.ivf_k_for(2_000_000) == 1024
+    assert sim.ivf_k_for(10**9) == 4096  # cap
+    assert sim.ivf_k_for(1) == sim._N_CENTROIDS
+    # monotone nondecreasing over a broad sweep
+    ks = [sim.ivf_k_for(n) for n in (10, 100, 10**3, 10**4, 10**5, 10**6)]
+    assert ks == sorted(ks)
+    # A rule-trained index always serves: mean list stays under the
+    # absolute ceiling up to the k cap's shard point (n ~ cap^2), and
+    # the relative check is satisfied by construction (k == rule k).
+    for n in (500, 2000, 20000, 10**6, 4096**2):
+        k = sim.ivf_k_for(n)
+        assert n / k <= sim._IVF_MAX_MEAN_LIST_ROWS
+        assert k * sim._IVF_RULE_SLACK >= k
+    # past the shard point the absolute ceiling trips no matter the k
+    assert 10**9 / sim.ivf_k_for(10**9) > sim._IVF_MAX_MEAN_LIST_ROWS
+
+
+def test_mean_list_guard_refuses_fat_index(monkeypatch, restore_caches):
+    """A FRESH index (fingerprint matches) is still refused — loudly,
+    not by silent live-training fallback — when its recorded training
+    size says it was trained under a stale scale rule: n_train=20000
+    over k=16 is 1250-row lists where the rule wants k=128 (the exact
+    pre-r11 state of the 10x index)."""
+    import pytest
+
+    sf_dir = os.path.join(TESTDATA, "sf0.01")
+    good_md5 = sim._embeddings_md5(sf_dir)
+    monkeypatch.setattr(
+        sim,
+        "_frozen_fingerprints",
+        lambda: {"sf0.01": {"md5": good_md5, "n_train": 20000}},
+    )
+    with pytest.raises(RuntimeError, match="serving budget"):
+        sim.frozen_index_for(sf_dir)
+    # The absolute ceiling also refuses on its own (shard point): a
+    # corpus so far past training size that no k in the file helps.
+    monkeypatch.setattr(
+        sim,
+        "_frozen_fingerprints",
+        lambda: {"sf0.01": {"md5": good_md5, "n_train": 10**9}},
+    )
+    with pytest.raises(RuntimeError, match="serving budget"):
+        sim.frozen_index_for(sf_dir)
+    # Same index with its true (in-budget) n_train serves normally.
+    monkeypatch.setattr(
+        sim,
+        "_frozen_fingerprints",
+        lambda: {"sf0.01": {"md5": good_md5, "n_train": 500}},
+    )
+    assert sim.frozen_index_for(sf_dir) is not None

@@ -369,6 +369,78 @@ def test_unpartitioned_window_detector(spark):
     assert unpartitioned_window_input_rows(summed) == []
 
 
+def test_hinted_broadcast_budget_gate(spark):
+    """The hinted-broadcast budget (r11) rests on this detector + gate
+    wiring: an explicit broadcast() hint on a frame that grows with the
+    data is found in the EXECUTED plan, attributed to its JoinHint (so
+    stats/AQE auto-broadcasts of the SAME frame are exempt), and fails
+    run_spark_gated; domain-bounded hints pass."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from mapreducer_spark.oracle import run_spark_gated
+    from mapreducer_spark.plans.inspect import (
+        BROADCAST_HINTED_MAX_ROWS,
+        hinted_broadcast_rows,
+    )
+    from mapreducer_spark.registry import Query
+
+    base = spark.range(0, 9000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(7)).alias("g")
+    )
+    grower = spark.range(0, 9000).select(
+        F.col("id").alias("id2"), (F.col("id") * 2).alias("v")
+    )
+
+    # The defect: a deliberately hinted data-dimension frame — detected,
+    # sized, and killed by the gate.
+    def bad_fn(spark_, sf_dir_):
+        return (
+            base.join(F.broadcast(grower), base.id == grower.id2)
+            .groupBy("g")
+            .agg(F.sum("v").alias("sv"))
+        )
+
+    bad = bad_fn(spark, "")
+    bad.collect()
+    sizes = hinted_broadcast_rows(bad)
+    assert sizes == [9000]
+    assert sizes[0] > BROADCAST_HINTED_MAX_ROWS
+    with pytest.raises(AssertionError, match="hint-forced BroadcastExchange"):
+        run_spark_gated(
+            spark, Query("bad_hinted_grower", bad_fn, oracle=None), ""
+        )
+
+    # The SAME join auto-broadcast (no hint): exempt by attribution —
+    # Spark's planner degrades it on its own when the frame outgrows
+    # the bytes threshold at scale.
+    auto = (
+        base.join(grower, base.id == grower.id2)
+        .groupBy("g")
+        .agg(F.sum("v").alias("sv"))
+    )
+    auto.collect()
+    assert hinted_broadcast_rows(auto) == []
+
+    # A domain-bounded hint (25-row dim): under budget, passes the gate.
+    dim = spark.range(0, 25).select(
+        F.col("id").alias("g2"), F.lit("x").alias("tag")
+    )
+
+    def ok_fn(spark_, sf_dir_):
+        return (
+            base.join(F.broadcast(dim), base.g == dim.g2)
+            .groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ok = ok_fn(spark, "")
+    ok.collect()
+    assert hinted_broadcast_rows(ok) == [25]
+    run_spark_gated(spark, Query("ok_hinted_dim", ok_fn, oracle=None), "")
+
+
 def test_two_phase_helper_output_stats_keep_broadcast_alive(spark):
     """Regression guard for the r10 near-miss: routing the helpers'
     partition offsets through a broadcast JOIN made Spark's size-only
@@ -410,7 +482,7 @@ def test_inline_rows_sql_fast_path_matches_column_path(spark):
         ([(1, 2), (3, 4)], ["a", "b"]),
         ([(-5, 2**52), (7, 0)], ["k", "big"]),  # bigint promotion
         ([(0.25, 1), (1e-9, 2)], ["f", "i"]),  # mixed float+int column
-        ([("x'y", 1.5), ("a\\b", -2.0)], ["s", "v"]),
+        ([("x'y", 1.5), ("a''b", -2.0)], ["s", "v"]),
         ([(True, "t"), (False, "u")], ["flag", "tag"]),
         ([([0.5, -1.0], 1), ([2.0, 3.5], 2)], ["arr", "i"]),  # array<double>
     ]
@@ -450,6 +522,12 @@ def test_inline_rows_sql_fast_path_matches_column_path(spark):
     assert il._render_sql_cells([(None, 1)], ["n", "i"]) is None
     assert il._render_sql_cells([(float("nan"), 1)], ["f", "i"]) is None
     assert il._render_sql_cells([(1,), ("x",)], ["m"]) is None
+    # backslash strings are escape-mode-dependent (ADVICE r10) — fallback
+    assert il._render_sql_cells([("a\\b", 1)], ["s", "i"]) is None
+    # int-only / empty array cells type-drift vs F.lit (ADVICE r10)
+    assert il._render_sql_cells([([1, 2], 1)], ["arr", "i"]) is None
+    assert il._render_sql_cells([([], 1)], ["arr", "i"]) is None
+    assert il._render_sql_cells([([1.0, 2], 1), ([3], 2)], ["arr", "i"]) is None
 
 
 def test_no_python_worker_literal_frames_in_operators():

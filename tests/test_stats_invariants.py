@@ -394,3 +394,59 @@ def test_dp_clamped_sum_release_reconciles(spark, sf_dir):
         assert abs(r.dp_noise) <= b_bound
         assert 0 <= r.n_clamped <= r.n_orders
         assert r.true_units <= r.n_orders * _DP_SUM_DELTA
+
+
+def test_dp_histogram_composition_accounting(spark, sf_dir):
+    """The DP histogram's budget accounting (VERDICT r10 #5): the
+    release prices itself under PARALLEL composition (eps_total == the
+    per-cell epsilon, never cells x eps) because disjoint clamped
+    buckets give per-cell sensitivity 1; a SECOND release under a new
+    salt is a fresh mechanism run (different noise) whose cost would
+    ADD under sequential composition; and a same-salt re-run is
+    byte-identical, so replay can never double-spend.  Also pins the
+    support contract (full fixed grid, empty cells included) and that
+    the quantile readout is pure post-processing of the same release."""
+    from mapreducer_spark.operators.profiling import (
+        _DPH_BUCKETS,
+        _DPH_EPS,
+        _DPH_SALT,
+        _dp_hist_released,
+    )
+
+    rows = _rows(spark, sf_dir, "dp_doc_length_histogram")
+    # Parallel composition: whole-release price == per-cell epsilon.
+    assert all(r.epsilon == _DPH_EPS and r.eps_total == _DPH_EPS for r in rows)
+    # Support non-leakage: EVERY grid cell released, occupied or not.
+    assert sorted(r.bucket for r in rows) == list(range(_DPH_BUCKETS))
+    assert any(r.true_n == 0 for r in rows)  # fixture leaves empty cells
+    # Post-processed CDF is monotone (0-clamp makes counts nonnegative).
+    by_b = sorted(rows, key=lambda r: r.bucket)
+    assert all(r.dp_n >= 0 for r in by_b)
+    cdf = [r.dp_cdf_n for r in by_b]
+    assert cdf == sorted(cdf)
+    assert cdf[-1] == sum(r.dp_n for r in by_b)
+
+    # Same salt -> byte-identical draw (replay cannot double-spend)...
+    a = {(r.bucket, r.dp_noise) for r in _dp_hist_released(spark, sf_dir).collect()}
+    b = {(r.bucket, r.dp_noise) for r in _dp_hist_released(spark, sf_dir).collect()}
+    assert a == b
+    # ...while a new salt is a SECOND mechanism run: fresh noise, whose
+    # epsilon adds sequentially (two releases = 2 x _DPH_EPS spent).
+    c = {
+        (r.bucket, r.dp_noise)
+        for r in _dp_hist_released(spark, sf_dir, salt="dp-hist-v2|").collect()
+    }
+    assert a != c
+
+    # Quantile readout: post-processing of the SAME release — same
+    # budget fields, estimates inside the clamped domain, monotone in q.
+    qrows = sorted(
+        _rows(spark, sf_dir, "dp_doc_length_quantiles"),
+        key=lambda r: r.quantile,
+    )
+    assert [r.quantile for r in qrows] == [0.5, 0.9, 0.99]
+    assert all(r.eps_total == _DPH_EPS for r in qrows)
+    ests = [r.dp_est_chars for r in qrows]
+    assert ests == sorted(ests)
+    assert all(0 <= e <= _DPH_BUCKETS * 32 for e in ests)
+    assert _DPH_SALT == "dp-hist-v1|"  # salt is the release identity

@@ -1156,3 +1156,40 @@ def test_dp_count_monitor_matches_batch_and_replays(spark, tmp_path):
     run_dp_count_monitor(stream(), state, report, str(tmp_path / "dp_ck2"))
     got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
     assert got2 == want
+
+    # eps_per_release is the MECHANISM's epsilon, not just a label
+    # (ADVICE r10): a non-default eps must both change the noise draw
+    # (thresholds derived from eps) and be what the budget fields report.
+    def one_batch():
+        return spark.readStream.schema(
+            "user_id long, event_type string"
+        ).parquet(str(in_dir))
+
+    state_e = str(tmp_path / "dp_state_e")
+    report_e = str(tmp_path / "dp_report_e")
+    run_dp_count_monitor(
+        one_batch(),
+        state_e,
+        report_e,
+        str(tmp_path / "dp_ck3"),
+        eps_per_release=0.5,
+    )
+    want_e = {
+        tuple(r) + (1, 0.5, 0.5)
+        for r in dp_count_release(
+            totals, "event_type", "dp-monitor-v1|1|", eps=0.5
+        ).collect()
+    }
+    got_e = {tuple(r) for r in spark.read.parquet(report_e).collect()}
+    assert got_e == want_e and len(want_e) > 0
+    # eps=0.5 noise comes from a WIDER distribution than eps=1; the
+    # draws differ from the eps=1 table's on at least one key here
+    # (checked, not assumed — same salt, same uniforms, different CDF).
+    base = {
+        (r.event_type, r.dp_noise)
+        for r in dp_count_release(
+            totals, "event_type", "dp-monitor-v1|1|"
+        ).collect()
+    }
+    half = {(r.event_type, r.dp_noise) for r in spark.read.parquet(report_e).collect()}
+    assert base != half

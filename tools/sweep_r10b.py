@@ -18,7 +18,7 @@ name); this runs the WHOLE registry so no name lacks a current 10x row:
   oracle at 10x).  These execute at 10x under the scan + window budgets
   and record row counts — oracle_at_scale_r10b_rowsonly_run.jsonl.
 
-Usage: python tools/sweep_r10.py {default|frozen|rowsonly} [start [end]]
+Usage: python tools/sweep_r10b.py {default|frozen|rowsonly} [start [end]]
 """
 
 from __future__ import annotations

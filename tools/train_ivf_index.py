@@ -61,15 +61,29 @@ def main() -> None:
             fingerprints = json.load(f)
     except (OSError, ValueError):
         pass
+    from mapreducer_spark.operators.similarity import ivf_k_for
+
     for d in dirs:
         key = os.path.basename(d.rstrip("/"))
         em = load_table(spark, d, "embeddings")
-        cents = kmeans_centroids(em).orderBy("cent_id").collect()
+        # sqrt-n scale rule (VERDICT r10 #6): k grows with the corpus so
+        # mean list size stays ~sqrt(n); a fixed k=16 at 10x already
+        # meant 1250-row lists, and at 100 TB the per-list argmax scan
+        # becomes the whole query.  n_train is recorded alongside the
+        # freshness md5 so serving (frozen_index_for) can refuse an
+        # index whose lists outgrew the budget.
+        n_train = em.count()
+        k = ivf_k_for(n_train)
+        cents = kmeans_centroids(em, k=k).orderBy("cent_id").collect()
         index[key] = [[float(x) for x in r.cent_v] for r in cents]
         # Fingerprint the training input so serving can detect a later
         # fixture regeneration and refuse the stale index (VERDICT r4 #1).
-        fingerprints[key] = _embeddings_md5(d)
-        print(f"{key}: {len(index[key])} centroids x {len(index[key][0])} dims")
+        fingerprints[key] = {"md5": _embeddings_md5(d), "n_train": int(n_train)}
+        print(
+            f"{key}: n={n_train} -> k={k} "
+            f"({len(index[key])} centroids x {len(index[key][0])} dims, "
+            f"mean list {n_train / k:.0f})"
+        )
     os.makedirs(_DATA_DIR, exist_ok=True)
     with open(_OUT, "w") as f:
         json.dump(index, f)
