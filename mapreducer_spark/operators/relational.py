@@ -651,7 +651,8 @@ WHERE
 def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # part is UNHINTED (r11 hinted-broadcast budget): grows with sf.
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)
@@ -770,7 +771,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part is UNHINTED (r11 hinted-broadcast budget): grows with sf.
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(thresholds, li.l_partkey == thresholds.t_partkey)
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -923,8 +925,10 @@ def suppliers_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     above = rev.crossJoin(F.broadcast(av)).where(
         F.col("revenue") > F.col("avg_rev")
     )
+    # above is UNHINTED (r11 hinted-broadcast budget): a per-supplier
+    # frame that grows with sf; the planner broadcasts it while small.
     return (
-        F.broadcast(above)
+        above
         .join(s, above.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("revenue", 4).alias("revenue"))
     )
@@ -1188,7 +1192,9 @@ def waiting_suppliers_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_blame.join(multi, "l_orderkey")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is UNHINTED (r11 hinted-broadcast budget): a dim that
+        # grows with sf; the planner broadcasts it on its own while small.
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

@@ -1238,8 +1238,12 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     logp = F.round(F.log2(s), 6)
     backed_off = F.when(F.col("bcnt").isNull(), F.lit(1)).otherwise(F.lit(0))
+    # big is UNHINTED (r11 hinted-broadcast budget): the bigram count
+    # table grows toward vocab^2 (9.3k rows on the 10x fixture's grown
+    # vocab) — the planner auto-broadcasts it while small.  The
+    # unigram tables (|vocab| rows) and 1-row total stay hinted.
     return (
-        pairs.join(F.broadcast(big), ["prev", "cur"], "left")
+        pairs.join(big, ["prev", "cur"], "left")
         .join(F.broadcast(u1), "prev")
         .join(F.broadcast(u2), "cur")
         .crossJoin(F.broadcast(total))
@@ -1462,15 +1466,16 @@ def doc_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl2 = F.when(
         F.col("tcnt").isNull() & F.col("bcnt").isNull(), 1
     ).otherwise(0)
-    # tri is UNHINTED (r11 hinted-broadcast budget): the trimmed trigram
-    # table grows toward vocab^3 (6.8k rows at sf0.01 already) — the
-    # planner auto-broadcasts it while it is small and degrades to a
-    # shuffle join when it is not.  The bigram/unigram tables saturate
-    # at vocab^2/vocab (<=961/31 here) and stay hinted.
+    # tri/ba/bm are UNHINTED (r11 hinted-broadcast budget): the trigram
+    # table grows toward vocab^3 (6.8k rows at sf0.01 already) and the
+    # bigram tables toward vocab^2 (9.3k on the 10x fixture's grown
+    # vocab) — the planner auto-broadcasts them while small and
+    # degrades to shuffle joins when not.  The |vocab|-row unigram
+    # tables and the 1-row total stay hinted.
     return (
         tri_pos.join(tri, ["u", "v", "w"], "left")
-        .join(F.broadcast(ba), ["u", "v"])
-        .join(F.broadcast(bm), ["v", "w"], "left")
+        .join(ba, ["u", "v"])
+        .join(bm, ["v", "w"], "left")
         .join(F.broadcast(uv), "v")
         .join(F.broadcast(uw), "w")
         .crossJoin(F.broadcast(total))
@@ -1981,8 +1986,11 @@ def doc_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("n1w") / F.col("__b"))
     logp = F.round(F.log2(p_kn), 6)
     lam = F.round(d_lit * F.col("n1v") / F.col("cv"), 6)
+    # big is UNHINTED (r11 hinted-broadcast budget): vocab^2 growth —
+    # see doc_bigram_perplexity; the |vocab|-row ctx/cont tables and
+    # the 1-row total stay hinted.
     return (
-        pairs.join(F.broadcast(big), ["prev", "cur"])
+        pairs.join(big, ["prev", "cur"])
         .join(F.broadcast(ctx), "prev")
         .join(F.broadcast(cont), "cur")
         .crossJoin(F.broadcast(tot))
@@ -2502,9 +2510,13 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
     vocab = tok.select("t").distinct()
+    # cnt and the pair side below are UNHINTED (r11 hinted-broadcast
+    # budget): both are sources x |vocab| frames (6.2k rows on the 10x
+    # fixture's grown vocab) — the planner auto-broadcasts them while
+    # small.  The |vocab|-row distinct-term frame stays hinted.
     grid = (
         tot.crossJoin(F.broadcast(vocab))
-        .join(F.broadcast(cnt), ["source", "t"], "left")
+        .join(cnt, ["source", "t"], "left")
         .select(
             "source",
             "t",
@@ -2525,7 +2537,7 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("pb"),
     )
     pairs = a.join(
-        F.broadcast(b),
+        b,
         (F.col("t") == F.col("tb_t"))
         & (F.col("source_a") < F.col("source_b")),
     )

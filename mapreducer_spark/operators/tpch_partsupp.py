@@ -187,8 +187,10 @@ def important_stock_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").where(
         F.col("n_name") == _Q11_NATION
     )
+    # supplier is UNHINTED (r11 hinted-broadcast budget): grows with
+    # sf; nation (filtered, <=1 row) stays hinted.
     nat_ps = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
         .select(
             "ps_partkey",
@@ -243,7 +245,9 @@ def supplier_count_by_part_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return (
         ps.join(p, ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(ok_supp), ps.ps_suppkey == F.col("s_suppkey"))
+        # ok_supp is UNHINTED (r11 hinted-broadcast budget): a supplier
+        # subset that grows with sf; the planner broadcasts it on its own.
+        .join(ok_supp, ps.ps_suppkey == F.col("s_suppkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
