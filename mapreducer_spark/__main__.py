@@ -218,6 +218,33 @@ def cmd_monitor_dp_counts(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_monitor_dp_histogram(args: argparse.Namespace) -> int:
+    """Run the streaming DP histogram monitor (availableNow) and print
+    the current release — the distribution-valued sibling of
+    monitor-dp-counts: every drain folds new events into the
+    batch-keyed per-bucket state, releases the full fixed-grid clamped
+    value histogram with FRESH hash noise through the shared
+    dp_histogram_release algebra (empty cells noised too), and reports
+    the sequential-composition budget spent so far."""
+    from mapreducer_spark.streaming.jobs import (
+        read_events_stream,
+        run_dp_histogram_monitor,
+    )
+
+    spark = _get_spark(args)
+    run_dp_histogram_monitor(
+        read_events_stream(spark, args.sf_dir),
+        args.state_dir,
+        args.report_dir,
+        args.checkpoint,
+        eps_per_release=args.eps_per_release,
+    )
+    report = spark.read.parquet(args.report_dir)
+    for row in sorted(report.collect(), key=lambda r: r.bucket):
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    return 0
+
+
 def cmd_snapshot_diff(args: argparse.Namespace) -> int:
     from mapreducer_spark.sources.snapshots import snapshot_diff
 
@@ -560,6 +587,20 @@ def main(argv: list[str] | None = None) -> int:
     dpm.add_argument("--checkpoint", required=True)
     dpm.add_argument("--eps-per-release", type=float, default=1.0)
     dpm.set_defaults(fn=cmd_monitor_dp_counts)
+
+    dph = sub.add_parser(
+        "monitor-dp-histogram",
+        help="streaming DP histogram release: fold new events into the "
+        "batch-keyed per-bucket state, release the clamped value "
+        "histogram over the full fixed grid with fresh discrete-Laplace "
+        "noise, and account the epsilon budget spent",
+    )
+    dph.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    dph.add_argument("state_dir", help="batch-keyed bucket partials table")
+    dph.add_argument("report_dir", help="current DP release + budget")
+    dph.add_argument("--checkpoint", required=True)
+    dph.add_argument("--eps-per-release", type=float, default=1.0)
+    dph.set_defaults(fn=cmd_monitor_dp_histogram)
 
     sh = sub.add_parser(
         "snapshot-history", help="list a snapshot table's versions"

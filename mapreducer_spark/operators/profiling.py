@@ -3810,32 +3810,39 @@ _DPH_ROWS = _dlap_threshold_rows(_DPH_EPS)
 _DPH_QUANTILES = (0.5, 0.9, 0.99)
 
 
-def _dp_hist_released(
-    spark: SparkSession, sf_dir: str, salt: str = _DPH_SALT
+def dp_histogram_release(
+    true_h: DataFrame,
+    n_buckets: int,
+    salt: str,
+    eps: float = _DPH_EPS,
 ) -> DataFrame:
-    """The released noisy histogram: (bucket, true_n, dp_noise, dp_n)
-    over the FULL fixed grid — empty cells get noise too (releasing
-    only occupied cells would leak the support), which is also what
-    bounds the cost at O(grid), never O(rows).  One document lands in
-    exactly one (clamped) bucket, so per-cell sensitivity is 1 and
-    parallel composition prices the whole release at _DPH_EPS."""
+    """The discrete-Laplace HISTOGRAM-release algebra as a reusable
+    step — the grid-completed sibling of dp_count_release: given a
+    possibly-sparse (bucket, tn) count frame, complete it over the
+    FULL fixed [0, n_buckets) grid (empty cells get noise too —
+    releasing only occupied cells would leak the support, and the
+    full grid is what bounds the cost at O(grid), never O(rows)),
+    draw per-cell integer noise at ``eps`` by inverse CDF over the
+    salted cross-engine hash uniform, and clamp at 0.  Disjoint
+    clamped buckets give per-cell sensitivity 1, so parallel
+    composition prices the whole release at ``eps``.  The streaming DP
+    histogram monitor (streaming/jobs.py::run_dp_histogram_monitor)
+    re-derives its per-batch releases through THIS function, so batch
+    and stream histogram releases are one code path; the salt is the
+    release's identity (sequential composition across salts)."""
     from mapreducer_spark.functions.inline import inline_rows
 
-    d = load_table(spark, sf_dir, "documents")
-    true_h = d.groupBy(
-        F.floor(
-            F.least(F.col("n_chars"), F.lit(_DPH_CLAMP)) / _DPH_WIDTH
-        )
-        .cast("long")
-        .alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("tn"))
-    grid = spark.range(_DPH_BUCKETS).select(F.col("id").alias("bucket"))
+    spark = true_h.sparkSession
+    rows = (
+        _DPH_ROWS if eps == _DPH_EPS else _dlap_threshold_rows(eps)
+    )
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     cells = grid.join(true_h, "bucket", "left").select(
         "bucket", F.coalesce(F.col("tn"), F.lit(0)).cast("long").alias("true_n")
     )
     nt = inline_rows(
         spark,
-        [(int(k), int(lo), int(hi)) for k, lo, hi in _DPH_ROWS],
+        [(int(k), int(lo), int(hi)) for k, lo, hi in rows],
         ["dp_noise", "lo", "hi"],
     )
     u = md5_int64(
@@ -3856,6 +3863,23 @@ def _dp_hist_released(
             .alias("dp_n"),
         )
     )
+
+
+def _dp_hist_released(
+    spark: SparkSession, sf_dir: str, salt: str = _DPH_SALT
+) -> DataFrame:
+    """The released noisy doc-length histogram — the documents-table
+    instantiation of dp_histogram_release (clamped char lengths on the
+    fixed 32-cell grid)."""
+    d = load_table(spark, sf_dir, "documents")
+    true_h = d.groupBy(
+        F.floor(
+            F.least(F.col("n_chars"), F.lit(_DPH_CLAMP)) / _DPH_WIDTH
+        )
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tn"))
+    return dp_histogram_release(true_h, _DPH_BUCKETS, salt)
 
 
 _DPH_ORACLE_REL = f"""
@@ -4028,4 +4052,96 @@ def dp_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(_DPH_EPS)).alias("eps_total"),
         )
         .orderBy("quantile")
+    )
+
+
+# Events-value DP histogram: the streaming DP histogram monitor's
+# batch twin (the dp_event_type_counts pattern applied to the
+# histogram algebra).  Width 16 is a power of two, so the DOUBLE
+# bucket assignment floor(least(value, clamp)/16) is EXACT in both
+# engines (binary division by 2^4 loses no bits).
+_DPEV_WIDTH = 16
+_DPEV_BUCKETS = 32
+_DPEV_CLAMP = _DPEV_WIDTH * _DPEV_BUCKETS - 1  # least(value, 511)
+_DPEV_MONITOR_SALT_1 = "dp-hist-monitor-v1|1|"
+
+
+@register(
+    "dp_event_value_histogram",
+    oracle=f"""
+WITH nt(dp_noise, lo, hi) AS (VALUES
+  {_dp_noise_values_sql(_DPH_ROWS)}
+),
+grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({_DPEV_BUCKETS})),
+h AS (
+  SELECT CAST(floor(least(value, {_DPEV_CLAMP}) / {_DPEV_WIDTH}) AS BIGINT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS tn
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT g.bucket, CAST(COALESCE(h.tn, 0) AS BIGINT) AS true_n
+  FROM grid g LEFT JOIN h USING (bucket)
+),
+keyed AS (
+  SELECT bucket, true_n,
+         {oracle_md5_int64(f"'{_DPEV_MONITOR_SALT_1}' || CAST(bucket AS VARCHAR)")}
+           % {_DP_LATTICE} AS u
+  FROM cells
+),
+rel AS (
+  SELECT bucket, true_n,
+         CAST(nt.dp_noise AS BIGINT) AS dp_noise,
+         CAST(greatest(true_n + nt.dp_noise, 0) AS BIGINT) AS dp_n
+  FROM keyed JOIN nt ON keyed.u >= nt.lo AND keyed.u < nt.hi
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * {_DPEV_WIDTH} AS BIGINT) AS lo_value,
+       CAST(true_n AS BIGINT) AS true_n,
+       CAST(dp_noise AS BIGINT) AS dp_noise,
+       CAST(dp_n AS BIGINT) AS dp_n,
+       CAST(SUM(dp_n) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS dp_cdf_n,
+       CAST({_DPH_EPS} AS DOUBLE) AS epsilon,
+       CAST({_DPH_EPS} AS DOUBLE) AS eps_total
+FROM rel
+""",
+    doc="Hash-gate twin of the streaming DP HISTOGRAM monitor's first "
+    "release: dp_histogram_release applied to the full events table's "
+    f"clamped value histogram (width {_DPEV_WIDTH} — a power of two, "
+    "so the DOUBLE bucket assignment is exact in both engines) under "
+    "the monitor's release-1 salt — byte-identical to what "
+    "run_dp_histogram_monitor reports after one micro-batch that "
+    "drained everything.  Closes the histogram monitor's correctness "
+    "loop exactly like dp_event_type_counts closed the count "
+    "monitor's: the parity test pins stream == batch of the shared "
+    "algebra, and THIS query pins that algebra to the DuckDB oracle "
+    "hash.  Scale shape: one map-side-combined count to the fixed "
+    f"{_DPEV_BUCKETS}-cell grid + the broadcast threshold table + one "
+    "window over the grid — O(grid), never O(rows).",
+    tags=("governance", "privacy", "streaming", "sketch", "agg"),
+)
+def dp_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    true_h = e.groupBy(
+        F.floor(
+            F.least(F.col("value"), F.lit(float(_DPEV_CLAMP))) / _DPEV_WIDTH
+        )
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tn"))
+    rel = dp_histogram_release(true_h, _DPEV_BUCKETS, _DPEV_MONITOR_SALT_1)
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return rel.select(
+        "bucket",
+        (F.col("bucket") * _DPEV_WIDTH).cast("long").alias("lo_value"),
+        "true_n",
+        "dp_noise",
+        "dp_n",
+        F.sum("dp_n").over(wc).cast("long").alias("dp_cdf_n"),
+        F.lit(float(_DPH_EPS)).alias("epsilon"),
+        F.lit(float(_DPH_EPS)).alias("eps_total"),
     )

@@ -1299,3 +1299,100 @@ def run_dp_count_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def run_dp_histogram_monitor(
+    events_stream: DataFrame,
+    state_dir: str,
+    report_dir: str,
+    checkpoint: str,
+    eps_per_release: float = 1.0,
+) -> None:
+    """Streaming DP telemetry over a DISTRIBUTION: the clamped
+    event-value histogram maintained as batch-keyed per-bucket partials
+    and RELEASED each micro-batch through the discrete-Laplace
+    histogram algebra (the exact code path of the batch mechanism —
+    operators/profiling.py::dp_histogram_release, full fixed grid,
+    empty cells noised too), with sequential-composition budget
+    accounting: release R salts its noise by R and the report carries
+    eps_spent_total = R * eps_per_release.  Within one release the
+    buckets are disjoint, so the per-release price is eps_per_release
+    (parallel composition), not cells x eps.
+
+    Replay contract: identical to run_dp_count_monitor — counts are a
+    non-idempotent SUM fold, so partials are keyed by batch_id and a
+    replayed batch REPLACES its own rows; the release index is the
+    distinct-batch count of the state, so a replayed batch reproduces
+    the same salt and the byte-identical report (noise is a hash, not
+    an RNG: crash-replay can never re-roll the draw or double-spend
+    the budget).  State grain is (batch, bucket) — grid-bounded; the
+    report is one row per grid cell, CDF included.
+    """
+    from mapreducer_spark.operators.profiling import (
+        _DPEV_BUCKETS,
+        _DPEV_CLAMP,
+        _DPEV_WIDTH,
+        dp_histogram_release,
+    )
+    from pyspark.sql import Window
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.groupBy(
+                F.floor(
+                    F.least(F.col("value"), F.lit(float(_DPEV_CLAMP)))
+                    / _DPEV_WIDTH
+                )
+                .cast("long")
+                .alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(batch_id).alias("batch_id"), "bucket", "n")
+        )
+        prev = _monitor_prev_state(spark, state_dir)
+        state = (
+            partial
+            if prev is None
+            else prev.where(F.col("batch_id") != batch_id).unionByName(
+                partial
+            )
+        )
+        _monitor_swap_write(state, state_dir, batch_id)
+        st = spark.read.parquet(state_dir)
+        n_releases = st.select("batch_id").distinct().count()
+        totals = st.groupBy("bucket").agg(
+            F.sum("n").cast("long").alias("tn")
+        )
+        rel = dp_histogram_release(
+            totals,
+            _DPEV_BUCKETS,
+            f"dp-hist-monitor-v1|{n_releases}|",
+            eps=eps_per_release,
+        )
+        wc = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        report = rel.select(
+            "bucket",
+            (F.col("bucket") * _DPEV_WIDTH).cast("long").alias("lo_value"),
+            "true_n",
+            "dp_noise",
+            "dp_n",
+            F.sum("dp_n").over(wc).cast("long").alias("dp_cdf_n"),
+            F.lit(n_releases).cast("long").alias("releases_so_far"),
+            F.lit(float(eps_per_release)).alias("eps_per_release"),
+            F.lit(float(n_releases * eps_per_release)).alias(
+                "eps_spent_total"
+            ),
+        )
+        _monitor_swap_write(report, report_dir, batch_id)
+
+    q = (
+        events_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

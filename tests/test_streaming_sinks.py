@@ -1193,3 +1193,100 @@ def test_dp_count_monitor_matches_batch_and_replays(spark, tmp_path):
     }
     half = {(r.event_type, r.dp_noise) for r in spark.read.parquet(report_e).collect()}
     assert base != half
+
+
+def test_dp_histogram_monitor_matches_batch_and_replays(spark, tmp_path):
+    """Streaming DP HISTOGRAM monitor parity: after draining the
+    fixture's events in 3 micro-batches, the report equals the SHARED
+    release algebra (dp_histogram_release over the full-grid clamped
+    value histogram) at release index 3 — and a fresh-checkpoint replay
+    reproduces it byte-identically.  Also pins the grid contract (all
+    32 cells present every release, empty ones included) and the
+    monotone CDF."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.operators.profiling import (
+        _DPEV_BUCKETS,
+        _DPEV_CLAMP,
+        _DPEV_WIDTH,
+        dp_histogram_release,
+    )
+    from mapreducer_spark.streaming.jobs import run_dp_histogram_monitor
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "value"
+    )
+    in_dir = tmp_path / "dph_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"dph_stage_{k}"
+        ev.where(f"user_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    state = str(tmp_path / "dph_state")
+    report = str(tmp_path / "dph_report")
+    run_dp_histogram_monitor(
+        stream(), state, report, str(tmp_path / "dph_ck1")
+    )
+
+    true_h = ev.groupBy(
+        F.floor(
+            F.least(F.col("value"), F.lit(float(_DPEV_CLAMP))) / _DPEV_WIDTH
+        )
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tn"))
+    rel = dp_histogram_release(true_h, _DPEV_BUCKETS, "dp-hist-monitor-v1|3|")
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        tuple(r) + (3, 1.0, 3.0)
+        for r in rel.select(
+            "bucket",
+            (F.col("bucket") * _DPEV_WIDTH).cast("long").alias("lo_value"),
+            "true_n",
+            "dp_noise",
+            "dp_n",
+            F.sum("dp_n").over(wc).cast("long").alias("dp_cdf_n"),
+        ).collect()
+    }
+    got = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got == want and len(want) == _DPEV_BUCKETS
+
+    # Grid + CDF contracts on the released rows.
+    rows = sorted(spark.read.parquet(report).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(_DPEV_BUCKETS))
+    assert all(r.dp_n >= 0 for r in rows)
+    cdf = [r.dp_cdf_n for r in rows]
+    assert cdf == sorted(cdf) and cdf[-1] == sum(r.dp_n for r in rows)
+    assert all(
+        r.releases_so_far == 3 and r.eps_spent_total == 3.0 for r in rows
+    )
+
+    # Batch-keyed partials at the (batch, bucket) grain.
+    st = spark.read.parquet(state)
+    assert st.select("batch_id").distinct().count() == 3
+    assert (
+        st.groupBy("batch_id", "bucket").count().where("count > 1").count()
+        == 0
+    )
+
+    # Fresh-checkpoint replay: identical report (same release index ->
+    # same salt -> same noise).
+    run_dp_histogram_monitor(
+        stream(), state, report, str(tmp_path / "dph_ck2")
+    )
+    got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got2 == want
