@@ -4097,3 +4097,224 @@ def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         imb.alias("imbalance_factor"),
     ).orderBy("cluster")
+
+
+# --- MMR diversity re-ranking (round 11) -----------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998): the
+# standard retrieval post-processor that trades relevance against
+# redundancy — pick argmax lambda*rel(d) - (1-lambda)*max_{s in S}
+# sim(d, s) greedily k times.  A RAG/data-curation pipeline runs this
+# between ANN retrieval and the context window to avoid returning five
+# near-identical chunks.
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy MMR in DuckDB: the selection is sequential by
+    construction, so the oracle unrolls the _MMR_K rounds as CTEs —
+    each round anti-joins the selected set, recomputes the max-sim
+    penalty against it, and picks the (score desc, vec_id) argmax.
+    All similarities rounded to 6dp BEFORE any comparison (the proven
+    cross-engine recipe of similarity_topk); the score arithmetic is
+    two double mults and a subtract on identical rounded inputs."""
+    lam, k = _MMR_LAMBDA, _MMR_K
+    sql = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+pool AS (
+  SELECT q_id, vec_id, sim AS rel, cv FROM (
+    SELECT q.q_id, c.vec_id, c.cv,
+           round(list_cosine_similarity(q.qv, c.cv), 6) AS sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                      c.vec_id
+           ) AS rnk
+    FROM q CROSS JOIN c WHERE q.q_id <> c.vec_id
+  ) WHERE rnk <= {_TOP_K}
+),
+ps AS (
+  SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(a.cv, b.cv), 6) AS s
+  FROM pool a JOIN pool b
+    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+),
+sel1 AS (
+  SELECT q_id, vec_id, 1 AS mmr_rank,
+         CAST(round({lam} * CAST(rel AS DECIMAL(18,6)), 6) AS DOUBLE)
+           AS mmr_score
+  FROM (
+    SELECT q_id, vec_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY rel DESC, vec_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)"""
+    prev_union = "SELECT q_id, vec_id FROM sel1"
+    for r in range(2, k + 1):
+        sql += f""",
+cand{r} AS (
+  SELECT p.q_id, p.vec_id, p.rel,
+         CAST(round({lam} * CAST(p.rel AS DECIMAL(18,6))
+                    - {round(1.0 - lam, 1)}
+                      * CAST(COALESCE(pen.mx, 0.0) AS DECIMAL(18,6)), 6)
+              AS DOUBLE) AS score
+  FROM pool p
+  LEFT JOIN (
+    SELECT ps.q_id, ps.a_id,
+           MAX(ps.s) AS mx
+    FROM ps JOIN ({prev_union}) s
+      ON ps.q_id = s.q_id AND ps.b_id = s.vec_id
+    GROUP BY 1, 2
+  ) pen ON pen.q_id = p.q_id AND pen.a_id = p.vec_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({prev_union}) s2
+    WHERE s2.q_id = p.q_id AND s2.vec_id = p.vec_id
+  )
+),
+sel{r} AS (
+  SELECT q_id, vec_id, {r} AS mmr_rank, score AS mmr_score
+  FROM (
+    SELECT q_id, vec_id, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM cand{r}
+  ) WHERE rn = 1
+)"""
+        prev_union += f" UNION ALL SELECT q_id, vec_id FROM sel{r}"
+    sql += f"""
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(mmr_score AS DOUBLE) AS mmr_score
+FROM ({" UNION ALL ".join(f"SELECT * FROM sel{r}" for r in range(1, k + 1))})
+"""
+    return sql
+
+
+@register(
+    "similarity_topk_mmr",
+    oracle=_mmr_oracle_sql(),
+    doc="MMR diversity re-ranking (Carbonell & Goldstein 1998) of the "
+    f"brute-force top-{_TOP_K} pool: greedily pick {_MMR_K} results per "
+    f"query maximizing {_MMR_LAMBDA}*relevance - "
+    f"{round(1 - _MMR_LAMBDA, 2)}*max-similarity-to-already-selected — "
+    "the standard post-retrieval redundancy filter a RAG/curation "
+    "pipeline runs between ANN and the context window.  The greedy "
+    "selection is SEQUENTIAL by definition, so it runs as _MMR_K "
+    "driver-side rounds over the pool frame — legitimate at 100 TB "
+    "because the pool is already top-k-bounded (queries x k rows, "
+    "metadata-sized): the scale-heavy stage is the retrieval that "
+    "feeds it, not the re-rank.  Determinism: every similarity is "
+    "rounded to 6dp before any comparison; ties break on vec_id; the "
+    "oracle unrolls the same rounds as CTEs.  Scale shape: one "
+    "broadcast q x candidate scan (the pool), one pool self-join "
+    "(queries x k^2 rows), then k joins over metadata-sized frames.",
+    tags=("llm", "similarity", "retrieval"),
+)
+def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam = _MMR_LAMBDA
+    pool = similarity_topk(spark, sf_dir).select(
+        "q_id", "vec_id", F.col("sim").alias("rel")
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    pv = pool.join(em, "vec_id").select(
+        "q_id", "vec_id", "rel", F.col("embedding").alias("v")
+    )
+    a = pv.select("q_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = pv.select("q_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    ps = (
+        a.join(b, "q_id")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "q_id",
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("av"), F.col("bv")), 6).alias("s"),
+        )
+        # queries x k^2 rows (metadata-sized); pin it so the k greedy
+        # rounds below reuse one materialization instead of re-running
+        # the pairwise stage per round.
+        .localCheckpoint(eager=True)
+    )
+    pool = pool.localCheckpoint(eager=True)
+
+    w = Window.partitionBy("q_id")
+    pick1 = (
+        pool.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("rel").desc(), F.col("vec_id"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "vec_id",
+            F.lit(1).alias("mmr_rank"),
+            F.round(
+                F.lit(lam).cast("decimal(2,1)")
+                * F.col("rel").cast("decimal(18,6)"),
+                6,
+            )
+            .cast("double")
+            .alias("mmr_score"),
+        )
+    )
+    selected = pick1
+    for r in range(2, _MMR_K + 1):
+        sel_ids = selected.select("q_id", "vec_id")
+        cand = pool.join(sel_ids, ["q_id", "vec_id"], "left_anti")
+        pen = (
+            ps.join(
+                sel_ids.withColumnRenamed("vec_id", "b_id"),
+                ["q_id", "b_id"],
+            )
+            .groupBy("q_id", F.col("a_id").alias("vec_id"))
+            .agg(F.max("s").alias("mx"))
+        )
+        # Decimal-exact score: 0.7*rel lands on a half-way 7th digit
+        # for some pool rows, and double round() tie-splits across
+        # engines (caught at gate pre-ship) — the standard recipe:
+        # exact DECIMAL products, one half-up decimal round, then cast.
+        score = F.round(
+            F.lit(lam).cast("decimal(2,1)")
+            * F.col("rel").cast("decimal(18,6)")
+            - F.lit(round(1.0 - lam, 1)).cast("decimal(2,1)")
+            * F.coalesce(F.col("mx"), F.lit(0.0)).cast("decimal(18,6)"),
+            6,
+        ).cast("double")
+        pick = (
+            cand.join(pen, ["q_id", "vec_id"], "left")
+            .select("q_id", "vec_id", score.alias("score"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    w.orderBy(F.col("score").desc(), F.col("vec_id"))
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "q_id",
+                "vec_id",
+                F.lit(r).alias("mmr_rank"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        # Pin each round: the next round's anti-join depends on it, and
+        # without the checkpoint the lineage re-executes every earlier
+        # round per subsequent round (quadratic re-work).
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("mmr_score").cast("double").alias("mmr_score"),
+    )

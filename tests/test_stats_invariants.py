@@ -450,3 +450,76 @@ def test_dp_histogram_composition_accounting(spark, sf_dir):
     assert ests == sorted(ests)
     assert all(0 <= e <= _DPH_BUCKETS * 32 for e in ests)
     assert _DPH_SALT == "dp-hist-v1|"  # salt is the release identity
+
+
+def test_mmr_rerank_invariants(spark, sf_dir):
+    """MMR re-rank contracts: 5 picks per query, all from the top-10
+    pool, no duplicates; rank 1 is the relevance argmax; greedy scores
+    are non-increasing in rank (the round-r winner was available at
+    round r-1 with a no-larger penalty — allow 2e-6 for the 6dp
+    rounds); and the selected set is genuinely more diverse than plain
+    top-5-by-relevance (lower mean intra-set similarity on the
+    fixture)."""
+    from collections import defaultdict
+
+    from mapreducer_spark.operators.similarity import (
+        _MMR_K,
+        similarity_topk,
+        similarity_topk_mmr,
+    )
+
+    mmr = list(similarity_topk_mmr(spark, sf_dir).collect())
+    pool_rows = list(similarity_topk(spark, sf_dir).collect())
+    pool = defaultdict(set)
+    for r in pool_rows:
+        pool[r.q_id].add(r.vec_id)
+    by_q = defaultdict(list)
+    for r in mmr:
+        by_q[r.q_id].append(r)
+    assert set(by_q) == set(pool)
+    top_rel = {
+        q: min(
+            (r for r in pool_rows if r.q_id == q),
+            key=lambda r: (-r.sim, r.vec_id),
+        ).vec_id
+        for q in pool
+    }
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rows] == list(range(1, _MMR_K + 1))
+        ids = [r.vec_id for r in rows]
+        assert len(set(ids)) == _MMR_K and set(ids) <= pool[q]
+        assert ids[0] == top_rel[q]
+        scores = [r.mmr_score for r in rows]
+        assert all(a >= b - 2e-6 for a, b in zip(scores, scores[1:]))
+
+    # Diversity: mean pairwise cosine within the MMR set is LOWER than
+    # within plain top-5-by-relevance, averaged over queries (the whole
+    # point of the re-rank; pinned on the fixture).
+    import itertools
+
+    import numpy as np
+
+    from mapreducer_spark.sources import load_table
+
+    em = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def mean_sim(ids):
+        sims = [
+            float(
+                em[a] @ em[b] / (np.linalg.norm(em[a]) * np.linalg.norm(em[b]))
+            )
+            for a, b in itertools.combinations(ids, 2)
+        ]
+        return sum(sims) / len(sims)
+
+    topk_by_q = defaultdict(list)
+    for r in sorted(pool_rows, key=lambda r: (r.q_id, -r.sim, r.vec_id)):
+        if len(topk_by_q[r.q_id]) < _MMR_K:
+            topk_by_q[r.q_id].append(r.vec_id)
+    mmr_div = sum(mean_sim([r.vec_id for r in by_q[q]]) for q in by_q) / len(by_q)
+    rel_div = sum(mean_sim(topk_by_q[q]) for q in by_q) / len(by_q)
+    assert mmr_div <= rel_div
