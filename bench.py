@@ -25,6 +25,24 @@ from mapreducer_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Strict order parsing, BEFORE any Spark work (ADVICE r11):
+    # 'shuffle'/'Shuffled'/etc. must ERROR immediately, not silently run
+    # sorted order and skew an intended A/B.
+    order_env = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "")
+    shuffle_seed: int | None = None
+    if order_env in ("", "sorted"):
+        order_desc = "sorted"
+    elif order_env == "shuffled" or (
+        order_env.startswith("shuffled:")
+        and order_env.split(":", 1)[1].isdigit()
+    ):
+        shuffle_seed = int(order_env.split(":")[1]) if ":" in order_env else 0
+        order_desc = f"shuffled:{shuffle_seed}"
+    else:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ORDER={order_env!r} not recognized — "
+            "use '', 'sorted', 'shuffled' or 'shuffled:<seed>'"
+        )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -90,19 +108,40 @@ def main() -> None:
     # 2x gate then consumed).  SPARK_GRAFT_BENCH_ORDER=shuffled:<seed>
     # runs the same set in a seeded shuffle for the order-independence A/B.
     ordered = sorted(queries.items())
-    order_env = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "")
-    if order_env.startswith("shuffled"):
+    if shuffle_seed is not None:
         import random
 
-        seed = int(order_env.split(":")[1]) if ":" in order_env else 0
-        random.Random(seed).shuffle(ordered)
+        random.Random(shuffle_seed).shuffle(ordered)
+    print(f"bench order: {order_desc} ({len(ordered)} queries)", file=sys.stderr)
 
-    for i, (name, q) in enumerate(ordered):
+    def _time_once(q) -> float:
+        # cold per query: session memos cleared before EVERY rep, so the
+        # reading is the query's own cost (VERDICT r10 #2).  The local df
+        # ref dies with this frame — see the gc note below.
         clear_session_caches()
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        del df
+        return round(time.perf_counter() - t0, 3)
+
+    # First readings carry session-position JIT/codegen variance (order
+    # A/B r11: the same query read 8.3 s third-in-order vs 1.4 s late;
+    # p10/p90 order-ratio 0.63/1.34).  For the slow tail — where that
+    # variance actually moves the total — re-time once (memos cleared
+    # again, still cold) and report min-of-2: the steady-state cold cost,
+    # with the first readings kept alongside for transparency
+    # (VERDICT r11 #3).  Threshold 2.5 s: at r11 numbers that re-times
+    # ~60/328 queries (~1/5 of wall added, most of the variance removed).
+    _RETIME_OVER_SEC = 2.5
+    first_pass: dict[str, float] = {}
+
+    for i, (name, q) in enumerate(ordered):
+        t = _time_once(q)
+        first_pass[name] = t
+        if t > _RETIME_OVER_SEC:
+            t = min(t, _time_once(q))
+        timings[name] = t
         # Drop the Python-side DataFrame refs and periodically break
         # reference CYCLES so Spark's ContextCleaner can reclaim
         # localCheckpoint blocks between queries: with 260+ queries in
@@ -112,7 +151,6 @@ def main() -> None:
         # position and inflation; a per-query full gc flattened it to
         # -0.07 — SURVEY §8 r8).  Every 16 queries bounds the
         # accumulation without paying ~260 full collections.
-        del df
         if i % 16 == 15:
             gc.collect()
 
@@ -124,6 +162,9 @@ def main() -> None:
     # Emit a line guaranteed to fit (full dict if it fits, else the
     # slowest queries — the perf-relevant ones) and write the complete
     # timings to bench_full.json alongside this script.
+    retimed = {
+        n: first_pass[n] for n in timings if first_pass[n] != timings[n]
+    }
     full = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -131,6 +172,13 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "sf": sf_val,
+        "order": order_desc,
+        "timing_policy": (
+            "cold per query (memos cleared each rep); min-of-2 for "
+            f"queries whose first reading exceeded {_RETIME_OVER_SEC}s"
+        ),
+        "first_reading_when_retimed": retimed,
+        "first_pass_total_sec": round(sum(first_pass.values()), 3),
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
@@ -138,10 +186,15 @@ def main() -> None:
     ) as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    line = json.dumps(full, separators=(",", ":"))
+    # stdout line: keep it small — the per-rep detail lives only in
+    # bench_full.json
+    slim = {
+        k: v for k, v in full.items() if k != "first_reading_when_retimed"
+    }
+    line = json.dumps(slim, separators=(",", ":"))
     budget = 1600
     if len(line) > budget:
-        payload = dict(full)
+        payload = dict(slim)
         payload["queries_note"] = (
             f"slowest NNN/{len(timings)}; full set in bench_full.json"
         )

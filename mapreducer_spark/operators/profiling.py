@@ -3836,9 +3836,32 @@ def dp_histogram_release(
     rows = (
         _DPH_ROWS if eps == _DPH_EPS else _dlap_threshold_rows(eps)
     )
-    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
-    cells = grid.join(true_h, "bucket", "left").select(
-        "bucket", F.coalesce(F.col("tn"), F.lit(0)).cast("long").alias("true_n")
+    grid = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"), F.lit(True).alias("_in_grid")
+    )
+    # FULL join instead of left: a true_h bucket outside [0, n_buckets)
+    # must fail LOUD at execution time (raise_error), not silently drop
+    # its mass — a left join would under-report identically in Spark and
+    # the oracle, so the gate could never catch it (ADVICE r11).  The
+    # raised column is `bucket` itself, which every downstream step
+    # consumes, so Catalyst cannot prune the check away.
+    cells = grid.join(true_h, "bucket", "full").select(
+        F.when(
+            F.col("_in_grid").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "dp_histogram_release: true_h bucket outside "
+                        f"[0, {n_buckets}) — clamp the bucket expression "
+                        "at BOTH ends in the caller; got bucket="
+                    ),
+                    F.col("bucket").cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("bucket"))
+        .alias("bucket"),
+        F.coalesce(F.col("tn"), F.lit(0)).cast("long").alias("true_n"),
     )
     nt = inline_rows(
         spark,

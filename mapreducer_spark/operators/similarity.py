@@ -4241,10 +4241,15 @@ def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # queries x k^2 rows (metadata-sized); pin it so the k greedy
         # rounds below reuse one materialization instead of re-running
-        # the pairwise stage per round.
-        .localCheckpoint(eager=True)
+        # the pairwise stage per round.  checkpoint_inspected (not a bare
+        # localCheckpoint) so the structural budgets still see the
+        # checkpointed retrieval/pairwise subtrees (ADVICE r11: a
+        # checkpoint severs lineage and would otherwise blind the gate).
     )
-    pool = pool.localCheckpoint(eager=True)
+    from mapreducer_spark.plans.inspect import checkpoint_inspected
+
+    ps = checkpoint_inspected(ps, "similarity_topk_mmr.pairwise")
+    pool = checkpoint_inspected(pool, "similarity_topk_mmr.pool")
 
     w = Window.partitionBy("q_id")
     pick1 = (

@@ -314,7 +314,6 @@ def hinted_broadcast_rows(df: DataFrame) -> list[int]:
             hinted = True  # missing link -> fail loud as hinted
             if ll.isDefined():
                 lp = ll.get()
-                hinted = False
                 if lp.getClass().getSimpleName() == "Join":
                     side = (
                         lp.hint().rightHint()
@@ -326,11 +325,48 @@ def hinted_broadcast_rows(df: DataFrame) -> list[int]:
                         hinted = strat.isDefined() and "broadcast" in str(
                             strat.get().toString()
                         ).lower()
+                    else:
+                        hinted = False
+                # else: link defined but NOT a Join — attribution gap;
+                # keep hinted=True so it fails loud like a missing link
+                # (ADVICE r11) instead of silently exempting the exchange.
             if hinted:
                 kids = _children(node)
                 build = kids[1] if build_right else kids[0]
                 out.append(_exchange_rows(build))
         stack.extend(_children(node))
+    return out
+
+
+def checkpoint_inspected(df: DataFrame, label: str) -> DataFrame:
+    """localCheckpoint(eager=True) that does NOT blind the structural
+    budgets (ADVICE r11): a checkpoint severs lineage, so the gate's
+    per-collect detectors (run_spark_gated) only ever see the plan
+    segment AFTER the last checkpoint — a hinted broadcast, rescan
+    fan-out, or global window inside the checkpointed subtree would
+    escape.  This wrapper materializes the frame, then runs all three
+    budget detectors on the just-executed subtree plan before handing
+    back the severed frame, so iterative operators (MMR's greedy rounds,
+    pointer-jumping, ...) keep the whole pipeline under budget.  The
+    inspection itself is a JVM plan-tree walk over existing metrics —
+    no extra job."""
+    out = df.localCheckpoint(eager=True)
+    for table, n_scans in executed_filescan_counts(df).items():
+        assert n_scans <= MAX_EXECUTED_SCANS_PER_TABLE, (
+            f"{label}: checkpointed subtree reads table {table!r} "
+            f"{n_scans} times (budget {MAX_EXECUTED_SCANS_PER_TABLE})"
+        )
+    for n_rows in unpartitioned_window_input_rows(df):
+        assert 0 <= n_rows <= UNPARTITIONED_WINDOW_MAX_ROWS, (
+            f"{label}: checkpointed subtree has an unpartitioned Window "
+            f"over {n_rows} rows (budget {UNPARTITIONED_WINDOW_MAX_ROWS})"
+        )
+    for n_rows in hinted_broadcast_rows(df):
+        assert 0 <= n_rows <= BROADCAST_HINTED_MAX_ROWS, (
+            f"{label}: checkpointed subtree has a hint-forced "
+            f"BroadcastExchange over {n_rows} rows "
+            f"(budget {BROADCAST_HINTED_MAX_ROWS})"
+        )
     return out
 
 

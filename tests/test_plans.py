@@ -555,3 +555,47 @@ def test_no_python_worker_literal_frames_in_operators():
                 continue
             offenders.append(f"{path.relative_to(ops_dir)}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_checkpoint_inspected_catches_blinded_violation(spark):
+    """checkpoint_inspected (ADVICE r11) closes the localCheckpoint
+    blind spot: a budget violation INSIDE a checkpointed subtree is
+    invisible to run_spark_gated (lineage severed — the gate sees only
+    the LocalTableScan-rooted final segment), but the wrapper inspects
+    the subtree at materialization time and fails loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.plans.inspect import (
+        checkpoint_inspected,
+        hinted_broadcast_rows,
+    )
+
+    base = spark.range(0, 9000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(7)).alias("g")
+    )
+    grower = spark.range(0, 9000).select(
+        F.col("id").alias("id2"), (F.col("id") * 2).alias("v")
+    )
+    bad = base.join(F.broadcast(grower), base.id == grower.id2).select(
+        "g", "v"
+    )
+
+    # The blind spot: after a bare localCheckpoint the violation is gone
+    # from the downstream plan the gate inspects.
+    blinded = bad.localCheckpoint(eager=True).groupBy("g").agg(
+        F.sum("v").alias("sv")
+    )
+    blinded.collect()
+    assert hinted_broadcast_rows(blinded) == []
+
+    # The fix: the wrapper raises at materialization time.
+    with pytest.raises(AssertionError, match="hint-forced"):
+        checkpoint_inspected(bad, "test_subtree")
+
+    # And an under-budget subtree passes through with lineage severed.
+    dim = spark.range(0, 25).select(F.col("id").alias("g2"))
+    ok = checkpoint_inspected(
+        base.join(F.broadcast(dim), base.g == dim.g2), "ok_subtree"
+    )
+    assert ok.count() > 0

@@ -523,3 +523,35 @@ def test_mmr_rerank_invariants(spark, sf_dir):
     mmr_div = sum(mean_sim([r.vec_id for r in by_q[q]]) for q in by_q) / len(by_q)
     rel_div = sum(mean_sim(topk_by_q[q]) for q in by_q) / len(by_q)
     assert mmr_div <= rel_div
+
+
+def test_dp_histogram_release_rejects_out_of_grid_buckets(spark):
+    """ADVICE r11: a true_h bucket outside [0, n_buckets) must fail
+    LOUD at execution, not silently drop its mass — a left-join drop
+    would under-report identically in Spark and the oracle, so the
+    hash gate could never catch it."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mapreducer_spark.operators.profiling import dp_histogram_release
+
+    ok_h = spark.range(4).select(
+        F.col("id").alias("bucket"), (F.col("id") * 10 + 1).alias("tn")
+    )
+    rel = dp_histogram_release(ok_h, 8, "test-grid-v1|")
+    rows = {r.bucket: r.true_n for r in rel.collect()}
+    assert set(rows) == set(range(8))  # full grid, empty cells noised
+    assert rows[2] == 21
+
+    for bad_bucket in (-1, 8):
+        bad_h = ok_h.unionByName(
+            spark.range(1).select(
+                F.lit(bad_bucket).cast("long").alias("bucket"),
+                F.lit(5).cast("long").alias("tn"),
+            )
+        )
+        with pytest.raises(
+            (SparkRuntimeException, Exception), match="outside"
+        ):
+            dp_histogram_release(bad_h, 8, "test-grid-v1|").collect()
