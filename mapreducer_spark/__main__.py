@@ -245,6 +245,41 @@ def cmd_monitor_dp_histogram(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_monitor_topk_retrieval(args: argparse.Namespace) -> int:
+    """Run the streaming incremental-retrieval monitor (availableNow)
+    and print the current MMR-re-ranked selection — the retrieval
+    shelf's batch<->stream closure: per-batch candidate top-k partials
+    merge into a snapshot-versioned pool, re-ranked through the SAME
+    greedy MMR algebra as similarity_topk_mmr."""
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.operators.similarity import _N_QUERIES
+    from mapreducer_spark.sources import load_table
+    from mapreducer_spark.streaming.jobs import (
+        read_embeddings_stream,
+        run_topk_retrieval_monitor,
+    )
+
+    spark = _get_spark(args)
+    queries = (
+        load_table(spark, args.sf_dir, "embeddings")
+        .where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    run_topk_retrieval_monitor(
+        read_embeddings_stream(spark, args.sf_dir),
+        queries,
+        args.state_dir,
+        args.pool_dir,
+        args.report_dir,
+        args.checkpoint,
+    )
+    report = spark.read.parquet(args.report_dir)
+    for row in sorted(report.collect(), key=lambda r: (r.q_id, r.mmr_rank)):
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+    return 0
+
+
 def cmd_snapshot_diff(args: argparse.Namespace) -> int:
     from mapreducer_spark.sources.snapshots import snapshot_diff
 
@@ -601,6 +636,19 @@ def main(argv: list[str] | None = None) -> int:
     dph.add_argument("--checkpoint", required=True)
     dph.add_argument("--eps-per-release", type=float, default=1.0)
     dph.set_defaults(fn=cmd_monitor_dp_histogram)
+
+    tkr = sub.add_parser(
+        "monitor-topk-retrieval",
+        help="streaming incremental retrieval: per-batch candidate "
+        "top-k partials merged into a snapshot-versioned pool, "
+        "re-ranked through the shared greedy MMR algebra",
+    )
+    tkr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    tkr.add_argument("state_dir", help="batch-keyed candidate partials")
+    tkr.add_argument("pool_dir", help="merged top-k pool snapshot")
+    tkr.add_argument("report_dir", help="current MMR selection")
+    tkr.add_argument("--checkpoint", required=True)
+    tkr.set_defaults(fn=cmd_monitor_topk_retrieval)
 
     sh = sub.add_parser(
         "snapshot-history", help="list a snapshot table's versions"

@@ -25,9 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreducer_spark.functions.text import ORACLE_TOKEN_LIST_SNIPPET
+from mapreducer_spark.functions.frozen import frozen_spec
 from mapreducer_spark.operators.dedup import (
     docs_with_near_dups,
-    neardup_jaccard_blocked,
+    neardup_pairs_shared,
 )
 from mapreducer_spark.registry import register
 
@@ -239,20 +240,31 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@frozen_spec("neardup_cc_labels", sources=("documents",))
+def neardup_cc_labels_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, comp) component labels over the near-dup pair graph — the
+    cluster-assignment table a production dedup pipeline materializes
+    exactly once (this docstring predates the artifact; r12 made the
+    materialization real).  The iterative label-propagation run is the
+    expensive part — rounds x shuffles — and is exactly what the frozen
+    artifact amortizes; its input is the frozen pair artifact when
+    fresh."""
+    pairs = neardup_pairs_shared(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs, "id_a", "id_b")
+
+
 def _neardup_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Component labels over the near-dup pair graph, memoized per
-    (session, fixture): the iterative label-propagation run (the
-    expensive part — rounds x shuffles) is shared between
-    neardup_clusters and corpus_after_neardup_dedup instead of executed
-    twice.  |V| rows — the cluster-assignment table a production dedup
-    pipeline materializes exactly once."""
+    """Component labels over the near-dup pair graph: frozen artifact
+    when fingerprint-fresh (live iterative rebuild otherwise), memoized
+    per (session, fixture) — shared between neardup_clusters,
+    corpus_after_neardup_dedup and corpus_dedup_keep_best."""
     from mapreducer_spark.functions.memo import session_memo
 
-    def build() -> DataFrame:
-        pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
-        return connected_components(pairs, "id_a", "id_b")
-
-    return session_memo(spark, ("neardup_cc_labels", sf_dir), build)
+    return session_memo(
+        spark,
+        ("neardup_cc_labels", sf_dir),
+        lambda: neardup_cc_labels_frozen(spark, sf_dir),
+    )
 
 
 @register(
@@ -485,7 +497,7 @@ FROM degrees GROUP BY deg
     tags=("llm", "dedup", "graph", "profiling"),
 )
 def neardup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
+    pairs = neardup_pairs_shared(spark, sf_dir).select("id_a", "id_b")
     vertices = pairs.select(F.col("id_a").alias("v")).unionByName(
         pairs.select(F.col("id_b").alias("v"))
     )

@@ -731,10 +731,10 @@ WHERE sa.split <> sb.split
 def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducer_spark.operators.dedup import (
         docs_with_near_dups,
-        neardup_jaccard_blocked,
+        neardup_pairs_shared,
     )
 
-    pairs = neardup_jaccard_blocked(spark, sf_dir).select("id_a", "id_b")
+    pairs = neardup_pairs_shared(spark, sf_dir).select("id_a", "id_b")
     corpus = docs_with_near_dups(spark, sf_dir).select("doc_id")
     splits = corpus.select(
         "doc_id", _split_expr(F.col("doc_id")).alias("split")

@@ -32,6 +32,7 @@ from mapreducer_spark.functions.agg import (
     fixed6_grouped_sums,
     oracle_fixed6_sum,
 )
+from mapreducer_spark.functions.frozen import frozen_spec
 from mapreducer_spark.functions.vectors import cosine, oracle_sign_bucket, sign_bucket
 from mapreducer_spark.registry import register
 from mapreducer_spark.sources import fan_out, load_table
@@ -84,6 +85,33 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _TOP_K)
     )
+
+
+# Frozen exact-top-k ground truth (VERDICT r11 #1): the brute-force
+# result every recall gauge compares against is the canonical
+# materialize-once artifact — a 100 TB ANN deployment computes exact
+# top-k ONCE per (sample, snapshot) and every index/quantization gauge
+# reads it.  Pre-r12 each gauge re-paid the exact scan cold.  Serving
+# follows functions/frozen.py: fingerprint-fresh parquet else live
+# build; every consumer's oracle still recomputes the exact scan from
+# raw embeddings in SQL, so a drifted artifact fails the hash gate.
+# similarity_topk itself (the registered baseline query) always
+# computes live — it prices the exact scan the artifact amortizes.
+
+
+@frozen_spec("ann_exact_topk", sources=("embeddings",))
+def ann_exact_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, sim, rnk) exact cosine top-k — similarity_topk's
+    output as the frozen ground-truth artifact."""
+    return similarity_topk(spark, sf_dir)
+
+
+@frozen_spec("ann_exact_topk_l2", sources=("embeddings",))
+def ann_exact_topk_l2_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id) exact L2 top-k at _ADC_TOP_K — the ground truth
+    of the PQ/ADC recall family (ADC approximates L2 distances, so its
+    gauges compare against the L2 truth, not the cosine one)."""
+    return _exact_topk_l2(spark, sf_dir)
 
 
 _N_CENTROIDS = 16
@@ -634,7 +662,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _TOP_K)
         .select("nprobe", "q_id", "vec_id")
     )
-    exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
+    exact = ann_exact_topk_frozen(spark, sf_dir).select("q_id", "vec_id")
     level_frame = spark.range(1).select(levels)
     exact_l = exact.crossJoin(F.broadcast(level_frame))
     hits = exact_l.join(approx, ["nprobe", "q_id", "vec_id"], "left_semi")
@@ -716,7 +744,7 @@ def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> Da
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     approx = _ivf_topk(em, _centroid_list(em, sf_dir)).select("q_id", "vec_id")
-    exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
+    exact = ann_exact_topk_frozen(spark, sf_dir).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (
         exact.groupBy("q_id")
@@ -1449,11 +1477,10 @@ def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_recall_frame(spark, sf_dir, cb=None)
 
 
-def _adc_recall_frame(
-    spark: SparkSession, sf_dir: str, cb: DataFrame | None
-) -> DataFrame:
-    """Recall@k of the ADC search under codebook ``cb`` (None = the
-    first-16 stand-in) vs exact full-precision L2 top-k."""
+def _exact_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id) exact full-precision L2 top-k at _ADC_TOP_K —
+    the PQ/ADC family's ground truth (live build; served frozen via
+    ann_exact_topk_l2_frozen)."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1469,7 +1496,7 @@ def _adc_recall_frame(
         9,
     )
     w = Window.partitionBy("q_id").orderBy("d2", "vec_id")
-    exact_topk = (
+    return (
         em.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("vec_id"))
         .select("q_id", "vec_id", d2.alias("d2"))
@@ -1477,6 +1504,15 @@ def _adc_recall_frame(
         .where(F.col("rnk") <= _ADC_TOP_K)
         .select("q_id", "vec_id")
     )
+
+
+def _adc_recall_frame(
+    spark: SparkSession, sf_dir: str, cb: DataFrame | None
+) -> DataFrame:
+    """Recall@k of the ADC search under codebook ``cb`` (None = the
+    first-16 stand-in) vs exact full-precision L2 top-k (the frozen
+    ground-truth artifact when fresh)."""
+    exact_topk = ann_exact_topk_l2_frozen(spark, sf_dir)
     adc = _adc_topk_frame(spark, sf_dir, cb).select(
         "q_id", F.col("vec_id").alias("a_vec")
     )
@@ -1769,19 +1805,10 @@ def matryoshka_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     c = em.select("vec_id", F.col("embedding").alias("cv"))
-    # Exact full-dim top-k — same expression/tie-break as similarity_topk.
-    sim_full = F.round(cosine(F.col("qv"), F.col("cv")), 6)
-    w_full = Window.partitionBy("q_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id")
-    )
-    exact = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", sim_full.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w_full))
-        .where(F.col("rnk") <= _TOP_K)
-        .select("q_id", "vec_id")
-    )
+    # Exact full-dim top-k — similarity_topk's result (identical
+    # expression/tie-break), served from the frozen ground-truth
+    # artifact when fingerprint-fresh.
+    exact = ann_exact_topk_frozen(spark, sf_dir).select("q_id", "vec_id")
     # Truncated top-k: the 5 queries fan out x3 budgets on the BROADCAST
     # side (15 rows), so the candidate table is still scanned once.
     qd = q.select(
@@ -2476,7 +2503,7 @@ def ann_ivf_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _TOP_K)
         .select("q_id", "vec_id")
     )
-    exact = similarity_topk(spark, sf_dir).select("q_id", "vec_id")
+    exact = ann_exact_topk_frozen(spark, sf_dir).select("q_id", "vec_id")
     ivf = _ivf_topk(em, cents).select("q_id", "vec_id")
 
     def _recall(ref: DataFrame, colname: str) -> DataFrame:
@@ -4111,24 +4138,14 @@ _MMR_LAMBDA = 0.7
 _MMR_K = 5
 
 
-def _mmr_oracle_sql() -> str:
-    """Unrolled greedy MMR in DuckDB: the selection is sequential by
-    construction, so the oracle unrolls the _MMR_K rounds as CTEs —
-    each round anti-joins the selected set, recomputes the max-sim
-    penalty against it, and picks the (score desc, vec_id) argmax.
-    All similarities rounded to 6dp BEFORE any comparison (the proven
-    cross-engine recipe of similarity_topk); the score arithmetic is
-    two double mults and a subtract on identical rounded inputs."""
-    lam, k = _MMR_LAMBDA, _MMR_K
-    sql = f"""
-WITH q AS (
+_MMR_EXACT_POOL_CTES = f"""q AS MATERIALIZED (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
   FROM embeddings WHERE vec_id < {_N_QUERIES}
 ),
-c AS (
+c AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
 ),
-pool AS (
+pool AS MATERIALIZED (
   SELECT q_id, vec_id, sim AS rel, cv FROM (
     SELECT q.q_id, c.vec_id, c.cv,
            round(list_cosine_similarity(q.qv, c.cv), 6) AS sim,
@@ -4139,14 +4156,30 @@ pool AS (
            ) AS rnk
     FROM q CROSS JOIN c WHERE q.q_id <> c.vec_id
   ) WHERE rnk <= {_TOP_K}
-),
-ps AS (
+)"""
+
+
+def _mmr_rounds_ctes(prefix: str = "") -> str:
+    """The unrolled greedy MMR rounds as CTEs, assuming an in-scope
+    ``{prefix}pool(q_id, vec_id, rel, cv)`` CTE (rel already rounded
+    6dp).  The selection is sequential by construction, so the oracle
+    unrolls the _MMR_K rounds — each round anti-joins the selected set,
+    recomputes the max-sim penalty against it, and picks the
+    (score desc, vec_id) argmax.  All similarities rounded to 6dp
+    BEFORE any comparison (the proven cross-engine recipe of
+    similarity_topk); scores are exact DECIMAL products with one
+    half-up round.  ``prefix`` namespaces the CTEs so two chains (e.g.
+    the exact-pool and IVF-pool re-ranks in the agreement gauge) can
+    coexist in one statement.  Ends with ``{prefix}mmr(q_id, mmr_rank,
+    vec_id, mmr_score)``."""
+    lam, k, p = _MMR_LAMBDA, _MMR_K, prefix
+    sql = f"""{p}ps AS MATERIALIZED (
   SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
          round(list_cosine_similarity(a.cv, b.cv), 6) AS s
-  FROM pool a JOIN pool b
+  FROM {p}pool a JOIN {p}pool b
     ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
 ),
-sel1 AS (
+{p}sel1 AS MATERIALIZED (
   SELECT q_id, vec_id, 1 AS mmr_rank,
          CAST(round({lam} * CAST(rel AS DECIMAL(18,6)), 6) AS DOUBLE)
            AS mmr_score
@@ -4154,23 +4187,23 @@ sel1 AS (
     SELECT q_id, vec_id, rel,
            ROW_NUMBER() OVER (PARTITION BY q_id
                               ORDER BY rel DESC, vec_id) AS rn
-    FROM pool
+    FROM {p}pool
   ) WHERE rn = 1
 )"""
-    prev_union = "SELECT q_id, vec_id FROM sel1"
+    prev_union = f"SELECT q_id, vec_id FROM {p}sel1"
     for r in range(2, k + 1):
         sql += f""",
-cand{r} AS (
+{p}cand{r} AS MATERIALIZED (
   SELECT p.q_id, p.vec_id, p.rel,
          CAST(round({lam} * CAST(p.rel AS DECIMAL(18,6))
                     - {round(1.0 - lam, 1)}
                       * CAST(COALESCE(pen.mx, 0.0) AS DECIMAL(18,6)), 6)
               AS DOUBLE) AS score
-  FROM pool p
+  FROM {p}pool p
   LEFT JOIN (
     SELECT ps.q_id, ps.a_id,
            MAX(ps.s) AS mx
-    FROM ps JOIN ({prev_union}) s
+    FROM {p}ps ps JOIN ({prev_union}) s
       ON ps.q_id = s.q_id AND ps.b_id = s.vec_id
     GROUP BY 1, 2
   ) pen ON pen.q_id = p.q_id AND pen.a_id = p.vec_id
@@ -4179,24 +4212,35 @@ cand{r} AS (
     WHERE s2.q_id = p.q_id AND s2.vec_id = p.vec_id
   )
 ),
-sel{r} AS (
+{p}sel{r} AS MATERIALIZED (
   SELECT q_id, vec_id, {r} AS mmr_rank, score AS mmr_score
   FROM (
     SELECT q_id, vec_id, score,
            ROW_NUMBER() OVER (PARTITION BY q_id
                               ORDER BY score DESC, vec_id) AS rn
-    FROM cand{r}
+    FROM {p}cand{r}
   ) WHERE rn = 1
 )"""
-        prev_union += f" UNION ALL SELECT q_id, vec_id FROM sel{r}"
-    sql += f"""
+        prev_union += f" UNION ALL SELECT q_id, vec_id FROM {p}sel{r}"
+    sql += f""",
+{p}mmr AS MATERIALIZED (
+  SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM {p}sel{r}" for r in range(1, k + 1))})
+)"""
+    return sql
+
+
+def _mmr_oracle_sql() -> str:
+    """Brute-force-pool MMR: exact top-k pool CTEs + the unrolled
+    greedy rounds."""
+    return f"""
+WITH {_MMR_EXACT_POOL_CTES},
+{_mmr_rounds_ctes()}
 SELECT CAST(q_id AS BIGINT) AS q_id,
        CAST(mmr_rank AS BIGINT) AS mmr_rank,
        CAST(vec_id AS BIGINT) AS vec_id,
        CAST(mmr_score AS DOUBLE) AS mmr_score
-FROM ({" UNION ALL ".join(f"SELECT * FROM sel{r}" for r in range(1, k + 1))})
+FROM mmr
 """
-    return sql
 
 
 @register(
@@ -4220,11 +4264,31 @@ FROM ({" UNION ALL ".join(f"SELECT * FROM sel{r}" for r in range(1, k + 1))})
     tags=("llm", "similarity", "retrieval"),
 )
 def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lam = _MMR_LAMBDA
-    pool = similarity_topk(spark, sf_dir).select(
+    pool = ann_exact_topk_frozen(spark, sf_dir).select(
         "q_id", "vec_id", F.col("sim").alias("rel")
     )
-    em = load_table(spark, sf_dir, "embeddings")
+    return _mmr_rerank(spark, sf_dir, pool)
+
+
+def _mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    pool: DataFrame,
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """The greedy MMR selection over any (q_id, vec_id, rel) pool —
+    shared by the brute-force-pool re-rank above, the production
+    ANN-pool composition (ann_mmr_topk below), and the streaming
+    incremental-retrieval monitor (streaming/jobs.py), which passes its
+    state-held candidate ``vectors`` (vec_id, embedding) instead of
+    re-reading the fixture — ONE selection code path for batch and
+    stream."""
+    lam = _MMR_LAMBDA
+    em = (
+        vectors
+        if vectors is not None
+        else load_table(spark, sf_dir, "embeddings")
+    )
     pv = pool.join(em, "vec_id").select(
         "q_id", "vec_id", "rel", F.col("embedding").alias("v")
     )
@@ -4248,8 +4312,8 @@ def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mapreducer_spark.plans.inspect import checkpoint_inspected
 
-    ps = checkpoint_inspected(ps, "similarity_topk_mmr.pairwise")
-    pool = checkpoint_inspected(pool, "similarity_topk_mmr.pool")
+    ps = checkpoint_inspected(ps, "mmr_rerank.pairwise")
+    pool = checkpoint_inspected(pool, "mmr_rerank.pool")
 
     w = Window.partitionBy("q_id")
     pick1 = (
@@ -4322,4 +4386,193 @@ def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mmr_rank").cast("long").alias("mmr_rank"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("mmr_score").cast("double").alias("mmr_score"),
+    )
+
+
+def _ann_mmr_oracle_sql() -> str | None:
+    """IVF-pool MMR twin: the frozen-index IVF chain (same literals and
+    tie-breaks as ann_ivf_topk) feeding the unrolled greedy rounds.
+    None (rows-only at the driver) when no fingerprint-fresh frozen
+    index exists for the gate scale — the ann_ivf_topk contract."""
+    ctes = _ivf_oracle_ctes()
+    if ctes is None:
+        return None
+    return f"""
+WITH {ctes},
+pool AS MATERIALIZED (
+  SELECT t.q_id, t.vec_id, t.sim AS rel, e.v AS cv
+  FROM ivf_topk t JOIN e ON e.vec_id = t.vec_id
+),
+{_mmr_rounds_ctes()}
+SELECT CAST(q_id AS BIGINT) AS q_id,
+       CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(mmr_score AS DOUBLE) AS mmr_score
+FROM mmr
+"""
+
+
+@register(
+    "ann_mmr_topk",
+    oracle=_ann_mmr_oracle_sql(),
+    doc="The PRODUCTION retrieval stack (VERDICT r11 #2): frozen-index "
+    f"IVF ANN pool (nprobe={_N_PROBE}, top-{_TOP_K}) -> greedy MMR "
+    f"re-rank to {_MMR_K} diverse results per query — what a RAG/"
+    "curation pipeline actually runs between the vector index and the "
+    "context window (similarity_topk_mmr is the same re-rank over the "
+    "exact pool, kept as the quality reference).  Hash-checked end to "
+    "end when the frozen index is fingerprint-fresh: the oracle chains "
+    "the ann_ivf_topk CTEs into the unrolled MMR rounds.  Scale shape: "
+    "the IVF probe is the only corpus-touching stage; the pool "
+    "self-join is queries x k^2 rows and every greedy round is "
+    "metadata-sized (both checkpoint-inspected against budget "
+    "blindness).",
+    tags=("llm", "similarity", "retrieval"),
+)
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    pool = _ivf_topk(em, _centroid_list(em, sf_dir)).select(
+        "q_id", "vec_id", F.col("sim").alias("rel")
+    )
+    return _mmr_rerank(spark, sf_dir, pool)
+
+
+def _ann_mmr_agreement_oracle_sql() -> str | None:
+    """Two full unrolled MMR chains (exact pool, prefix-less; IVF pool,
+    prefix i) composed into the per-query agreement + redundancy
+    report."""
+    ctes = _ivf_oracle_ctes()
+    if ctes is None:
+        return None
+    k = _MMR_K
+    return f"""
+WITH {ctes},
+ipool AS MATERIALIZED (
+  SELECT t.q_id, t.vec_id, t.sim AS rel, e.v AS cv
+  FROM ivf_topk t JOIN e ON e.vec_id = t.vec_id
+),
+{_mmr_rounds_ctes("i")},
+{_MMR_EXACT_POOL_CTES},
+{_mmr_rounds_ctes()},
+common AS (
+  SELECT m.q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM mmr m JOIN immr i ON i.q_id = m.q_id AND i.vec_id = m.vec_id
+  GROUP BY 1
+),
+ipairs AS (
+  SELECT a.q_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS s
+  FROM immr a
+  JOIN immr b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+xpairs AS (
+  SELECT a.q_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS s
+  FROM mmr a
+  JOIN mmr b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+imean AS (
+  SELECT q_id,
+         round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS ivf_mmr_redundancy
+  FROM ipairs GROUP BY q_id
+),
+xmean AS (
+  SELECT q_id,
+         round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS exact_mmr_redundancy
+  FROM xpairs GROUP BY q_id
+)
+SELECT x.q_id,
+       CAST({k} AS BIGINT) AS k,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       round(CAST(COALESCE(c.n_common, 0) AS DOUBLE) / {k}, 6)
+         AS agreement_at_k,
+       im.ivf_mmr_redundancy,
+       xm.exact_mmr_redundancy
+FROM (SELECT DISTINCT q_id FROM mmr) x
+LEFT JOIN common c ON c.q_id = x.q_id
+JOIN imean im ON im.q_id = x.q_id
+JOIN xmean xm ON xm.q_id = x.q_id
+"""
+
+
+@register(
+    "ann_mmr_agreement",
+    oracle=_ann_mmr_agreement_oracle_sql(),
+    doc="MMR-pool quality gauge (the ann_ivf_kmeans_recall pattern, "
+    "lifted to the re-ranked stack): per query, how much of the "
+    "brute-force-pool MMR selection the production IVF-pool MMR "
+    "selection recovers (n_common / k), beside each selection's mean "
+    "pairwise similarity — the REDUNDANCY the re-rank exists to "
+    "suppress (lower = more diverse; comparing the two columns shows "
+    "whether the ANN pool costs diversity as well as recall).  "
+    "Determinism: both selections are the deterministic greedy chains; "
+    "pairwise sims round 6dp into DECIMAL means.  Scale shape: two "
+    "metadata-sized selection frames (queries x k), pairwise stages "
+    "bounded at queries x k^2.",
+    tags=("llm", "similarity", "retrieval", "quality"),
+)
+def ann_mmr_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.plans.inspect import checkpoint_inspected
+
+    ivf_sel = checkpoint_inspected(
+        ann_mmr_topk(spark, sf_dir).select("q_id", "vec_id"),
+        "ann_mmr_agreement.ivf_sel",
+    )
+    ex_sel = checkpoint_inspected(
+        similarity_topk_mmr(spark, sf_dir).select("q_id", "vec_id"),
+        "ann_mmr_agreement.exact_sel",
+    )
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+
+    def _redundancy(sel: DataFrame, out: str) -> DataFrame:
+        a = sel.join(em, "vec_id").select(
+            "q_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+        )
+        b = sel.join(em, "vec_id").select(
+            "q_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+        )
+        pairs = (
+            a.join(b, "q_id")
+            .where(F.col("a_id") != F.col("b_id"))
+            .select(
+                "q_id", F.round(cosine(F.col("av"), F.col("bv")), 6).alias("s")
+            )
+        )
+        return pairs.groupBy("q_id").agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias(out)
+        )
+
+    common = (
+        ex_sel.join(ivf_sel, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        ex_sel.select("q_id")
+        .distinct()
+        .join(common, "q_id", "left")
+        .join(_redundancy(ivf_sel, "ivf_mmr_redundancy"), "q_id")
+        .join(_redundancy(ex_sel, "exact_mmr_redundancy"), "q_id")
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            F.lit(_MMR_K).cast("long").alias("k"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double") / _MMR_K, 6
+            ).alias("agreement_at_k"),
+            "ivf_mmr_redundancy",
+            "exact_mmr_redundancy",
+        )
     )

@@ -1396,3 +1396,124 @@ def run_dp_histogram_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings fixture (vec_id,
+    embedding) — the candidate-arrival stream of the incremental
+    retrieval monitor."""
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_topk_retrieval_monitor(
+    embeddings_stream: DataFrame,
+    queries_df: DataFrame,
+    state_dir: str,
+    pool_dir: str,
+    report_dir: str,
+    checkpoint: str,
+) -> None:
+    """Streaming INCREMENTAL RETRIEVAL (VERDICT r11 #5) — the retrieval
+    shelf's batch<->stream closure, extending the one-code-path
+    discipline the DP monitors established: as candidate vectors arrive
+    in micro-batches, maintain a snapshot-versioned top-k pool per
+    query and re-rank it through the SHARED greedy MMR algebra
+    (operators/similarity.py::_mmr_rerank — the exact code path of
+    similarity_topk_mmr), so once every vector has arrived the pool
+    equals similarity_topk's batch output and the report equals
+    similarity_topk_mmr's, row for row (the parity test pins both).
+
+    Mechanics (the quantile/DP monitors' contracts):
+    - Per batch: score ONLY the batch's candidates against the fixed
+      broadcast query set (identical 6dp-rounded cosine + tie-break as
+      the batch operator) and keep the per-batch per-query top-k as the
+      partial — global top-k is a subset of the union of per-batch
+      top-ks, so the merge is exact while the state stays at
+      batches x queries x k rows (each with its candidate vector — the
+      pairwise re-rank needs no side lookup).  At 100 TB the partial is
+      the only stage that touches the batch, and it's one map-side
+      window over batch x queries scored rows.
+    - Replay-exact: partials are batch-keyed and a replayed batch
+      REPLACES its own rows; pool and report are pure functions of the
+      state, so crash-replay reproduces them byte-identically (no RNG
+      anywhere — ties break on vec_id).
+    - Snapshot-versioned: pool/report are swap-written per batch; a
+      reader always sees one complete version.
+    """
+    from pyspark.sql import Window
+
+    from mapreducer_spark.functions.vectors import cosine
+    from mapreducer_spark.operators.similarity import _TOP_K, _mmr_rerank
+
+    q_b = F.broadcast(
+        queries_df.select(
+            F.col("q_id"), F.col("qv")
+        )
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id")
+        )
+        partial = (
+            batch_df.crossJoin(q_b)
+            .where(F.col("q_id") != F.col("vec_id"))
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                "q_id",
+                "vec_id",
+                F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias(
+                    "sim"
+                ),
+                "embedding",
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _TOP_K)
+            .drop("rnk")
+        )
+        prev = _monitor_prev_state(spark, state_dir)
+        state = (
+            partial
+            if prev is None
+            else prev.where(F.col("batch_id") != batch_id).unionByName(
+                partial
+            )
+        )
+        _monitor_swap_write(state, state_dir, batch_id)
+        st = spark.read.parquet(state_dir)
+        pool = (
+            st.select("q_id", "vec_id", "sim")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _TOP_K)
+        )
+        _monitor_swap_write(pool, pool_dir, batch_id)
+        pool_df = spark.read.parquet(pool_dir)
+        vectors = st.select("vec_id", "embedding").dropDuplicates(
+            ["vec_id"]
+        )
+        report = _mmr_rerank(
+            spark,
+            sf_dir="",  # unused: vectors supplied from state
+            pool=pool_df.select(
+                "q_id", "vec_id", F.col("sim").alias("rel")
+            ),
+            vectors=vectors,
+        )
+        _monitor_swap_write(report, report_dir, batch_id)
+
+    q = (
+        embeddings_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1290,3 +1290,83 @@ def test_dp_histogram_monitor_matches_batch_and_replays(spark, tmp_path):
     )
     got2 = {tuple(r) for r in spark.read.parquet(report).collect()}
     assert got2 == want
+
+
+def test_topk_retrieval_monitor_matches_batch_and_replays(spark, tmp_path):
+    """Streaming incremental-retrieval parity (the retrieval shelf's
+    batch<->stream closure, VERDICT r11 #5): after draining the
+    embeddings fixture in 3 micro-batches, the snapshot-versioned pool
+    equals similarity_topk's batch output and the MMR report equals
+    similarity_topk_mmr's — row for row, because both run through the
+    SHARED scoring/selection code paths.  A fresh-checkpoint replay
+    reproduces both byte-identically, and the state obeys the
+    batch-keyed-partial contract."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.operators.similarity import (
+        _N_QUERIES,
+        similarity_topk,
+        similarity_topk_mmr,
+    )
+    from mapreducer_spark.streaming.jobs import run_topk_retrieval_monitor
+    from tests.conftest import SF_DIR
+
+    em = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    in_dir = tmp_path / "ret_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"ret_stage_{k}"
+        em.where(f"vec_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema(em.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    queries = em.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    state = str(tmp_path / "ret_state")
+    pool = str(tmp_path / "ret_pool")
+    report = str(tmp_path / "ret_report")
+    run_topk_retrieval_monitor(
+        stream(), queries, state, pool, report, str(tmp_path / "ret_ck1")
+    )
+
+    want_pool = {tuple(r) for r in similarity_topk(spark, SF_DIR).collect()}
+    got_pool = {tuple(r) for r in spark.read.parquet(pool).collect()}
+    assert got_pool == want_pool
+
+    want_mmr = {
+        tuple(r) for r in similarity_topk_mmr(spark, SF_DIR).collect()
+    }
+    got_mmr = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got_mmr == want_mmr
+
+    # Batch-keyed partial contract: 3 batches, <= top-k rows per
+    # (batch, query), no duplicate candidates across batches.
+    st = spark.read.parquet(state)
+    assert st.select("batch_id").distinct().count() == 3
+    assert (
+        st.groupBy("batch_id", "q_id").count().where("count > 10").count()
+        == 0
+    )
+    assert (
+        st.groupBy("q_id", "vec_id").count().where("count > 1").count() == 0
+    )
+
+    # Fresh-checkpoint replay: byte-identical pool and report.
+    run_topk_retrieval_monitor(
+        stream(), queries, state, pool, report, str(tmp_path / "ret_ck2")
+    )
+    assert {tuple(r) for r in spark.read.parquet(pool).collect()} == want_pool
+    assert (
+        {tuple(r) for r in spark.read.parquet(report).collect()} == want_mmr
+    )

@@ -32,6 +32,12 @@ from mapreducer_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="clear session memo caches before every timed query "
+        "(bench.py's policy) so each number is the query's own cost",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -68,11 +74,15 @@ def main() -> None:
         .save()
     )
 
+    from mapreducer_spark.functions.memo import clear_session_caches
+
     qs = all_queries()
     passes: list[dict[str, float]] = []
     for _ in range(args.passes):
         timings: dict[str, float] = {}
         for name in args.queries:
+            if args.cold:
+                clear_session_caches()
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
