@@ -69,12 +69,22 @@ class FrozenSpec:
     sources: tuple[str, ...]  # fixture tables the build reads
     version: int  # bump on any build-semantics change
     build: Callable[[SparkSession, str], DataFrame]
+    # Non-fixture inputs the build depends on (e.g. the frozen IVF
+    # centroid file for the inverted-list artifact): absolute paths,
+    # hashed into the fingerprint so an upstream-artifact retrain
+    # refuses this artifact loudly instead of serving a mismatched one.
+    extra_files: tuple[str, ...] = ()
 
 
 _SPECS: dict[str, FrozenSpec] = {}
 
 
-def frozen_spec(name: str, sources: tuple[str, ...], version: int = 1):
+def frozen_spec(
+    name: str,
+    sources: tuple[str, ...],
+    version: int = 1,
+    extra_files: tuple[str, ...] = (),
+):
     """Register an artifact's live builder and return the SERVING
     function: frozen parquet when fingerprint-fresh, else the live
     build (with a loud staleness warning when an artifact exists but
@@ -83,7 +93,7 @@ def frozen_spec(name: str, sources: tuple[str, ...], version: int = 1):
     def deco(build: Callable[[SparkSession, str], DataFrame]):
         if name in _SPECS:
             raise ValueError(f"duplicate frozen artifact name {name!r}")
-        spec = FrozenSpec(name, tuple(sources), version, build)
+        spec = FrozenSpec(name, tuple(sources), version, build, tuple(extra_files))
         _SPECS[name] = spec
 
         def serve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,10 +160,17 @@ def is_fresh(sf_dir: str, spec: FrozenSpec) -> bool:
     if not os.path.isdir(path):
         return False
     recorded = rec.get("sources", {})
-    return all(
+    if not all(
         recorded.get(t) is not None
         and _source_md5s(sf_dir, (t,))[t] == recorded.get(t)
         for t in spec.sources
+    ):
+        return False
+    recorded_extra = rec.get("extra", {})
+    return all(
+        recorded_extra.get(os.path.basename(f)) is not None
+        and _file_md5(f) == recorded_extra.get(os.path.basename(f))
+        for f in spec.extra_files
     )
 
 
@@ -205,9 +222,12 @@ def freeze(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> 
         # build, the recorded fingerprint no longer matches and the
         # artifact is refused at serve time rather than served stale.
         src = _source_md5s(sf_dir, spec.sources)
-        if any(v is None for v in src.values()):
+        extra = {os.path.basename(f): _file_md5(f) for f in spec.extra_files}
+        if any(v is None for v in src.values()) or any(
+            v is None for v in extra.values()
+        ):
             raise FileNotFoundError(
-                f"{name}: missing source table under {sf_dir}"
+                f"{name}: missing source table or extra file"
             )
         df = spec.build(spark, sf_dir)
         path = artifact_path(sf_dir, name)
@@ -223,6 +243,7 @@ def freeze(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> 
         fps[f"{fixture}/{name}"] = {
             "version": spec.version,
             "sources": src,
+            "extra": extra,
             "n_rows": int(n),
             "columns": df.columns,
         }

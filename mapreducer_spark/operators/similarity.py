@@ -181,6 +181,7 @@ def _ivf_scored(
     em: DataFrame,
     cents: list[tuple[int, list[float]]],
     nprobe: int = _N_PROBE,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """IVF candidate scoring shared by the declared query, the recall
     report, and the nprobe sweep: cluster-assign all vectors, route each
@@ -199,21 +200,23 @@ def _ivf_scored(
     from mapreducer_spark.functions.vectors import norm
 
     index = _index_frame(em.sparkSession, cents)
-    # fan_out: assignment costs n_clusters HOF cosines per row; a
-    # single-split fixture scan would run them all on one core (no-op at
-    # scale where the scan has real splits).
-    with_norm = (
-        fan_out(em)
-        .select("vec_id", "embedding", norm(F.col("embedding")).alias("__vn"))
-        .crossJoin(F.broadcast(index))
-    )
-    assigned = with_norm.select(
-        "vec_id",
-        "embedding",
-        F.array_max(_cluster_sims(F.col("embedding"), F.col("__vn")))
-        .getField("cid")
-        .alias("cluster"),
-    )
+    if sf_dir is not None:
+        # The frozen INVERTED LISTS (vec_id -> cluster) — the other half
+        # of the production IVF index next to the frozen centroids: a
+        # deployment assigns each vector once at ingest, not per query.
+        # Serving joins the bare (vec_id, cluster) table back to the
+        # vector column; on staleness the serve falls back to the same
+        # live argmax below.  Callers pass sf_dir ONLY when cents came
+        # from _centroid_list(em, sf_dir), so artifact and centroids can
+        # never disagree (the centroid file is fingerprinted into the
+        # artifact via extra_files).
+        assigned = em.select("vec_id", "embedding").join(
+            ann_ivf_assign_frozen(em.sparkSession, sf_dir), "vec_id"
+        )
+    else:
+        assigned = _ivf_assigned_live(em, index).select(
+            "vec_id", "embedding", "cluster"
+        )
 
     # Route each query to its nprobe nearest clusters: sort the same
     # per-row struct array DESC on (csim, -cent_id) — i.e. take the last
@@ -257,15 +260,38 @@ def _ivf_scored(
     )
 
 
+def _ivf_assigned_live(em: DataFrame, index: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster) per-row argmax assignment against
+    the broadcast index — the live build of the inverted lists.
+    fan_out: assignment costs n_clusters HOF cosines per row; a
+    single-split fixture scan would run them all on one core (no-op at
+    scale where the scan has real splits)."""
+    from mapreducer_spark.functions.vectors import norm
+
+    with_norm = (
+        fan_out(em)
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("__vn"))
+        .crossJoin(F.broadcast(index))
+    )
+    return with_norm.select(
+        "vec_id",
+        "embedding",
+        F.array_max(_cluster_sims(F.col("embedding"), F.col("__vn")))
+        .getField("cid")
+        .alias("cluster"),
+    )
+
+
 def _ivf_topk(
     em: DataFrame,
     cents: list[tuple[int, list[float]]],
     nprobe: int = _N_PROBE,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """IVF search: exact top-k over the ``nprobe`` probed clusters."""
     w_k = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
-        _ivf_scored(em, cents, nprobe)
+        _ivf_scored(em, cents, nprobe, sf_dir=sf_dir)
         .select("q_id", "vec_id", "sim")
         .withColumn("rnk", F.row_number().over(w_k))
         .where(F.col("rnk") <= _TOP_K)
@@ -441,6 +467,21 @@ def _centroid_list(em: DataFrame, sf_dir: str) -> list[tuple[int, list[float]]]:
         (r.cent_id, list(r.cent_v))
         for r in kmeans_centroids(em).orderBy("cent_id").collect()
     ]
+
+
+@frozen_spec(
+    "ann_ivf_assign",
+    sources=("embeddings",),
+    extra_files=(_IVF_INDEX_PATH,),
+)
+def ann_ivf_assign_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) frozen IVF inverted lists for the fixture's
+    frozen centroids.  extra_files pins the centroid artifact: a
+    retrain (tools/train_ivf_index.py) stales this artifact loudly —
+    re-run tools/freeze_derived_frames.py after it."""
+    em = load_table(spark, sf_dir, "embeddings")
+    index = _index_frame(spark, _centroid_list(em, sf_dir))
+    return _ivf_assigned_live(em, index).select("vec_id", "cluster")
 
 
 def _ivf_oracle_ctes() -> str | None:
@@ -647,7 +688,9 @@ GROUP BY 1, 2
 )
 def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    scored = _ivf_scored(em, _centroid_list(em, sf_dir), max(_SWEEP_NPROBES))
+    scored = _ivf_scored(
+        em, _centroid_list(em, sf_dir), max(_SWEEP_NPROBES), sf_dir=sf_dir
+    )
     levels = F.explode(
         F.array(*[F.lit(n) for n in _SWEEP_NPROBES])
     ).alias("nprobe")
@@ -708,7 +751,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    return _ivf_topk(em, _centroid_list(em, sf_dir))
+    return _ivf_topk(em, _centroid_list(em, sf_dir), sf_dir=sf_dir)
 
 
 def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> DataFrame:
@@ -743,7 +786,9 @@ def kmeans_centroids(em: DataFrame, k: int = _N_CENTROIDS, seed: int = 42) -> Da
 )
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    approx = _ivf_topk(em, _centroid_list(em, sf_dir)).select("q_id", "vec_id")
+    approx = _ivf_topk(em, _centroid_list(em, sf_dir), sf_dir=sf_dir).select(
+        "q_id", "vec_id"
+    )
     exact = ann_exact_topk_frozen(spark, sf_dir).select("q_id", "vec_id")
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi")
     return (
@@ -955,6 +1000,16 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("i") <= F.col("j"))
     )
+
+
+@frozen_spec("embedding_gram", sources=("embeddings",))
+def embedding_gram_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, gram) upper-triangle Gram matrix X'X — the one
+    corpus-pass statistic the PCA/whitening family shares; a production
+    pipeline computes it once per snapshot and every eigensolve reads
+    the materialization.  embedding_gram_matrix (the pipeline query)
+    stays live — it prices the pass."""
+    return embedding_gram_matrix(spark, sf_dir)
 
 
 @register(
@@ -2447,23 +2502,11 @@ def ann_ivf_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", _sq_dequant(ve).alias("dv")
     )
     # Cluster assignment on the FULL-precision vector (the coarse
-    # quantizer sees raw data at build time), dv riding along.
-    assigned = (
-        fan_out(deq)
-        .select(
-            "vec_id",
-            "dv",
-            "embedding",
-            norm(F.col("embedding")).alias("__vn"),
-        )
-        .crossJoin(F.broadcast(index))
-        .select(
-            "vec_id",
-            "dv",
-            F.array_max(_cluster_sims(F.col("embedding"), F.col("__vn")))
-            .getField("cid")
-            .alias("cluster"),
-        )
+    # quantizer sees raw data at build time), dv riding along — served
+    # from the frozen inverted lists (the SAME assignment the live
+    # argmax computes; live fallback on staleness).
+    assigned = fan_out(deq).select("vec_id", "dv").join(
+        ann_ivf_assign_frozen(spark, sf_dir), "vec_id"
     )
     probes = (
         em.where(F.col("vec_id") < _N_QUERIES)
@@ -2504,7 +2547,7 @@ def ann_ivf_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     exact = ann_exact_topk_frozen(spark, sf_dir).select("q_id", "vec_id")
-    ivf = _ivf_topk(em, cents).select("q_id", "vec_id")
+    ivf = _ivf_topk(em, cents, sf_dir=sf_dir).select("q_id", "vec_id")
 
     def _recall(ref: DataFrame, colname: str) -> DataFrame:
         hits = (
@@ -2631,7 +2674,7 @@ CROSS JOIN n{_PCA_ITERS} n CROSS JOIN tr t
     tags=("llm", "vector", "iterative", "python"),
 )
 def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gram = embedding_gram_matrix(spark, sf_dir).localCheckpoint(eager=True)
+    gram = embedding_gram_frozen(spark, sf_dir).localCheckpoint(eager=True)
     full_m = gram.select("i", "j", F.col("gram").alias("g")).unionByName(
         gram.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"),
@@ -4431,7 +4474,7 @@ FROM mmr
 )
 def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    pool = _ivf_topk(em, _centroid_list(em, sf_dir)).select(
+    pool = _ivf_topk(em, _centroid_list(em, sf_dir), sf_dir=sf_dir).select(
         "q_id", "vec_id", F.col("sim").alias("rel")
     )
     return _mmr_rerank(spark, sf_dir, pool)

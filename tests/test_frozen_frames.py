@@ -159,3 +159,26 @@ def test_freeze_roundtrip_in_tmpdir(spark, tmp_path, monkeypatch, _clear_fp_cach
     assert sorted(map(tuple, served.collect())) == [
         (i, 2 * i) for i in range(5)
     ]
+
+
+def test_extra_file_drift_refuses_assign_artifact(monkeypatch, _clear_fp_cache):
+    """The inverted-list artifact (ann_ivf_assign) is pinned to the
+    CENTROID file via extra_files: an IVF retrain that rewrites
+    ivf_centroids.json must stale the assignment loudly — serving
+    old lists against new centroids would silently corrupt every IVF
+    probe."""
+    sf_dir = FIXTURES[1]  # sf0.01, the gate fixture
+    spec = _specs()["ann_ivf_assign"]
+    from mapreducer_spark.operators import similarity as sim
+
+    assert spec.extra_files == (sim._IVF_INDEX_PATH,)
+    assert fz.is_fresh(sf_dir, spec)
+    # Simulate a retrain: the recorded centroid-file md5 no longer
+    # matches the file on disk.
+    real_md5 = fz._file_md5
+    monkeypatch.setattr(
+        fz,
+        "_file_md5",
+        lambda p: "retrained" if p == sim._IVF_INDEX_PATH else real_md5(p),
+    )
+    assert not fz.is_fresh(sf_dir, spec)

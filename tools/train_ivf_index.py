@@ -13,6 +13,10 @@ literal centroids, so both engines run the identical index.
 Re-run after a fixture regeneration:
 
     python tools/train_ivf_index.py [sf_dir ...]
+
+Then ALSO re-run ``python tools/freeze_derived_frames.py`` — the frozen
+IVF inverted lists (ann_ivf_assign) fingerprint the centroid file via
+extra_files and go loudly stale the moment this tool rewrites it.
 """
 
 from __future__ import annotations
