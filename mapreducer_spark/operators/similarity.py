@@ -4619,3 +4619,54 @@ def ann_mmr_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_mmr_redundancy",
         )
     )
+
+
+@register(
+    "ann_ivf_delta_assign",
+    oracle=(
+        None
+        if _ivf_oracle_ctes() is None
+        else f"""
+WITH {_ivf_oracle_ctes()}
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_old,
+       CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM assigned GROUP BY cluster
+"""
+    ),
+    doc="Incremental INDEX UPDATE — the ingest-time half of the frozen "
+    "IVF lifecycle (the ANN analogue of incremental_neardup_pairs): "
+    "vectors at vec_id % 10 == 7 play today's ingest; ONLY the delta "
+    "is cluster-assigned against the frozen centroids (|delta| x k "
+    "cosines) and appended to the frozen inverted lists, which are "
+    "read — never recomputed — for the old corpus (one metadata-sized "
+    "anti-join).  Output is the per-cluster old/new/total occupancy "
+    "after the merge — identical, by the assignment's per-row "
+    "determinism, to a full re-assignment, which is exactly what the "
+    "oracle computes from the same centroid literals.  Scale shape: "
+    "at 100 TB the daily delta is the only vector scan; the lists "
+    "table is join-pruned on the delta's ids.  Oracle scope: frozen "
+    "gate index (the ann_ivf_topk contract).",
+    tags=("llm", "similarity", "incremental"),
+)
+def ann_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    delta = em.where(F.col("vec_id") % 10 == 7)
+    index = _index_frame(spark, _centroid_list(em, sf_dir))
+    delta_assign = _ivf_assigned_live(delta, index).select(
+        "vec_id", "cluster"
+    )
+    old = ann_ivf_assign_frozen(spark, sf_dir).join(
+        delta.select("vec_id"), "vec_id", "left_anti"
+    )
+    merged = old.select("cluster", F.lit(0).alias("is_new")).unionByName(
+        delta_assign.select("cluster", F.lit(1).alias("is_new"))
+    )
+    return merged.groupBy("cluster").agg(
+        F.sum(1 - F.col("is_new")).cast("long").alias("n_old"),
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    ).select(F.col("cluster").cast("long").alias("cluster"), "n_old", "n_new", "n_total")
