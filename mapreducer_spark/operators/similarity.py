@@ -4480,6 +4480,18 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mmr_rerank(spark, sf_dir, pool)
 
 
+@frozen_spec("mmr_exact_sel", sources=("embeddings",))
+def mmr_exact_sel_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, mmr_rank, vec_id, mmr_score) — similarity_topk_mmr's
+    selection as a frozen ground-truth artifact, mirroring
+    ann_exact_topk: the agreement gauge compares the PRODUCTION IVF-MMR
+    stack (computed live) against this materialized exact-pool
+    reference, exactly as the recall gauges compare the live IVF probe
+    against the frozen exact top-k.  similarity_topk_mmr itself (the
+    registered reference query) always computes live."""
+    return similarity_topk_mmr(spark, sf_dir)
+
+
 def _ann_mmr_agreement_oracle_sql() -> str | None:
     """Two full unrolled MMR chains (exact pool, prefix-less; IVF pool,
     prefix i) composed into the per-query agreement + redundancy
@@ -4568,7 +4580,7 @@ def ann_mmr_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_mmr_agreement.ivf_sel",
     )
     ex_sel = checkpoint_inspected(
-        similarity_topk_mmr(spark, sf_dir).select("q_id", "vec_id"),
+        mmr_exact_sel_frozen(spark, sf_dir).select("q_id", "vec_id"),
         "ann_mmr_agreement.exact_sel",
     )
     em = load_table(spark, sf_dir, "embeddings").select(

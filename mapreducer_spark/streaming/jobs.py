@@ -1517,3 +1517,70 @@ def run_topk_retrieval_monitor(
         .start()
     )
     q.awaitTermination()
+
+
+def run_ivf_ingest_monitor(
+    embeddings_stream: DataFrame,
+    index_df: DataFrame,
+    state_dir: str,
+    report_dir: str,
+    checkpoint: str,
+) -> None:
+    """Streaming INDEX MAINTENANCE — the stream twin of
+    ann_ivf_delta_assign, closing the index-ingest shelf the way the
+    retrieval monitor closed retrieval: vectors arriving in
+    micro-batches are cluster-assigned against the FROZEN centroid
+    index through the SAME per-row argmax the batch operator uses
+    (operators/similarity.py::_ivf_assigned_live — one code path), and
+    the report is the per-cluster inverted-list occupancy after every
+    drain, equal by construction to a full batch re-assignment once all
+    vectors have arrived (the parity test pins it against the frozen
+    ann_ivf_assign artifact's own counts).
+
+    Contracts (the monitor family's): batch-keyed (batch_id, vec_id,
+    cluster) partials — a replayed batch REPLACES its own rows, so
+    crash-replay reproduces the report byte-identically (assignment is
+    deterministic, no RNG); state grain is one row per ingested vector
+    (exactly the inverted-lists table a production deployment
+    maintains); the report is k rows.  At 100 TB each drain touches
+    ONLY the batch (|batch| x k centroid cosines, map-side); the lists
+    table grows by appends, never recomputes."""
+    from mapreducer_spark.operators.similarity import _ivf_assigned_live
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = _ivf_assigned_live(batch_df, index_df).select(
+            F.lit(batch_id).alias("batch_id"), "vec_id", "cluster"
+        )
+        prev = _monitor_prev_state(spark, state_dir)
+        state = (
+            partial
+            if prev is None
+            else prev.where(F.col("batch_id") != batch_id).unionByName(
+                partial
+            )
+        )
+        _monitor_swap_write(state, state_dir, batch_id)
+        st = spark.read.parquet(state_dir)
+        report = (
+            st.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.countDistinct("batch_id").cast("long").alias("n_batches"),
+            )
+            .select(
+                F.col("cluster").cast("long").alias("cluster"),
+                "n_vectors",
+                "n_batches",
+            )
+        )
+        _monitor_swap_write(report, report_dir, batch_id)
+
+    q = (
+        embeddings_stream.writeStream.foreachBatch(step)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

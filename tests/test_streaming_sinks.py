@@ -1370,3 +1370,78 @@ def test_topk_retrieval_monitor_matches_batch_and_replays(spark, tmp_path):
     assert (
         {tuple(r) for r in spark.read.parquet(report).collect()} == want_mmr
     )
+
+
+def test_ivf_ingest_monitor_matches_batch_and_replays(spark, tmp_path):
+    """Streaming index-maintenance parity (the ann_ivf_delta_assign
+    stream twin): after draining the embeddings fixture in 3
+    micro-batches, the per-cluster occupancy report equals a full batch
+    assignment against the same frozen centroids — assignment runs
+    through the SHARED _ivf_assigned_live argmax, so the equality is
+    one code path observed from two runtimes.  Fresh-checkpoint replay
+    reproduces the report byte-identically."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.operators.similarity import (
+        _centroid_list,
+        _index_frame,
+        _ivf_assigned_live,
+    )
+    from mapreducer_spark.streaming.jobs import run_ivf_ingest_monitor
+    from tests.conftest import SF_DIR
+
+    em = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    in_dir = tmp_path / "ivf_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"ivf_stage_{k}"
+        em.where(f"vec_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema(em.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+
+    index = _index_frame(spark, _centroid_list(em, SF_DIR))
+    state = str(tmp_path / "ivf_state")
+    report = str(tmp_path / "ivf_report")
+    run_ivf_ingest_monitor(
+        stream(), index, state, report, str(tmp_path / "ivf_ck1")
+    )
+
+    full = (
+        _ivf_assigned_live(em, index)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    want = {(r.cluster, r.n_vectors) for r in full.collect()}
+    rows = spark.read.parquet(report).collect()
+    got = {(r.cluster, r.n_vectors) for r in rows}
+    assert got == want
+    assert all(1 <= r.n_batches <= 3 for r in rows)
+
+    # State = the inverted-lists table: one row per ingested vector,
+    # batch-keyed, no duplicates.
+    st = spark.read.parquet(state)
+    assert st.count() == em.count()
+    assert st.select("vec_id").distinct().count() == em.count()
+    assert st.select("batch_id").distinct().count() == 3
+
+    # Fresh-checkpoint replay: byte-identical report.
+    run_ivf_ingest_monitor(
+        stream(), index, state, report, str(tmp_path / "ivf_ck2")
+    )
+    got2 = {
+        (r.cluster, r.n_vectors, r.n_batches)
+        for r in spark.read.parquet(report).collect()
+    }
+    assert got2 == {
+        (r.cluster, r.n_vectors, r.n_batches) for r in rows
+    }
