@@ -115,17 +115,41 @@ def all_specs() -> dict[str, FrozenSpec]:
     return dict(_SPECS)
 
 
-@lru_cache(maxsize=1)
 def _fingerprints() -> dict:
+    # Keyed on the file's (mtime_ns, size) so an external freeze-tool run
+    # mid-session is picked up; a missing/corrupt file is NOT cached
+    # (ADVICE r12: lifetime-cached results defeated the serve-time drift
+    # guard when sources were regenerated in-place).
     try:
-        with open(_FP_PATH) as f:
+        st = os.stat(_FP_PATH)
+    except OSError:
+        return {}
+    return _fingerprints_at(_FP_PATH, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=8)
+def _fingerprints_at(path: str, mtime_ns: int, size: int) -> dict:
+    try:
+        with open(path) as f:
             return json.load(f)
     except (OSError, ValueError):
         return {}
 
 
-@lru_cache(maxsize=128)
 def _file_md5(path: str) -> str | None:
+    # Cache keyed on (path, mtime_ns, size): a regenerated fixture gets a
+    # fresh hash instead of the stale cached one, and a missing file
+    # (None) is never cached — so is_fresh stays a LIVE drift guard
+    # across in-session source changes (ADVICE r12).
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return _file_md5_at(path, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=256)
+def _file_md5_at(path: str, mtime_ns: int, size: int) -> str | None:
     try:
         h = hashlib.md5()
         with open(path, "rb") as f:
@@ -251,5 +275,5 @@ def freeze(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> 
     os.makedirs(_FROZEN_DIR, exist_ok=True)
     with open(_FP_PATH, "w") as f:
         json.dump(fps, f, indent=1, sort_keys=True)
-    _fingerprints.cache_clear()
+    _fingerprints_at.cache_clear()
     return out

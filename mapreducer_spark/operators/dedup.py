@@ -244,10 +244,15 @@ WHERE CAST(len(list_intersect(a.tok_set, b.tok_set)) AS DOUBLE)
     tags=("llm", "dedup", "neardup"),
 )
 def neardup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The PIPELINE query — always computes live (it prices the pair-
-    # frame build the bench should measure).  Downstream consumers
-    # (clustering, degree stats, leakage, triangles, estimator gauge)
-    # read the materialize-once artifact via neardup_pairs_shared.
+    # The VERIFY-stage pipeline query: the blocked overlap join +
+    # Jaccard computation run live, but the (doc_id, block, tok_set)
+    # posting sets are served from the frozen neardup_tok_hash_sets
+    # artifact when fresh (ADVICE r12: the benched number prices the
+    # pair VERIFICATION, not tokenization/posting-set construction —
+    # that build cost is priced once by the freeze tool, as a
+    # production pipeline would).  Downstream consumers (clustering,
+    # degree stats, leakage, triangles, estimator gauge) read the
+    # materialize-once pair artifact via neardup_pairs_shared.
     return _neardup_jaccard_blocked_frame(spark, sf_dir)
 
 
@@ -859,9 +864,11 @@ def minhash_lsh_candidates(corpus: DataFrame, use_md5: bool = False) -> DataFram
 # Every consumer's oracle still recomputes these frames from the RAW
 # documents table in SQL, so a drifted artifact FAILS the hash gate —
 # freezing changes where the bytes come from, never what is verified.
-# The PIPELINE queries (dedup_minhash_lsh, dedup_minhash_lsh_md5,
-# neardup_jaccard_blocked) keep computing live: they ARE the
-# materialization step whose cost the bench should price.
+# The LSH PIPELINE queries (dedup_minhash_lsh, dedup_minhash_lsh_md5)
+# keep computing live end-to-end: they ARE the materialization step
+# whose cost the bench should price.  neardup_jaccard_blocked computes
+# its VERIFY stage (overlap join + Jaccard) live but serves the frozen
+# posting sets — see its registration comment (ADVICE r12).
 # --------------------------------------------------------------------------
 
 

@@ -4665,6 +4665,14 @@ FROM assigned GROUP BY cluster
     tags=("llm", "similarity", "incremental"),
 )
 def ann_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_merged_occupancy(spark, sf_dir)
+
+
+def _ivf_merged_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, n_old, n_new, n_total) per-cluster occupancy after
+    merging the frozen inverted lists with today's delta assignment —
+    shared by ann_ivf_delta_assign (the ingest readout) and
+    ann_ivf_rebalance_plan (the maintenance decision)."""
     em = load_table(spark, sf_dir, "embeddings")
     delta = em.where(F.col("vec_id") % 10 == 7)
     index = _index_frame(spark, _centroid_list(em, sf_dir))
@@ -4682,3 +4690,289 @@ def ann_ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").cast("long").alias("n_new"),
         F.count(F.lit(1)).cast("long").alias("n_total"),
     ).select(F.col("cluster").cast("long").alias("cluster"), "n_old", "n_new", "n_total")
+
+
+# The sqrt-n rule (ivf_k_for) as an IN-PLAN expression, identical in
+# both engines: 2^round(0.5*log2(n)) clamped to [16, 4096].  pow(2, j)
+# is IEEE-exact for integer j, and round() is half-up for positive
+# doubles in Spark and DuckDB alike, so the expression reproduces the
+# Python rule bit-for-bit on any BIGINT n >= 2.
+_RULE_K_SQL = (
+    "GREATEST(16, LEAST(4096, "
+    "CAST(pow(2, round(0.5 * log2(CAST({n} AS DOUBLE)))) AS BIGINT)))"
+)
+
+
+def _ivf_rebalance_oracle_sql() -> str | None:
+    ctes = _ivf_oracle_ctes()
+    if ctes is None:
+        return None
+    k_lit = len(_frozen_ivf_index().get(os.path.basename(_ORACLE_SF_DIR.rstrip("/")), []))
+    rule_k = _RULE_K_SQL.format(n="r.n")
+    return f"""
+WITH {ctes},
+occ AS (
+  SELECT cluster,
+         CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_old,
+         CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM assigned GROUP BY cluster
+),
+r AS (SELECT CAST(SUM(n_total) AS BIGINT) AS n FROM occ)
+SELECT CAST(o.cluster AS BIGINT) AS cluster,
+       o.n_old, o.n_new, o.n_total,
+       round(CAST(o.n_total AS DOUBLE) / r.n, 6) AS frac_of_index,
+       round(CAST(o.n_total AS DOUBLE) * {rule_k} / r.n, 6)
+         AS occupancy_ratio,
+       CAST({rule_k} AS BIGINT) AS rule_k,
+       CAST({k_lit} AS BIGINT) AS index_k,
+       ({k_lit} * {_IVF_RULE_SLACK} < {rule_k}) AS k_lags_rule,
+       CASE WHEN o.n_total > {_IVF_MAX_MEAN_LIST_ROWS} THEN 'split'
+            WHEN o.n_total * {rule_k} > 2 * r.n THEN 'hot'
+            ELSE 'ok' END AS action
+FROM occ o CROSS JOIN r
+"""
+
+
+@register(
+    "ann_ivf_rebalance_plan",
+    oracle=_ivf_rebalance_oracle_sql(),
+    doc="The IVF index MAINTENANCE decision (VERDICT r12 #6), closing "
+    "the lifecycle: ingest (ann_ivf_delta_assign), drift "
+    "(ann_index_ari_staleness), the serving guard's refusal thresholds "
+    "(frozen_index_for) — and now the readout that names WHICH "
+    "clusters force tomorrow's action.  Over the frozen inverted lists "
+    "merged with today's delta, per cluster: occupancy (old/new/"
+    "total), share of the index, occupancy vs the sqrt-n rule's "
+    "target mean list (the ivf_k_for thresholds AS DATA: rule_k is "
+    "computed in-plan as 2^round(0.5*log2(n)) clamped [16,4096] — "
+    "bit-identical to the Python rule), whether the frozen k now lags "
+    f"the rule past the serving guard's slack ({_IVF_RULE_SLACK}x), "
+    f"and the action: 'split' past the {_IVF_MAX_MEAN_LIST_ROWS}-row "
+    "absolute shard point (the guard's hard ceiling), 'hot' past 2x "
+    "the rule's target mean (integer-exact compare, no double "
+    "threshold), else 'ok'.  Scale shape: the delta is the only "
+    "vector scan (|delta| x k cosines); the lists are read, never "
+    "recomputed; everything after the occupancy groupBy is k rows.  "
+    "Oracle scope: frozen gate index (the ann_ivf_topk contract).",
+    tags=("llm", "similarity", "incremental", "index"),
+)
+def ann_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    k_lit = len(_centroid_list(em, sf_dir))
+    occ = _ivf_merged_occupancy(spark, sf_dir)
+    tot = occ.agg(F.sum("n_total").cast("long").alias("__n"))
+    rule_k = F.greatest(
+        F.lit(16),
+        F.least(
+            F.lit(4096),
+            F.pow(F.lit(2.0), F.round(F.lit(0.5) * F.log2(F.col("__n"))))
+            .cast("long"),
+        ),
+    )
+    with_tot = occ.crossJoin(F.broadcast(tot)).withColumn("__rule_k", rule_k)
+    action = (
+        F.when(F.col("n_total") > _IVF_MAX_MEAN_LIST_ROWS, F.lit("split"))
+        .when(
+            F.col("n_total") * F.col("__rule_k") > 2 * F.col("__n"),
+            F.lit("hot"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return with_tot.select(
+        "cluster",
+        "n_old",
+        "n_new",
+        "n_total",
+        F.round(F.col("n_total").cast("double") / F.col("__n"), 6).alias(
+            "frac_of_index"
+        ),
+        F.round(
+            F.col("n_total").cast("double")
+            * F.col("__rule_k")
+            / F.col("__n"),
+            6,
+        ).alias("occupancy_ratio"),
+        F.col("__rule_k").cast("long").alias("rule_k"),
+        F.lit(k_lit).cast("long").alias("index_k"),
+        (F.lit(k_lit * _IVF_RULE_SLACK) < F.col("__rule_k")).alias(
+            "k_lags_rule"
+        ),
+        action.alias("action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval capstone (VERDICT r12 #5) — the retrieval analogue of
+# curation_pipeline_summary: chunking -> IVF retrieval -> MMR re-rank ->
+# context assembly, fused into ONE Catalyst plan and hash-checked end
+# to end.  Every stage is an individually-oracle-checked operator
+# (doc_token_chunks, ann_ivf_topk's probe, _mmr_rerank,
+# sequence_packing_offsets' running-offset recipe); the capstone proves
+# they compose without a driver-side seam.
+# ---------------------------------------------------------------------------
+
+_RAG_CTX = 128  # context-window token budget per query
+
+
+def _retrieval_pipeline_oracle_sql() -> str | None:
+    """IVF chain -> unrolled MMR rounds -> even-tile chunks of the
+    selected docs -> per-query running-offset context assembly.
+    None (rows-only) when no fingerprint-fresh frozen index exists for
+    the gate scale — the ann_mmr_topk contract."""
+    from mapreducer_spark.functions.text import ORACLE_TOKEN_LIST_SNIPPET
+
+    ctes = _ivf_oracle_ctes()
+    if ctes is None:
+        return None
+    return f"""
+WITH {ctes},
+pool AS MATERIALIZED (
+  SELECT t.q_id, t.vec_id, t.sim AS rel, e.v AS cv
+  FROM ivf_topk t JOIN e ON e.vec_id = t.vec_id
+),
+{_mmr_rounds_ctes()},
+chunks AS MATERIALIZED (
+  SELECT doc_id, CAST((s - 1) // 16 AS INT) AS chunk_id,
+         len(list_slice(t, s, s + 31)) AS n_tokens
+  FROM (
+    SELECT doc_id, {ORACLE_TOKEN_LIST_SNIPPET} AS t FROM documents
+  ), UNNEST(generate_series(1, len(t), 16)) AS g(s)
+  WHERE len(t) > 0 AND ((s - 1) // 16) % 2 = 0
+),
+sc AS MATERIALIZED (
+  SELECT m.q_id, m.vec_id, c.chunk_id, c.n_tokens,
+         COALESCE(SUM(c.n_tokens) OVER (
+           PARTITION BY m.q_id ORDER BY m.mmr_rank, c.chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM mmr m JOIN chunks c ON c.doc_id = m.vec_id
+),
+selagg AS (
+  SELECT q_id,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS k_docs,
+         CAST(SUM(mmr_rank * vec_id) AS BIGINT) AS sel_rank_id_sum,
+         round(CAST(SUM(CAST(mmr_score AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS sel_score_sum
+  FROM mmr GROUP BY q_id
+),
+chunkagg AS (
+  SELECT q_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN start_off + n_tokens <= {_RAG_CTX}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ctx_chunks,
+         CAST(SUM(CASE WHEN start_off + n_tokens <= {_RAG_CTX}
+                       THEN n_tokens ELSE 0 END) AS BIGINT) AS ctx_tokens
+  FROM sc GROUP BY q_id
+),
+complete AS (
+  SELECT q_id, CAST(SUM(c) AS BIGINT) AS n_docs_complete FROM (
+    SELECT q_id, vec_id,
+           MIN(CASE WHEN start_off + n_tokens <= {_RAG_CTX}
+                    THEN 1 ELSE 0 END) AS c
+    FROM sc GROUP BY q_id, vec_id
+  ) GROUP BY q_id
+)
+SELECT CAST(s.q_id AS BIGINT) AS q_id,
+       s.k_docs, s.sel_rank_id_sum, s.sel_score_sum,
+       c.n_chunks, c.total_tokens, c.ctx_chunks, c.ctx_tokens,
+       d.n_docs_complete
+FROM selagg s
+JOIN chunkagg c ON c.q_id = s.q_id
+JOIN complete d ON d.q_id = s.q_id
+"""
+
+
+@register(
+    "retrieval_pipeline_summary",
+    oracle=_retrieval_pipeline_oracle_sql(),
+    doc="The RAG retrieval CAPSTONE (VERDICT r12 #5), one Catalyst "
+    "plan end to end: frozen-index IVF probe -> shared greedy MMR "
+    f"re-rank ({_MMR_K} diverse docs per query) -> the selected docs' "
+    "non-overlapping chunk tiling (doc_token_chunks' even-stride "
+    "chunks) -> context assembly under a per-query "
+    f"{_RAG_CTX}-token budget via the running-offset recipe of "
+    "sequence_packing_offsets (window partitioned per query, <= "
+    "queries x k x chunks rows — never global).  Per query it reports "
+    "the selection fingerprint (sum of mmr_rank*vec_id pins the exact "
+    "rank->doc mapping; decimal-summed mmr_score), chunk/token "
+    "totals, how much fits the context window, and how many docs land "
+    "complete — the serving-side accounting a RAG stack needs before "
+    "prompt assembly.  Scale shape: the IVF probe is the only "
+    "corpus-touching retrieval stage; the chunk join broadcasts the "
+    "queries x k selection against the chunk table; every aggregate "
+    "after it is queries-sized.  Oracle scope: frozen gate index "
+    "(the ann_mmr_topk contract).",
+    tags=("llm", "similarity", "retrieval", "capstone"),
+)
+def retrieval_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreducer_spark.operators.textstats import doc_token_chunks
+
+    sel = ann_mmr_topk(spark, sf_dir)
+    # Even chunk_ids of the stride-16/width-32 chunker start at token
+    # 1, 33, 65, ... — the non-overlapping tiling (overlapped chunks
+    # would double-count tokens in the context budget).
+    chunks = (
+        doc_token_chunks(spark, sf_dir)
+        .where(F.col("chunk_id") % 2 == 0)
+        .select("doc_id", "chunk_id", "n_tokens")
+    )
+    # The selection is queries x k rows by construction — broadcast it
+    # so the chunk table never shuffles.
+    sc = (
+        chunks.join(
+            F.broadcast(sel), chunks.doc_id == sel.vec_id
+        )
+        .select("q_id", "mmr_rank", "vec_id", "chunk_id", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy("mmr_rank", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sc = sc.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    fits = (F.col("start_off") + F.col("n_tokens")) <= _RAG_CTX
+    chunkagg = sc.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(fits, 1).otherwise(0)).cast("long").alias("ctx_chunks"),
+        F.sum(F.when(fits, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("ctx_tokens"),
+    )
+    complete = (
+        sc.groupBy("q_id", "vec_id")
+        .agg(F.min(F.when(fits, 1).otherwise(0)).alias("c"))
+        .groupBy("q_id")
+        .agg(F.sum("c").cast("long").alias("n_docs_complete"))
+    )
+    selagg = sel.groupBy("q_id").agg(
+        F.countDistinct("vec_id").cast("long").alias("k_docs"),
+        F.sum(F.col("mmr_rank") * F.col("vec_id"))
+        .cast("long")
+        .alias("sel_rank_id_sum"),
+        F.round(
+            F.sum(F.col("mmr_score").cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("sel_score_sum"),
+    )
+    return (
+        selagg.join(chunkagg, "q_id")
+        .join(complete, "q_id")
+        .select(
+            F.col("q_id").cast("long").alias("q_id"),
+            "k_docs",
+            "sel_rank_id_sum",
+            "sel_score_sum",
+            "n_chunks",
+            "total_tokens",
+            "ctx_chunks",
+            "ctx_tokens",
+            "n_docs_complete",
+        )
+    )

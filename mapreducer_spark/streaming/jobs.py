@@ -1489,8 +1489,16 @@ def run_topk_retrieval_monitor(
         )
         _monitor_swap_write(state, state_dir, batch_id)
         st = spark.read.parquet(state_dir)
+        # Cross-batch duplicate deliveries (re-written/compacted input
+        # files hand the same vec_id to two batch_ids) would otherwise
+        # put duplicate (q_id, vec_id) rows in the pool and skew the MMR
+        # re-rank (ADVICE r12): collapse to one row per (q_id, vec_id),
+        # keeping max sim — for true re-deliveries the sims are identical
+        # (deterministic scoring), so this is exactly the
+        # arrived-once pool.
         pool = (
-            st.select("q_id", "vec_id", "sim")
+            st.groupBy("q_id", "vec_id")
+            .agg(F.max("sim").alias("sim"))
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= _TOP_K)
         )

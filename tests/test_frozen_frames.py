@@ -45,12 +45,19 @@ def test_specs_registered():
     assert {
         "ann_exact_topk",
         "ann_exact_topk_l2",
+        "bm25_scored",
+        "bpe_merges",
+        "bpe_segmentation",
         "copurchase_up_edges",
+        "lm_bigram_counts",
+        "lm_trigram_counts",
+        "lm_unigram_counts",
         "lsh_cand_md5",
         "lsh_sigs_md5",
         "neardup_cc_labels",
         "neardup_pairs",
         "neardup_tok_hash_sets",
+        "tfidf_doc_freq",
     } <= set(specs)
 
 
@@ -88,7 +95,7 @@ def _clear_fp_cache():
     yield
     # monkeypatch may still hold a plain-lambda replacement at teardown
     # time (fixture teardown order) — only clear real lru caches.
-    for fn in (fz._fingerprints, fz._file_md5):
+    for fn in (fz._fingerprints_at, fz._file_md5_at):
         if hasattr(fn, "cache_clear"):
             fn.cache_clear()
 
@@ -142,7 +149,7 @@ def test_freeze_roundtrip_in_tmpdir(spark, tmp_path, monkeypatch, _clear_fp_cach
     exercised against a temp store with a temp spec."""
     monkeypatch.setattr(fz, "_FROZEN_DIR", str(tmp_path))
     monkeypatch.setattr(fz, "_FP_PATH", str(tmp_path / "fp.json"))
-    fz._fingerprints.cache_clear()
+    fz._fingerprints_at.cache_clear()
 
     def build(s, sf_dir):
         return s.range(5).selectExpr("id", "id * 2 AS dbl")
@@ -153,7 +160,7 @@ def test_freeze_roundtrip_in_tmpdir(spark, tmp_path, monkeypatch, _clear_fp_cach
     sf_dir = FIXTURES[0]
     out = fz.freeze(spark, sf_dir, names=[name])
     assert out == {name: 5}
-    fz._fingerprints.cache_clear()
+    fz._fingerprints_at.cache_clear()
     assert fz.is_fresh(sf_dir, spec)
     served = fz.frozen_or_build(spark, sf_dir, spec)
     assert sorted(map(tuple, served.collect())) == [

@@ -1372,6 +1372,70 @@ def test_topk_retrieval_monitor_matches_batch_and_replays(spark, tmp_path):
     )
 
 
+def test_topk_retrieval_monitor_dedups_cross_batch_duplicates(
+    spark, tmp_path
+):
+    """Cross-batch duplicate deliveries (re-written/compacted input
+    files handing the same vec_id to two batch_ids) must not corrupt
+    the pool or the MMR re-rank (ADVICE r12): the pool collapses to one
+    row per (q_id, vec_id) keeping max sim — scoring is deterministic,
+    so a true re-delivery carries the identical sim — and a drain that
+    replays one slice as an extra batch still equals the batch
+    operators row for row."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreducer_spark.operators.similarity import (
+        _N_QUERIES,
+        similarity_topk,
+        similarity_topk_mmr,
+    )
+    from mapreducer_spark.streaming.jobs import run_topk_retrieval_monitor
+    from tests.conftest import SF_DIR
+
+    em = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    in_dir = tmp_path / "dup_in"
+    in_dir.mkdir()
+    for k in range(3):
+        out = tmp_path / f"dup_stage_{k}"
+        em.where(f"vec_id % 3 = {k}").coalesce(1).write.parquet(str(out))
+        (part,) = _glob.glob(str(out / "part-*.parquet"))
+        _shutil.copy(part, in_dir / f"b{k}.parquet")
+    # Slice 0 delivered AGAIN as a 4th file: every vec_id % 3 == 0
+    # candidate now arrives in two distinct micro-batches.
+    _shutil.copy(in_dir / "b0.parquet", in_dir / "b3_dup.parquet")
+
+    stream = (
+        spark.readStream.schema(em.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    queries = em.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    pool = str(tmp_path / "dup_pool")
+    report = str(tmp_path / "dup_report")
+    run_topk_retrieval_monitor(
+        stream,
+        queries,
+        str(tmp_path / "dup_state"),
+        pool,
+        report,
+        str(tmp_path / "dup_ck"),
+    )
+
+    want_pool = {tuple(r) for r in similarity_topk(spark, SF_DIR).collect()}
+    got_pool = {tuple(r) for r in spark.read.parquet(pool).collect()}
+    assert got_pool == want_pool
+    want_mmr = {
+        tuple(r) for r in similarity_topk_mmr(spark, SF_DIR).collect()
+    }
+    got_mmr = {tuple(r) for r in spark.read.parquet(report).collect()}
+    assert got_mmr == want_mmr
+
+
 def test_ivf_ingest_monitor_matches_batch_and_replays(spark, tmp_path):
     """Streaming index-maintenance parity (the ann_ivf_delta_assign
     stream twin): after draining the embeddings fixture in 3

@@ -4,8 +4,10 @@
 
 Builds every registered frozen artifact (functions/frozen.py: LSH
 signatures/candidates, token-hash posting sets, near-dup pair graph +
-component labels, co-purchase edge list, exact ANN ground truths) for
-each given fixture, writes them as parquet under
+component labels, co-purchase edge list, exact ANN ground truths, IVF
+inverted lists, BPE merges + segmentation, BM25 scored frame,
+unigram/bigram/trigram LM count tables, TF-IDF document frequencies)
+for each given fixture, writes them as parquet under
 mapreducer_spark/data/frozen/<fixture>/, and records source-parquet
 md5s + build version in fingerprints.json.  Serving refuses an
 artifact whose sources or version drifted (live rebuild + loud
