@@ -4762,8 +4762,25 @@ FROM occ o CROSS JOIN r
 def ann_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     k_lit = len(_centroid_list(em, sf_dir))
-    occ = _ivf_merged_occupancy(spark, sf_dir)
-    tot = occ.agg(F.sum("n_total").cast("long").alias("__n"))
+    return ivf_rebalance_readout(
+        _ivf_merged_occupancy(spark, sf_dir), k_lit
+    )
+
+
+def ivf_rebalance_readout(
+    occ: DataFrame, index_k: int, n_col: str = "n_total"
+) -> DataFrame:
+    """The maintenance DECISION over any per-cluster occupancy frame
+    (``n_col`` = the occupancy column): appends frac_of_index,
+    occupancy_ratio vs the sqrt-n rule's target mean, rule_k/index_k,
+    the serving guard's k-lags-rule flag, and the split/hot/ok action —
+    ONE decision code path shared by the batch maintenance query
+    (ann_ivf_rebalance_plan) and the streaming ingest monitor's
+    per-drain report (streaming/jobs.py::run_ivf_ingest_monitor), so
+    the live index emits the same rebalance verdicts the offline
+    readout would."""
+    n = F.col(n_col)
+    tot = occ.agg(F.sum(n_col).cast("long").alias("__n"))
     rule_k = F.greatest(
         F.lit(16),
         F.least(
@@ -4774,30 +4791,19 @@ def ann_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_tot = occ.crossJoin(F.broadcast(tot)).withColumn("__rule_k", rule_k)
     action = (
-        F.when(F.col("n_total") > _IVF_MAX_MEAN_LIST_ROWS, F.lit("split"))
-        .when(
-            F.col("n_total") * F.col("__rule_k") > 2 * F.col("__n"),
-            F.lit("hot"),
-        )
+        F.when(n > _IVF_MAX_MEAN_LIST_ROWS, F.lit("split"))
+        .when(n * F.col("__rule_k") > 2 * F.col("__n"), F.lit("hot"))
         .otherwise(F.lit("ok"))
     )
     return with_tot.select(
-        "cluster",
-        "n_old",
-        "n_new",
-        "n_total",
-        F.round(F.col("n_total").cast("double") / F.col("__n"), 6).alias(
-            "frac_of_index"
-        ),
+        *occ.columns,
+        F.round(n.cast("double") / F.col("__n"), 6).alias("frac_of_index"),
         F.round(
-            F.col("n_total").cast("double")
-            * F.col("__rule_k")
-            / F.col("__n"),
-            6,
+            n.cast("double") * F.col("__rule_k") / F.col("__n"), 6
         ).alias("occupancy_ratio"),
         F.col("__rule_k").cast("long").alias("rule_k"),
-        F.lit(k_lit).cast("long").alias("index_k"),
-        (F.lit(k_lit * _IVF_RULE_SLACK) < F.col("__rule_k")).alias(
+        F.lit(index_k).cast("long").alias("index_k"),
+        (F.lit(index_k * _IVF_RULE_SLACK) < F.col("__rule_k")).alias(
             "k_lags_rule"
         ),
         action.alias("action"),

@@ -1545,6 +1545,13 @@ def run_ivf_ingest_monitor(
     vectors have arrived (the parity test pins it against the frozen
     ann_ivf_assign artifact's own counts).
 
+    r13: each drain's report also carries the REBALANCE readout
+    (frac_of_index, occupancy vs the sqrt-n rule's target mean,
+    rule_k/index_k, k-lags-rule, split/hot/ok action) through the
+    SHARED ivf_rebalance_readout — the same decision code path as the
+    batch ann_ivf_rebalance_plan, so the live index emits the verdicts
+    the offline maintenance query would, continuously.
+
     Contracts (the monitor family's): batch-keyed (batch_id, vec_id,
     cluster) partials — a replayed batch REPLACES its own rows, so
     crash-replay reproduces the report byte-identically (assignment is
@@ -1553,7 +1560,15 @@ def run_ivf_ingest_monitor(
     maintains); the report is k rows.  At 100 TB each drain touches
     ONLY the batch (|batch| x k centroid cosines, map-side); the lists
     table grows by appends, never recomputes."""
-    from mapreducer_spark.operators.similarity import _ivf_assigned_live
+    from mapreducer_spark.operators.similarity import (
+        _ivf_assigned_live,
+        ivf_rebalance_readout,
+    )
+
+    # k is the (metadata-sized) centroid count — the decision readout's
+    # index_k input, same literal the batch query derives from the
+    # frozen index.
+    index_k = index_df.count()
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1570,7 +1585,7 @@ def run_ivf_ingest_monitor(
         )
         _monitor_swap_write(state, state_dir, batch_id)
         st = spark.read.parquet(state_dir)
-        report = (
+        occ = (
             st.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_vectors"),
@@ -1582,6 +1597,7 @@ def run_ivf_ingest_monitor(
                 "n_batches",
             )
         )
+        report = ivf_rebalance_readout(occ, index_k, n_col="n_vectors")
         _monitor_swap_write(report, report_dir, batch_id)
 
     q = (

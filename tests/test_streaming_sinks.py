@@ -1491,6 +1491,41 @@ def test_ivf_ingest_monitor_matches_batch_and_replays(spark, tmp_path):
     assert got == want
     assert all(1 <= r.n_batches <= 3 for r in rows)
 
+    # r13: the drained report's REBALANCE columns equal the batch
+    # decision readout over the same occupancy — one decision code
+    # path (ivf_rebalance_readout) observed from two runtimes.
+    from mapreducer_spark.operators.similarity import ivf_rebalance_readout
+
+    want_read = {
+        (
+            r.cluster,
+            r.n_vectors,
+            r.frac_of_index,
+            r.occupancy_ratio,
+            r.rule_k,
+            r.index_k,
+            r.k_lags_rule,
+            r.action,
+        )
+        for r in ivf_rebalance_readout(
+            full, index.count(), n_col="n_vectors"
+        ).collect()
+    }
+    got_read = {
+        (
+            r.cluster,
+            r.n_vectors,
+            r.frac_of_index,
+            r.occupancy_ratio,
+            r.rule_k,
+            r.index_k,
+            r.k_lags_rule,
+            r.action,
+        )
+        for r in rows
+    }
+    assert got_read == want_read
+
     # State = the inverted-lists table: one row per ingested vector,
     # batch-keyed, no duplicates.
     st = spark.read.parquet(state)

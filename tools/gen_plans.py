@@ -63,6 +63,8 @@ PICKS = [
     ("trimmed_mean_order_value", "L-statistics: value-histogram collapse, bucket-overlap interior mass, no per-row sort"),
     ("lineitem_correlation_matrix", "fixed6 scaled-long moments (codegen, no per-row BigDecimal); all 6 pairs F.stack'd from ONE moment row (r9 — was a 12-scan unionAll)"),
     ("welch_price_ttest", "Welch t: fixed6 grouped moments, 2-row frame pivots via conditional MAX (no branch re-scan), one broadcast segment join"),
+    ("ann_ivf_rebalance_plan", "IVF maintenance readout: frozen lists + delta-only assignment, sqrt-n rule computed in-plan on the 1-row total, k-row output"),
+    ("retrieval_pipeline_summary", "RAG capstone: IVF probe -> checkpointed MMR rounds -> broadcast selection x chunk tiling -> per-query offset windows, one plan"),
 ]
 
 
