@@ -1677,19 +1677,19 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("abc_class"),
     )
     ymc = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym")
-    months = li.select(ymc).distinct()
     pm = li.groupBy("l_partkey", ymc).agg(
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q")
     )
-    grid = (
-        pr.select("l_partkey")
-        .crossJoin(F.broadcast(months))
-        .join(pm, ["l_partkey", "ym"], "left")
-        .select(
-            "l_partkey", F.coalesce(F.col("q"), F.lit(0)).alias("q")
-        )
-    )
-    nm = F.count(F.lit(1))
+    # CV over the zero-filled part x month grid WITHOUT building the
+    # grid (optimization r13, guide §1.2/§2.3): the former
+    # crossJoin(months) + left-join produced |parts| x |months| rows
+    # (~1.7M at sf0.1) only so absent months could contribute q = 0 —
+    # but zeros are additive identities for SUM(q) and SUM(q*q), and
+    # the per-part row count nm is the SAME constant |months| for
+    # every part (every grid part got every month).  So s1/s2 fold
+    # over the sparse pm rows alone and nm arrives as a 1-row
+    # broadcast month count: identical integers, identical double
+    # casts, two exchanges and a generate stage removed.
     # q is an exact integer LONG, so plain long sums are bit-identical
     # to the former DECIMAL(28,0)/(38,0) sums (same integer, same
     # nearest-double cast) while staying inside whole-stage codegen —
@@ -1697,12 +1697,26 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part x month grid (r9, the fixed6 lesson).  Overflow bound is
     # per part: months_per_part * max(q)^2 ~ 1e2 * 1e14 at extreme
     # scale, far under 2^63.
-    s1 = F.sum("q").cast("double")
-    s2 = F.sum(F.col("q") * F.col("q")).cast("double")
+    nmonths = li.select(ymc).distinct().agg(
+        F.count(F.lit(1)).alias("nm")
+    )
+    nm = F.col("nm")
+    s1 = F.col("s1")
+    s2 = F.col("s2")
     cv = F.sqrt(s2 / nm - (s1 / nm) * (s1 / nm)) / (s1 / nm)
-    xyz = grid.groupBy("l_partkey").agg(
-        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
-            "xyz_class"
+    xyz = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.sum("q").cast("double").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
+        )
+        .crossJoin(F.broadcast(nmonths))
+        .select(
+            "l_partkey",
+            F.when(cv < 0.5, "X")
+            .when(cv < 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
         )
     )
     return (

@@ -565,7 +565,21 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("item"),
     )
     items = grams.unionByName(docs)
-    sk = kmv_minima(items, ["grain", "source"], "item")
+    # Pin the two reused frames ONCE (optimization r13, guide §2.4):
+    # without the pins, every downstream reference (thetas, ra, rb via
+    # broadcast, nd, ea, eb) re-expanded its whole subtree — the
+    # executed plan scanned documents 72 TIMES, re-running the
+    # tokenize + 4-gram explode per branch (4.8 s at sf0.1).  One
+    # distinct-item pass feeds both the sketch and the exact columns;
+    # du is vocab-sized, sk is <= K * |sources| * |grains| rows.
+    # kmv_minima(du) == kmv_minima(items): h is a deterministic
+    # function of item and the sketch takes DISTINCT hashes either way.
+    from mapreducer_spark.plans.inspect import checkpoint_inspected
+
+    du = checkpoint_inspected(items.distinct(), "kmv.distinct_items")
+    sk = checkpoint_inspected(
+        kmv_minima(du, ["grain", "source"], "item"), "kmv.sketch"
+    )
     thetas = sk.groupBy("grain", "source").agg(
         F.when(F.count(F.lit(1)) == _KMV_K, F.max("h"))
         .otherwise(F.lit(_KMV_UMOD + 1))
@@ -610,7 +624,6 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(*pkey)
         .agg(F.count(F.lit(1)).alias("n_i"))
     )
-    du = items.distinct()
     nd = du.groupBy("grain", "source").agg(F.count(F.lit(1)).alias("ndist"))
     ea = du.select("grain", F.col("source").alias("source_a"), "item")
     eb = du.select("grain", F.col("source").alias("source_b"), "item")
