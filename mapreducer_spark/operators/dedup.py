@@ -969,15 +969,24 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_fingerprints_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs_with_near_dups(spark, sf_dir)
+    # Per-OCCURRENCE +/-1 contributions, not per-distinct-token +/-w
+    # (optimization r13, guide §2.4): the former groupBy(doc_id, tok)
+    # pre-count added a full shuffle + aggregation only to weight each
+    # distinct token by its frequency — but sum over occurrences of
+    # +/-1 IS sum over distinct tokens of +/-w (the same multiset,
+    # commutative addition), so the weighted-simhash integers are
+    # bit-identical with one exchange fewer.
     tok = (
         corpus.select(
             "doc_id",
             F.explode(F.split(F.lower("text"), SPARK_TOKEN_SPLIT_RE)).alias("tok"),
         )
         .where(F.length("tok") > 0)
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .select("doc_id", "w", md5_int64(F.col("tok")).alias("h"))
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("w"),
+            md5_int64(F.col("tok")).alias("h"),
+        )
     )
     bit_terms = []
     for j in range(_SIMHASH_BITS):

@@ -168,11 +168,19 @@ def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks) forever.  Only the current app's entries can still be hit.
     for stale in [k for k in _SYM_EDGE_CACHE if k[0] != app_id]:
         del _SYM_EDGE_CACHE[stale]
-    sym = (
-        _serve_up_edges(spark, sf_dir)
-        .transform(_symmetrize)
-        .localCheckpoint(eager=True)
-    )
+    sym = _serve_up_edges(spark, sf_dir).transform(_symmetrize)
+    # Checkpoint only the LIVE-build fallback (optimization r13, guide
+    # §5): when the frozen edge artifact serves, the frame is already a
+    # cheap partition-parallel parquet read — eagerly copying it into
+    # block-manager memory cost ~0.5-0.8 s of pure materialization per
+    # cold session for every one of the ~10 co-purchase consumers.
+    # Re-references re-scan the artifact (cheap, and the per-collect
+    # scan budgets still bound the count); the expensive live pipeline
+    # keeps the old materialize-once contract.
+    from mapreducer_spark.functions.frozen import all_specs, is_fresh
+
+    if not is_fresh(sf_dir, all_specs()["copurchase_up_edges"]):
+        sym = sym.localCheckpoint(eager=True)
     _SYM_EDGE_CACHE[key] = sym
     return sym
 

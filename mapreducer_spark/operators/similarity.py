@@ -2546,41 +2546,35 @@ def ann_ivf_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _TOP_K)
         .select("q_id", "vec_id")
     )
-    # Pin the three queries x k selection frames (optimization r13,
-    # guide §2.4): each is referenced twice below (hit join + per-query
-    # count), and without the pins every reference re-expanded its
-    # whole corpus-touching subtree — the executed plan scanned
-    # embeddings 32 times (5.6 s at sf0.1).  checkpoint_inspected keeps
-    # the severed subtrees under the structural budgets.
+    # Pin the SQ8 selection once (optimization r13, guide §2.4): it is
+    # referenced by both recall columns below, and without the pin each
+    # reference re-expanded the whole dequant + probe + window subtree
+    # (the executed plan scanned embeddings 32 times — 5.6 s at sf0.1).
     from mapreducer_spark.plans.inspect import checkpoint_inspected
 
     sq_topk = checkpoint_inspected(sq_topk, "ivf_sq8.sq_topk")
-    exact = checkpoint_inspected(
-        ann_exact_topk_frozen(spark, sf_dir).select("q_id", "vec_id"),
-        "ivf_sq8.exact",
-    )
-    ivf = checkpoint_inspected(
-        _ivf_topk(em, cents, sf_dir=sf_dir).select("q_id", "vec_id"),
-        "ivf_sq8.ivf",
-    )
+    exact = ann_exact_topk_frozen(spark, sf_dir).select("q_id", "vec_id")
+    ivf = _ivf_topk(em, cents, sf_dir=sf_dir).select("q_id", "vec_id")
 
     def _recall(ref: DataFrame, colname: str) -> DataFrame:
-        hits = (
-            ref.join(sq_topk, ["q_id", "vec_id"], "left_semi")
-            .groupBy("q_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-        )
+        # ONE pass over ref (optimization r13): the former semi-join
+        # hits frame + per-query count referenced ref twice; a left
+        # join marks hits and the same groupBy counts both — identical
+        # arithmetic (sum of hit marks == semi-join row count; count(*)
+        # == k), one join and one ref expansion fewer.
         return (
-            ref.groupBy("q_id")
-            .agg(F.count(F.lit(1)).alias("k"))
-            .join(hits, "q_id", "left")
-            .select(
-                "q_id",
+            ref.join(
+                sq_topk.withColumn("__hit", F.lit(1)),
+                ["q_id", "vec_id"],
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(
                 F.round(
-                    F.coalesce("n_hits", F.lit(0)).cast("double")
-                    / F.col("k"),
+                    F.coalesce(F.sum("__hit"), F.lit(0)).cast("double")
+                    / F.count(F.lit(1)),
                     6,
-                ).alias(colname),
+                ).alias(colname)
             )
         )
 

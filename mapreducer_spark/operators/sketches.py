@@ -326,7 +326,18 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreducer_spark.operators.curation import _BENCH_SOURCE
 
     grams = doc_gram_frame(fan_out(load_table(spark, sf_dir, "documents")))
-    bench = grams.where(F.col("source") == _BENCH_SOURCE).select("gram").distinct()
+    # Pin the benchmark gram set ONCE (optimization r13, guide §2.4):
+    # it feeds the sizing params, the bitmap build AND the exact-hit
+    # join, and without the pin each reference re-expanded the
+    # tokenize + n-gram explode of the benchmark slice.  Vocab-sized.
+    from mapreducer_spark.plans.inspect import checkpoint_inspected
+
+    bench = checkpoint_inspected(
+        grams.where(F.col("source") == _BENCH_SOURCE)
+        .select("gram")
+        .distinct(),
+        "bloom_decontamination.bench_grams",
+    )
     params = bench.agg(
         (F.count(F.lit(1)) * _BLOOM_BITS_PER_KEY).alias("m_bits")
     )
