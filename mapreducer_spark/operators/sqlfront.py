@@ -204,9 +204,16 @@ def copurchase_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Suffixed view name (repo convention, cf. relational.py
     # "li_gsets_tmp") so a session-global "edges" view can't collide.
-    # copurchase_sym_edges is already eagerly checkpointed (and memoized
-    # per session, shared with PageRank).
-    edges = copurchase_sym_edges(spark, sf_dir)
+    # Pin the edge frame HERE (optimization r13): since the shared
+    # serve stopped eagerly copying the frozen artifact, the recursive
+    # CTE would otherwise re-scan artifact + symmetrizing union once
+    # per BFS level (A/B: 4.8 s lazy vs 3.8 s pinned at sf0.1); the
+    # one-off materialization is cheaper than per-level rescans.
+    from mapreducer_spark.plans.inspect import checkpoint_inspected
+
+    edges = checkpoint_inspected(
+        copurchase_sym_edges(spark, sf_dir), "bfs.edges"
+    )
     edges.createOrReplaceTempView("copurchase_edges_tmp")
     return spark.sql("WITH RECURSIVE " + _BFS_TRAVERSAL_SQL)
 
