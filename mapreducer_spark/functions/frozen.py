@@ -99,6 +99,13 @@ def frozen_spec(
         def serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             return frozen_or_build(spark, sf_dir, spec)
 
+        # Single-check serving (ADVICE r13): callers whose downstream
+        # materialization policy depends on WHERE the frame came from
+        # (frozen artifact vs live build) read the decision from the
+        # same is_fresh call that made it, instead of re-deciding.
+        serve.info = lambda spark, sf_dir: frozen_or_build_info(
+            spark, sf_dir, spec
+        )
         serve.__name__ = f"frozen_{name}"
         serve.__doc__ = (
             f"Serve the frozen {name!r} artifact for sf_dir when its "
@@ -201,6 +208,19 @@ def is_fresh(sf_dir: str, spec: FrozenSpec) -> bool:
 def frozen_or_build(
     spark: SparkSession, sf_dir: str, spec: FrozenSpec
 ) -> DataFrame:
+    return frozen_or_build_info(spark, sf_dir, spec)[0]
+
+
+def frozen_or_build_info(
+    spark: SparkSession, sf_dir: str, spec: FrozenSpec
+) -> tuple[DataFrame, str | None]:
+    """(frame, freshness token).  The token is the serialized
+    fingerprint record the ONE is_fresh call accepted (None = live
+    build) — callers use it both as the served-frozen flag and as a
+    memo-key component, so a mid-session refreeze/retrain changes the
+    token and can never pair a stale cached frame (or a checkpoint/
+    no-checkpoint decision) with a different artifact than the one
+    fingerprint-checked here (ADVICE r13 TOCTOU)."""
     if is_fresh(sf_dir, spec):
         # fan_out: the fixture-scale artifact is one parquet file = ONE
         # input split, which would serialize every downstream per-row
@@ -211,7 +231,14 @@ def frozen_or_build(
         # fan_out is a no-op (sources/tables.py:62).
         from mapreducer_spark.sources import fan_out
 
-        return fan_out(spark.read.parquet(artifact_path(sf_dir, spec.name)))
+        fixture = os.path.basename(sf_dir.rstrip("/"))
+        token = json.dumps(
+            _fingerprints().get(f"{fixture}/{spec.name}"), sort_keys=True
+        )
+        return (
+            fan_out(spark.read.parquet(artifact_path(sf_dir, spec.name))),
+            token,
+        )
     fixture = os.path.basename(sf_dir.rstrip("/"))
     if f"{fixture}/{spec.name}" in _fingerprints():
         warnings.warn(
@@ -222,7 +249,7 @@ def frozen_or_build(
             RuntimeWarning,
             stacklevel=2,
         )
-    return spec.build(spark, sf_dir)
+    return spec.build(spark, sf_dir), None
 
 
 def freeze(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict:

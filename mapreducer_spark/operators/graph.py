@@ -145,7 +145,7 @@ SELECT v, round(rank, 8) AS pagerank FROM r{_PR_ITERS}
 # immutable within a session, so no invalidation is needed.  Entries
 # from other (stopped) applications are evicted on insert, bounding the
 # cache to the live session's fixtures.
-_SYM_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SYM_EDGE_CACHE: dict[tuple[str, str, str | None], DataFrame] = {}
 
 
 def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,17 +158,29 @@ def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume), then a free symmetrizing union.  Shared by
     part_copurchase_pagerank and copurchase_bfs_recursive (sqlfront)."""
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    # ONE freshness decision (ADVICE r13): the serve itself reports
+    # whether the frozen artifact satisfied it (token = the accepted
+    # fingerprint record, None = live build), and both the checkpoint
+    # policy and the memo key derive from that single check — a
+    # mid-session refreeze can neither pair a frozen frame with the
+    # live-path checkpoint policy nor serve a cached frame whose
+    # underlying artifact files changed (the key rotates with the
+    # fingerprint, so later actions re-resolve the NEW artifact).
+    up, token = _serve_up_edges.info(spark, sf_dir)
+    key = (app_id, sf_dir, token)
     cached = _SYM_EDGE_CACHE.get(key)
     if cached is not None:
         return cached
-    # Evict entries from other applications before adding: a long-lived
-    # process that stops and recreates SparkSessions would otherwise pin
-    # dead sessions' checkpointed frames (driver refs + checkpoint
-    # blocks) forever.  Only the current app's entries can still be hit.
-    for stale in [k for k in _SYM_EDGE_CACHE if k[0] != app_id]:
+    # Evict entries from other applications (dead sessions' frames) and
+    # superseded tokens of this fixture before adding: only the current
+    # app's current-artifact entry can still be hit.
+    for stale in [
+        k
+        for k in _SYM_EDGE_CACHE
+        if k[0] != app_id or (k[1] == sf_dir and k[2] != token)
+    ]:
         del _SYM_EDGE_CACHE[stale]
-    sym = _serve_up_edges(spark, sf_dir).transform(_symmetrize)
+    sym = up.transform(_symmetrize)
     # Checkpoint only the LIVE-build fallback (optimization r13, guide
     # §5): when the frozen edge artifact serves, the frame is already a
     # cheap partition-parallel parquet read — eagerly copying it into
@@ -177,9 +189,7 @@ def copurchase_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-references re-scan the artifact (cheap, and the per-collect
     # scan budgets still bound the count); the expensive live pipeline
     # keeps the old materialize-once contract.
-    from mapreducer_spark.functions.frozen import all_specs, is_fresh
-
-    if not is_fresh(sf_dir, all_specs()["copurchase_up_edges"]):
+    if token is None:
         sym = sym.localCheckpoint(eager=True)
     _SYM_EDGE_CACHE[key] = sym
     return sym

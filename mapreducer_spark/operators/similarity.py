@@ -2562,6 +2562,16 @@ def ann_ivf_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join marks hits and the same groupBy counts both — identical
         # arithmetic (sum of hit marks == semi-join row count; count(*)
         # == k), one join and one ref expansion fewer.
+        #
+        # INVARIANT (ADVICE r13): this equivalence requires sq_topk to
+        # be UNIQUE on (q_id, vec_id) — a duplicate candidate would
+        # inflate both the hit sum and the ref-side row multiplicity
+        # where the semi-join deduplicated.  sq_topk holds it by
+        # construction: each vec_id sits in exactly one inverted list,
+        # the probed clusters per query are distinct, and row_number
+        # emits each (q_id, vec_id) once.  Any future candidate source
+        # that can repeat a pair must .dropDuplicates() before this
+        # join (k-bounded, negligible).
         return (
             ref.join(
                 sq_topk.withColumn("__hit", F.lit(1)),
@@ -2734,6 +2744,18 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     # compilation when first tried), while the fold's lambda variable
     # is bound at runtime so the expression tree is constant-size and
     # each step executes exactly once.
+    # Accumulator precision 37, NOT 38 (ADVICE r13): the fold's add on
+    # acc decimal(38,15) + product decimal(37,15) needs precision 39,
+    # which allowPrecisionLoss silently adjusts to decimal(38,14) —
+    # HALF_UP-rounding every partial sum at 1e-14 and breaking parity
+    # with the old exact SUM aggregate on halfway values.  With acc
+    # decimal(37,15), max(22,22)+15+1 = 38 exactly: no scale
+    # adjustment, every add exact, and the cast back to (37,15) is a
+    # same-scale precision shrink (exact while |acc| < 1e22 — the same
+    # headroom the 38-digit SUM had).  Norm fold likewise: (37,18) +
+    # (37,18) -> (38,18) exact.  tests/test_stats_invariants.py asserts
+    # the resolved fold dtypes so a promotion-rule change can never
+    # reintroduce the silent per-add rounding.
     def _mat_vec(v_col):
         return F.transform(
             "m",
@@ -2745,8 +2767,8 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
                         lambda g, val: g.cast("decimal(18,6)")
                         * val.cast("decimal(18,9)"),
                     ),
-                    F.lit(0).cast("decimal(38,15)"),
-                    lambda acc, x: (acc + x).cast("decimal(38,15)"),
+                    F.lit(0).cast("decimal(37,15)"),
+                    lambda acc, x: (acc + x).cast("decimal(37,15)"),
                 ),
                 9,
             ).cast("decimal(18,9)"),
@@ -2756,8 +2778,8 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         return F.sqrt(
             F.aggregate(
                 wd_col,
-                F.lit(0).cast("decimal(38,18)"),
-                lambda acc, x: (acc + x * x).cast("decimal(38,18)"),
+                F.lit(0).cast("decimal(37,18)"),
+                lambda acc, x: (acc + x * x).cast("decimal(37,18)"),
             ).cast("double")
         )
 
@@ -4498,19 +4520,29 @@ def _mmr_rerank(
         # rel is an exact 6dp value; rounds >= 2 ordered by the ROUNDED
         # 6dp score (two scores equal after rounding are a tie broken
         # on vec_id, even if the unrounded 1e-7 values differ).
-        best = F.array_min(
-            F.transform(
-                rem,
-                lambda c: F.struct(
-                    F.when(r == 1, -c["rel_u"])
-                    .otherwise(-_score6(c))
-                    .alias("negkey"),
-                    c["vec_id"].alias("vec_id"),
-                    _score6(c).alias("score6"),
-                    c["v"].alias("v"),
+        # _score6 is BOUND once per candidate via a single-element
+        # transform (the PCA _bind trick, VERDICT r13 #5): referenced
+        # naively in both negkey and the payload it would re-run the
+        # |acc| pairwise cosines per reference — HOF lambda bodies are
+        # interpreted per element, so the duplicate evaluation is real
+        # work, not CSE'd away.
+        def _best_struct(c):
+            return F.element_at(
+                F.transform(
+                    F.array(_score6(c)),
+                    lambda s6: F.struct(
+                        F.when(r == 1, -c["rel_u"])
+                        .otherwise(-s6)
+                        .alias("negkey"),
+                        c["vec_id"].alias("vec_id"),
+                        s6.alias("score6"),
+                        c["v"].alias("v"),
+                    ),
                 ),
+                1,
             )
-        )
+
+        best = F.array_min(F.transform(rem, _best_struct))
         return F.when(
             F.size(rem) > 0,
             F.concat(

@@ -211,3 +211,89 @@ def test_wds_reader_dotless_members_stay_distinct(spark, tmp_path):
         ("LICENSE", ""): b"also dotless",
         ("a", "txt"): b"normal member",
     }
+
+
+class _StubScanFrame:
+    """Minimal stand-in for a DataFrame whose scan lives on a remote
+    filesystem — only the surface _estimated_scan_splits touches."""
+
+    isStreaming = False
+
+    def __init__(self, spark, files):
+        self._files = files
+        self.sparkSession = spark
+
+    def inputFiles(self):
+        return list(self._files)
+
+
+def test_scan_split_estimate_covers_remote_schemes(spark, monkeypatch):
+    """VERDICT r13 #6: the metadata split estimate must not silently
+    fall back to the .rdd planning job for object-storage URIs — the
+    Hadoop FileStatus path (mocked here) serves s3a/hdfs sizes."""
+    from mapreducer_spark.sources import tables
+
+    sizes = {
+        "s3a://bucket/t/part-0.parquet": 200 * (1 << 20),
+        "s3a://bucket/t/part-1.parquet": 100 * (1 << 20),
+    }
+    monkeypatch.setattr(
+        tables, "_uri_size", lambda uri, sc: sizes.get(uri)
+    )
+    df = _StubScanFrame(spark, list(sizes))
+    # 300 MB + 2 * 4 MB openCost over 128 MB splits -> 3 splits.
+    assert tables._estimated_scan_splits(df) == 3
+    # Unstattable remote file -> None (caller falls back to .rdd).
+    df_bad = _StubScanFrame(spark, ["s3a://bucket/t/missing.parquet"])
+    assert tables._estimated_scan_splits(df_bad) is None
+
+
+def test_scan_split_estimate_saturates_early(spark, monkeypatch):
+    """The file walk stops as soon as the running estimate reaches the
+    caller's target — a production scan with thousands of objects stats
+    a handful, not all of them."""
+    from mapreducer_spark.sources import tables
+
+    calls = []
+
+    def fake_size(uri, sc):
+        calls.append(uri)
+        return 256 * (1 << 20)  # 2 splits per file
+
+    monkeypatch.setattr(tables, "_uri_size", fake_size)
+    df = _StubScanFrame(
+        spark, [f"s3a://b/t/part-{i}.parquet" for i in range(1000)]
+    )
+    est = tables._estimated_scan_splits(df, saturate_at=8)
+    assert est is not None and est >= 8
+    assert len(calls) <= 8
+
+
+def test_scan_split_estimate_unparseable_conf_falls_back(spark, monkeypatch):
+    """ADVICE r13: a conf value _size_to_bytes cannot parse must mean
+    'fall back to .rdd', never an uncaught ValueError out of fan_out."""
+    from mapreducer_spark.sources import tables
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        monkeypatch.setattr(
+            tables, "_size_to_bytes",
+            lambda s: (_ for _ in ()).throw(ValueError(s)),
+        )
+        df = _StubScanFrame(spark, ["file:/tmp/x.parquet"])
+        assert tables._estimated_scan_splits(df) is None
+    finally:
+        pass
+
+
+def test_local_fan_out_behavior_unchanged(spark, sf_dir):
+    """Local file: scans keep the r13 semantics: a tiny single-file
+    fixture reads as 1 split and fans out to cluster parallelism."""
+    from mapreducer_spark.sources import fan_out, load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = fan_out(li)
+    assert (
+        out.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )

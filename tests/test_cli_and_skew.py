@@ -714,3 +714,22 @@ def test_cli_verify(spark, capsys):
     assert by_name["dedup_minhash_lsh"]["status"] == "rows-only"
 
     assert main(["verify", "no_such_query"]) == 2
+
+
+def test_driver_memory_sized_to_local_slots(monkeypatch):
+    """Guide §5: the local-mode heap is sized to the task-slot count
+    (512 MB/slot, floor 2g) so 32 concurrent partial-aggregate hash
+    maps never share the 1 GiB -Xmx default (the r13 bench crash);
+    non-local masters are left to the cluster's own sizing."""
+    from mapreducer_spark.session import driver_memory_for
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    assert driver_memory_for("local[32]") == "16g"
+    assert driver_memory_for("local[8]") == "4g"
+    assert driver_memory_for("local[1]") == "2g"
+    assert driver_memory_for("local") == "2g"
+    assert driver_memory_for(None) is None
+    assert driver_memory_for("yarn") is None
+    assert driver_memory_for("spark://host:7077") is None
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
+    assert driver_memory_for("local[32]") == "3g"

@@ -555,3 +555,27 @@ def test_dp_histogram_release_rejects_out_of_grid_buckets(spark):
             (SparkRuntimeException, Exception), match="outside"
         ):
             dp_histogram_release(bad_h, 8, "test-grid-v1|").collect()
+
+
+def test_pca_fold_decimal_adds_resolve_exact(spark):
+    """ADVICE r13: the PCA mat-vec/norm folds must accumulate with adds
+    whose STATIC result type keeps the product scale — a precision-38
+    accumulator forces allowPrecisionLoss to shave the scale and
+    HALF_UP-round every partial sum (1e-14 / 1e-17), silently breaking
+    parity with an exact SUM on halfway values.  Pin the promotion-rule
+    shapes the similarity.py folds rely on."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    prod = F.lit(1).cast("decimal(18,6)") * F.lit(1).cast("decimal(18,9)")
+    sq = F.lit(1).cast("decimal(18,9)")
+    out = df.select(
+        (F.lit(0).cast("decimal(37,15)") + prod).alias("matvec_add"),
+        (F.lit(0).cast("decimal(37,18)") + sq * sq).alias("norm_add"),
+        # the r13 accumulator shape, for contrast: scale-adjusted
+        (F.lit(0).cast("decimal(38,15)") + prod).alias("lossy_add"),
+    )
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["matvec_add"] == "decimal(38,15)"
+    assert types["norm_add"] == "decimal(38,18)"
+    assert types["lossy_add"] == "decimal(38,14)"
