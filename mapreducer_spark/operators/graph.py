@@ -491,6 +491,16 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= _KCORE_K).select("src")
+        # Eager checkpoint per round is REQUIRED and the cheapest
+        # correct form (re-adjudicated r14): each round's survivors
+        # are referenced 3x by the next round (degree agg + both
+        # semi-filters), so the plan must sever per round (3^R textual
+        # expansion otherwise).  A lazy (eager=False) severance was
+        # A/B'd this round to fold the 6 blocking jobs into one action
+        # — and measured SLOWER (3.59 -> 4.28 s cold min-of-3): the 3
+        # sibling stages of each level race to compute the same
+        # just-marked RDD before its blocks persist, re-running the
+        # level up to 3x.  Keep eager.
         edges = (
             edges.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
@@ -580,6 +590,18 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / F.log(F.size("ns").cast("double")), _LP_W_ROUND)
         .cast(f"decimal(28,{_LP_W_ROUND})"),
     )
+    # Spread the wedge expansion BEFORE it happens (optimization r14,
+    # guide §2.5 input skew / §2.2): the neighbor-list frame is a few MB
+    # after the collect_set shuffle, so AQE coalesces it to ~1 partition
+    # — and the ~deg-fold Generate below, the anti-join AND the partial
+    # pair aggregation then run single-threaded on 4.1M rows (measured:
+    # the whole *(9) stage on one core, 2.4 s of the query's 6.5 s).
+    # AQE cannot know a Generate's expansion factor; an explicit
+    # repartition to cluster parallelism (user-specified, so AQE will
+    # not re-coalesce it) spreads the explode.  Rows here are per-MIDDLE
+    # metadata (the §8 "decide with small rows" shape), so the extra
+    # exchange is tiny at any scale.
+    mid = mid.repartition(spark.sparkContext.defaultParallelism)
     wedges = mid.select(
         F.explode(
             F.flatten(
@@ -600,7 +622,16 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("common_neighbors"),
         F.round(F.sum("w").cast("double"), 6).alias("aa_score"),
     )
-    connected = sym.select(
+    # Anti-join against the UP half only (optimization r14, guide §3.1
+    # build-side sizing): every candidate has part_a < part_b by
+    # construction (ns is sorted ascending and the expansion takes
+    # i < j), and the edge set is symmetric, so (part_a, part_b) ∈ sym
+    # ⟺ (part_a, part_b) ∈ {src < dst half} — the broadcast hash
+    # relation halves (370k rows instead of 740k) with an identical
+    # anti-join result.  (Catalyst additionally pushes this anti-join
+    # below the pair aggregation, so the build runs once per executor
+    # against the wedge stream.)
+    connected = sym.where(F.col("src") < F.col("dst")).select(
         F.col("src").alias("part_a"), F.col("dst").alias("part_b")
     )
     return (

@@ -3464,7 +3464,12 @@ def embedding_1nn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qv"),
     )
-    c = em.select(
+    # fan_out the CANDIDATE side (optimization r14, guide §2.5 input
+    # parallelism): the broadcast-q cross join evaluates |q| x 64-dim
+    # interpreted cosines per candidate row, and the single-file
+    # fixture scan ran every one of them on ONE task (measured: all 15
+    # stages of this query single-task, 2.6 s serialized).
+    c = fan_out(em).select(
         "vec_id", F.col("label").alias("n_label"),
         F.col("embedding").alias("cv"),
     )
@@ -3747,34 +3752,53 @@ def _spherical_lloyd(em: DataFrame, k: int, rounds: int):
 
     assign = None
     for r in range(1, rounds + 1):
-        sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
-        # Argmax via max_by over (sim, -cent_id) — identical to the
-        # former rank-window pick (round-6 cosine, cent_id tie-break)
-        # but map-side combinable: the partial agg collapses the n x k
-        # candidate rows before the shuffle, and there is no per-round
-        # partition sort (r10; one shuffle+sort saved per Lloyd round).
-        # The ordering struct is tie-free (cent_id unique per vec), so
-        # max_by's tie nondeterminism can never bite.  The vector only
-        # rides through INTERMEDIATE rounds (the dim-mean update needs
-        # it); the final round's agg buffers stay 3 scalars wide.
-        carry_v = ("v",) if r < rounds else ()
-        best = F.max_by(
-            F.struct("cent_id", *carry_v, "sim"),
-            F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc")),
+        # Per-ROW argmax over the centroid array (optimization r14,
+        # guide §2.4 remove-shuffles / VERDICT r13 #3): the k centroids
+        # fold into ONE row (sort_array keeps cs ordered by cent_id —
+        # sorting k metadata rows, not data) and ride a broadcast, so
+        # the assignment is a pure map-side projection — the former
+        # n x k crossJoin rows and the n-row groupBy(vec_id) EXCHANGE
+        # per round are gone.  array_max over struct(sim, -cent_id)
+        # is the same lexicographic reduction max_by ran: round-6
+        # cosine first, lowest cent_id on ties (nc breaks every tie, so
+        # the trailing fields never compare), and a NULL sim (zero-norm
+        # vector) loses to any non-NULL exactly as max_by's NULL-last
+        # ordering did.
+        carr = cents.groupBy().agg(
+            F.sort_array(F.collect_list(F.struct("cent_id", "cv"))).alias(
+                "cs"
+            )
         )
+        best = F.array_max(
+            F.transform(
+                "cs",
+                lambda c: F.struct(
+                    F.round(cosine(F.col("v"), c["cv"]), 6).alias("sim"),
+                    (-c["cent_id"]).alias("nc"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
+        )
+        carry_v = ("v",) if r < rounds else ()
         assign = (
-            em.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cent_id", "v", sim.alias("sim"))
-            .groupBy("vec_id")
-            .agg(best.alias("b"))
+            em.crossJoin(F.broadcast(carr))
+            .select("vec_id", *carry_v, best.alias("b"))
             .select(
                 "vec_id",
                 F.col("b.cent_id").alias("cent_id"),
-                *([F.col("b.v").alias("v")] if carry_v else []),
+                *([F.col("v")] if carry_v else []),
                 F.col("b.sim").alias("sim"),
             )
         )
         if r < rounds:
+            # Update stays the NARROW posexplode -> (cent_id, dim)
+            # mean -> per-centroid array rebuild (a 64-wide fused
+            # aggregate was A/B'd this round and REJECTED: 64 decimal
+            # sum states x 3 nested rounds ballooned the expression
+            # tree and moved the cost into driver-side analysis —
+            # embedding_kmeans_spherical 2.3 -> 4.2 s cold.  The rows
+            # here are n x 64 metadata and the aggregation is map-side
+            # combinable; the plan stays constant-width.)
             flat = assign.select(
                 "cent_id", F.posexplode("v").alias("pos0", "valf")
             ).select(
@@ -4016,20 +4040,30 @@ def ann_index_ari_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(i), [float(x) for x in v]) for i, v in cl],
         ["cent_id", "cv"],
     )
-    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
-    # Same map-side-combinable argmax as _spherical_lloyd (r10): the
-    # tie-free (sim, -cent_id) ordering replaces a vec_id-partitioned
-    # rank window, collapsing the n x k candidates before the shuffle.
-    fa = (
-        em.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id", sim.alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("cent_id"),
-                F.struct(F.col("sim"), (-F.col("cent_id")).alias("nc")),
-            ).alias("ca")
+    # Per-ROW argmax over the folded centroid array (optimization r14,
+    # the _spherical_lloyd shape): the k centroids collapse into one
+    # broadcast row (DATA in a LocalRelation, not literal expression
+    # nodes — a 16 x 64 literal array was A/B'd and rejected: the
+    # analyzer re-walks 1k+ constant nodes per action), so the
+    # frozen-side assignment is a map-side projection — no n x k
+    # crossJoin rows, no groupBy(vec_id) exchange.  array_max over
+    # struct(sim, -cent_id) is the identical (round-6 cosine,
+    # lowest-cent_id tie-break) reduction the former max_by ran.
+    carr = cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cent_id", "cv"))).alias("cs")
+    )
+    best = F.array_max(
+        F.transform(
+            "cs",
+            lambda c: F.struct(
+                F.round(cosine(F.col("v"), c["cv"]), 6).alias("sim"),
+                (-c["cent_id"]).alias("nc"),
+                c["cent_id"].alias("cent_id"),
+            ),
         )
+    )
+    fa = em.crossJoin(F.broadcast(carr)).select(
+        "vec_id", best["cent_id"].alias("ca")
     )
     # Fresh 3-round retrain — session-memoized (shared verbatim with
     # retrain_frozen_index; a gate sweep pays the Lloyd rounds once).
